@@ -1,0 +1,204 @@
+"""Immutable run configuration.
+
+Replaces the reference's ~200 ``opt_*`` globals (``src/bpp.c:37-247``)
+with one frozen dataclass produced by the control-file parser
+(:mod:`bpp_tpu.io.ctl`, mirroring ``src/cfile.c`` ``load_cfile:2971``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class Method(Enum):
+    """Inference method (src/bpp.h:399-403 METHOD_00..METHOD_11)."""
+
+    A00 = 0   # parameter estimation on fixed tree
+    A01 = 1   # species tree inference
+    A10 = 2   # species delimitation (rjMCMC) on guide tree
+    A11 = 3   # joint tree + delimitation
+
+
+class PriorDist(Enum):
+    INVGAMMA = 0
+    GAMMA = 1
+    BETA = 2
+    DIRICHLET = 3
+    EXP = 4
+
+
+class SubstModel(Enum):
+    """Substitution models (subset of src/bpp.h model constants)."""
+
+    JC69 = 0
+    K80 = 1
+    F81 = 2
+    HKY = 3
+    T92 = 4
+    TN93 = 5
+    F84 = 6
+    GTR = 7
+
+
+class Clock(Enum):
+    GLOBAL = 1
+    IID = 2
+    CORRELATED = 3
+
+
+@dataclass(frozen=True)
+class Prior:
+    dist: PriorDist
+    alpha: float
+    beta: float
+    # extra params for beta priors (p q min max)
+    p3: float = 0.0
+    p4: float = 0.0
+
+    def mean(self) -> float:
+        if self.dist == PriorDist.GAMMA:
+            return self.alpha / self.beta
+        if self.dist == PriorDist.INVGAMMA:
+            return self.beta / (self.alpha - 1.0)
+        raise ValueError(f"no closed-form mean for {self.dist}")
+
+
+@dataclass(frozen=True)
+class Finetune:
+    """Initial proposal step sizes (cfile.c:3199 'finetune').
+
+    ``auto`` mirrors ``finetune = 1: ...`` — step sizes are adapted
+    during burn-in (method.c:1122-1204 reset_finetune).
+    """
+
+    auto: bool = True
+    gtage: float = 5.0
+    gtspr: float = 0.001
+    theta: float = 0.001
+    tau: float = 0.001
+    mix: float = 0.3
+    locusrate: float = 0.33
+    seqerr: float = 1.0
+    phi: float = 0.2
+    freqs: float = 0.1
+    qrates: float = 0.1
+    alpha: float = 0.1
+    migrates: float = 0.2
+    mig_ages: float = 0.3
+    branchrate: float = 0.5
+    mui: float = 0.2
+    mubar: float = 0.2
+
+
+@dataclass(frozen=True)
+class SpeciesTreeSpec:
+    """The species&tree block (cfile.c:3322)."""
+
+    count: int
+    names: tuple[str, ...]
+    max_seqs: tuple[int, ...]
+    newick: str | None          # None for single-species runs
+
+
+@dataclass(frozen=True)
+class BppConfig:
+    # files
+    seqfile: str = ""
+    imapfile: str | None = None
+    jobname: str = "out"
+    mcmcfile: str | None = None         # default: <jobname>.mcmc.txt
+    datefile: str | None = None
+    constraintfile: str | None = None
+    heredity_file: str | None = None
+    locusrate_file: str | None = None
+
+    # method selection
+    est_delimit: bool = False           # speciesdelimitation = 1 ...
+    est_stree: bool = False             # speciestree = 1 ...
+    rjmcmc_method: int = 0              # 0: epsilon, 1: (alpha, m)
+    rjmcmc_epsilon: float = 2.0
+    rjmcmc_alpha: float = 2.0
+    rjmcmc_mean: float = 1.0
+    prob_snl: float = 0.2               # speciestree = 1 pSNL pShrink ...
+    prob_snl_shrink: float = 0.333
+    snl_lambda_expand: float = 1.0
+    snl_lambda_shrink: float = 1.0
+    delimit_prior: int = 1              # speciesmodelprior
+
+    # data
+    species: SpeciesTreeSpec | None = None
+    phase: tuple[int, ...] = ()         # per-species unphased-diploid flags
+    usedata: bool = True
+    nloci: int | None = None
+    cleandata: bool = False
+
+    # substitution model
+    model: SubstModel = SubstModel.JC69
+    alpha_cats: int = 1                 # gamma rate categories (alphaprior ... ncat)
+    alphaprior: Prior | None = None     # gamma-shape prior; None = no rate het.
+    basefreqs_fixed: bool = True
+    qrates_fixed: bool = True
+
+    # priors
+    thetaprior: Prior = Prior(PriorDist.GAMMA, 2.0, 2000.0)
+    theta_integrated: bool = False      # 'e' flag: integrate theta out analytically
+    tauprior: Prior = Prior(PriorDist.GAMMA, 2.0, 1000.0)
+    phiprior: Prior = Prior(PriorDist.BETA, 1.0, 1.0)
+    theta_slide_prob: float = 0.1       # bpp.c default opt_theta_slide_prob
+    phi_slide_prob: float = 0.1
+
+    # rate variation across loci / clock
+    clock: Clock = Clock.GLOBAL
+    locusrate_prior: int = 0            # 0: gamma-dirichlet(hierarchical), 1: dir
+    est_locusrate: int = 0              # 0 off, 1 estimate, 2 from file, 3 only hered
+    locusrate_mubar: float = 1.0
+    locusrate_alpha: float = 0.0
+    est_heredity: int = 0
+    heredity_alpha: float = 4.0
+    heredity_beta: float = 4.0
+
+    # migration / introgression
+    migration: bool = False
+    geneflow: bool = False
+    migprior: Prior | None = None
+    wprior: Prior | None = None
+
+    # mcmc control
+    seed: int = -1
+    burnin: int = 0
+    sampfreq: int = 1
+    nsample: int = 0
+    finetune: Finetune = Finetune()
+    print_samples: int = 1
+    print_locusrate: int = 0
+    print_hscalars: int = 0
+    print_genetrees: int = 0
+    print_rates: int = 0
+    scaling: bool = False
+    checkpoint: tuple[int, int] | None = None   # (initial, step)
+    threads: tuple[int, int, int] | None = None  # (count, start, step) — advisory
+    bfbeta: float = 1.0                  # power-posterior beta (bfdriver)
+
+    # framework-specific knobs (no reference analog)
+    dtype: str = "float32"              # clv dtype; "float64" for oracle checks
+    site_block: int = 128               # pattern-axis padding granularity
+
+    @property
+    def method(self) -> Method:
+        # cfile.c:3452-3458 (est_delimit, est_stree) -> method
+        if self.est_delimit and self.est_stree:
+            return Method.A11
+        if self.est_delimit:
+            return Method.A10
+        if self.est_stree:
+            return Method.A01
+        return Method.A00
+
+    @property
+    def gamma_cats(self) -> int:
+        return self.alpha_cats if self.alphaprior is not None else 1
+
+    def replace(self, **kw) -> "BppConfig":
+        return dataclasses.replace(self, **kw)

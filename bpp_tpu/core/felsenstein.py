@@ -1,0 +1,106 @@
+"""Batched Felsenstein pruning over ``[loci, sites, cats, states]``.
+
+TPU-native replacement for the reference's CLV kernels
+(``src/core_partials.c`` ``pll_core_update_partial_ii:585``,
+``src/core_likelihood.c`` ``pll_core_root_loglikelihood:24``, and the
+per-locus drivers ``src/locus.c:2417-2614``).
+
+Design (SURVEY.md §7): instead of walking one gene tree and updating
+one CLV path per proposal, all loci are processed together by an
+age-ordered scan: gene-tree nodes sorted by age are valid topological
+order (children are always younger), so step ``k`` updates inner node
+``order[l, k]`` of every locus ``l`` at once.  Numerical scaling is a
+per-site running renormalization (log-scale accumulator) instead of the
+reference's 2^256 scaler counters (``core_partials.c:682-755``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..trees.gtree import BIG_AGE, GTrees, inner_order, root_index  # noqa: F401
+
+
+def branch_lengths(gt: GTrees, rate):
+    """Per-node branch length to parent, scaled by per-locus rate ``[L]``.
+
+    Root/padded nodes (parent == -1) get 0.
+    """
+    safe_parent = jnp.maximum(gt.parent, 0)
+    page = jnp.take_along_axis(gt.age, safe_parent, axis=1)
+    blen = jnp.where(gt.parent >= 0, page - gt.age, 0.0)
+    return blen * rate[:, None]
+
+
+def tip_partials_from_codes(codes, dtype=jnp.float32):
+    """Expand ambiguity masks ``[L, T, S]`` to 0/1 partials ``[L, T, S, 4]``."""
+    bits = jnp.arange(4, dtype=jnp.uint8)
+    return ((codes[..., None] >> bits) & 1).astype(dtype)
+
+
+def loglikelihood(
+    gt: GTrees,
+    tip_partials,      # [L, T, S, A]
+    weights,           # [L, S]
+    n_seq,             # [L]
+    pmats,             # [L, N, C, A, A] transition matrix of each node's branch
+    freqs,             # [L, A]
+    cat_weights,       # [C] or [L, C]
+    order=None,        # [L, T-1] precomputed schedule (optional)
+    return_site=False,
+):
+    """Log-likelihood of every locus: ``[L]`` (masked loci give 0).
+
+    ``pmats[l, i]`` is P(branch above node i) for each rate category.
+    """
+    L, T, S, A = tip_partials.shape
+    N = 2 * T - 1
+    C = pmats.shape[2]
+    dtype = tip_partials.dtype
+    lidx = jnp.arange(L)
+
+    if order is None:
+        order = inner_order(gt)
+
+    # CLV buffer over all nodes; tips broadcast over categories
+    clv = jnp.zeros((L, N, S, C, A), dtype=dtype)
+    clv = clv.at[:, :T].set(tip_partials[:, :, :, None, :])
+    logscale = jnp.zeros((L, S), dtype=dtype)
+
+    tiny = jnp.asarray(1e-30, dtype)
+
+    def step(carry, k):
+        clv, logscale = carry
+        node = order[:, k]                                     # [L]
+        lc = gt.left[lidx, node]
+        rc = gt.right[lidx, node]
+        xl = clv[lidx, lc]                                     # [L,S,C,A]
+        xr = clv[lidx, rc]
+        Pl = pmats[lidx, lc]                                   # [L,C,A,A]
+        Pr = pmats[lidx, rc]
+        yl = jnp.einsum("lcab,lscb->lsca", Pl, xl)
+        yr = jnp.einsum("lcab,lscb->lsca", Pr, xr)
+        y = yl * yr
+        m = jnp.max(y, axis=(2, 3), keepdims=True)             # [L,S,1,1]
+        msafe = jnp.maximum(m, tiny)
+        y = y / msafe
+        valid = (k < n_seq - 1)                                # [L]
+        logscale = logscale + jnp.where(
+            valid[:, None], jnp.log(msafe[:, :, 0, 0]), 0.0)
+        clv = clv.at[lidx, node].set(y)
+        return (clv, logscale), None
+
+    (clv, logscale), _ = jax.lax.scan(
+        step, (clv, logscale), jnp.arange(T - 1))
+
+    root = order[lidx, n_seq - 2]
+    root_clv = clv[lidx, root]                                 # [L,S,C,A]
+    cw = jnp.broadcast_to(
+        cat_weights if cat_weights.ndim == 2 else cat_weights[None, :], (L, C))
+    site_lik = jnp.einsum("lsca,la,lc->ls", root_clv, freqs, cw)
+    site_logl = jnp.log(jnp.maximum(site_lik, tiny)) + logscale
+    logl = jnp.sum(weights * site_logl, axis=1)
+    if return_site:
+        return logl, site_logl
+    return logl

@@ -1,0 +1,92 @@
+"""Packing processed loci into fixed-shape batched tensors.
+
+The reference assigns loci to threads with a zigzag load balancer
+(``src/threads.c:265`` ``load_balance_zigzag``).  The TPU-native
+equivalent is a static packing pass: all loci are padded to a common
+``[L, T_max, S_max]`` shape (pattern axis rounded to ``site_block``) so
+every MCMC move is one fixed-shape batched kernel, and the locus axis
+shards evenly across the device mesh (padded with zero-weight dummy
+loci when needed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .msa import ProcessedLocus
+
+
+@dataclass
+class LocusBatch:
+    """Fixed-shape batch of loci (host numpy; engine converts to jnp)."""
+
+    tip_codes: np.ndarray    # [L, T, S] uint8 ambiguity masks (15 in padding)
+    weights: np.ndarray      # [L, S] float64 pattern weights (0 in padding)
+    n_seq: np.ndarray        # [L] int32 (>=2 even for padded dummy loci)
+    n_pat: np.ndarray        # [L] int32
+    tip_pop: np.ndarray      # [L, T] int32 species tip of each sequence
+    n_sites: np.ndarray      # [L] int32 original site counts
+    locus_mask: np.ndarray   # [L] bool, False for padding loci
+    labels: list[list[str]]  # per real locus
+
+    @property
+    def n_loci(self) -> int:
+        return self.tip_codes.shape[0]
+
+    @property
+    def max_tips(self) -> int:
+        return self.tip_codes.shape[1]
+
+    @property
+    def max_patterns(self) -> int:
+        return self.tip_codes.shape[2]
+
+    @property
+    def max_nodes(self) -> int:
+        """Gene-tree node capacity: 2*T-1 (tips then inner nodes)."""
+        return 2 * self.max_tips - 1
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pack_loci(
+    loci: list[ProcessedLocus],
+    site_block: int = 16,
+    pad_loci_to: int | None = None,
+) -> LocusBatch:
+    n_real = len(loci)
+    if n_real == 0:
+        raise ValueError("no loci to pack")
+    L = pad_loci_to or n_real
+    if L < n_real:
+        raise ValueError("pad_loci_to smaller than locus count")
+    T = max(p.n_seq for p in loci)
+    T = max(T, 2)
+    S = _round_up(max(p.n_patterns for p in loci), site_block)
+
+    tip_codes = np.full((L, T, S), 15, dtype=np.uint8)
+    weights = np.zeros((L, S), dtype=np.float64)
+    n_seq = np.full(L, 2, dtype=np.int32)
+    n_pat = np.zeros(L, dtype=np.int32)
+    tip_pop = np.zeros((L, T), dtype=np.int32)
+    n_sites = np.zeros(L, dtype=np.int32)
+    mask = np.zeros(L, dtype=bool)
+    labels: list[list[str]] = []
+
+    for i, p in enumerate(loci):
+        tip_codes[i, : p.n_seq, : p.n_patterns] = p.codes
+        weights[i, : p.n_patterns] = p.weights
+        n_seq[i] = p.n_seq
+        n_pat[i] = p.n_patterns
+        tip_pop[i, : p.n_seq] = p.tip_species
+        n_sites[i] = p.n_sites
+        mask[i] = True
+        labels.append(p.labels)
+
+    return LocusBatch(
+        tip_codes=tip_codes, weights=weights, n_seq=n_seq, n_pat=n_pat,
+        tip_pop=tip_pop, n_sites=n_sites, locus_mask=mask, labels=labels)

@@ -1,0 +1,324 @@
+"""Inference control-file parser.
+
+Behavioral equivalent of the reference parser (``src/cfile.c``
+``load_cfile:2971``): ``keyword = value`` lines, ``#``/``*`` comments,
+and the multi-line ``species&tree`` block (``cfile.c:3322``).  Produces
+an immutable :class:`bpp_tpu.config.BppConfig`.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from ..config import (
+    BppConfig, Clock, Finetune, Prior, PriorDist, SpeciesTreeSpec, SubstModel,
+)
+
+
+def _strip_comment(line: str) -> str:
+    # '#' always starts a comment; '*' starts one at start-of-line or after
+    # whitespace (values like 'print = 1 0 0 0 * note' appear in the wild)
+    line = line.split("#", 1)[0]
+    m = re.search(r"(^|\s)\*", line)
+    if m:
+        line = line[: m.start()]
+    return line.strip()
+
+
+def _floats(s: str) -> list[float]:
+    return [float(t) for t in s.replace(":", " ").split()]
+
+
+def _parse_prior(value: str, default_dist: PriorDist) -> tuple[Prior, bool]:
+    """Parse 'gamma a b', 'invgamma a b [e]', 'beta p q min max' or 'a b [e]'.
+
+    Returns (prior, integrated) where integrated reflects a trailing 'e'
+    (theta integrated out analytically; cfile.c:1497-1539).
+    """
+    toks = value.split()
+    dist = default_dist
+    if toks and not _is_number(toks[0]):
+        name = toks[0].lower()
+        dist = {
+            "gamma": PriorDist.GAMMA,
+            "invgamma": PriorDist.INVGAMMA,
+            "beta": PriorDist.BETA,
+            "exp": PriorDist.EXP,
+        }.get(name)
+        if dist is None:
+            raise ValueError(f"unknown prior distribution {toks[0]!r}")
+        toks = toks[1:]
+    integrated = False
+    if toks and toks[-1].lower() == "e":
+        integrated = True
+        toks = toks[:-1]
+    nums = [float(t) for t in toks]
+    if dist == PriorDist.BETA:
+        if len(nums) == 2:
+            nums += [0.0, 1.0]
+        if len(nums) != 4:
+            raise ValueError(f"beta prior expects 'p q [min max]', got {value!r}")
+        return Prior(dist, nums[0], nums[1], nums[2], nums[3]), integrated
+    if len(nums) < 2:
+        raise ValueError(f"prior expects two parameters, got {value!r}")
+    return Prior(dist, nums[0], nums[1]), integrated
+
+
+def _is_number(t: str) -> bool:
+    try:
+        float(t)
+        return True
+    except ValueError:
+        return False
+
+
+_MODELS = {m.name: m for m in SubstModel}
+
+
+def parse_ctl(path: str) -> BppConfig:
+    with open(path) as fh:
+        lines = fh.readlines()
+    cfg = parse_ctl_lines(lines)
+    # resolve file paths relative to the ctl file's directory, like the C
+    # binary run from that directory would
+    base = os.path.dirname(os.path.abspath(path))
+
+    def resolve(p: str | None) -> str | None:
+        if p is None or os.path.isabs(p):
+            return p
+        return os.path.join(base, p)
+
+    return cfg.replace(
+        seqfile=resolve(cfg.seqfile),
+        imapfile=resolve(cfg.imapfile),
+        datefile=resolve(cfg.datefile),
+        constraintfile=resolve(cfg.constraintfile),
+        heredity_file=resolve(cfg.heredity_file),
+        locusrate_file=resolve(cfg.locusrate_file),
+    )
+
+
+def parse_ctl_string(text: str) -> BppConfig:
+    return parse_ctl_lines(text.splitlines(True))
+
+
+def parse_ctl_lines(lines: list[str]) -> BppConfig:  # noqa: C901
+    kw: dict = {}
+    i = 0
+    n = len(lines)
+
+    def next_content_line(j: int) -> tuple[str, int]:
+        while j < n:
+            s = _strip_comment(lines[j])
+            j += 1
+            if s:
+                return s, j
+        raise ValueError("unexpected end of control file in species&tree block")
+
+    while i < n:
+        raw = _strip_comment(lines[i])
+        i += 1
+        if not raw or "=" not in raw:
+            continue
+        key, value = raw.split("=", 1)
+        key = key.strip().lower()
+        value = value.strip()
+
+        if key == "species&tree":
+            toks = value.split()
+            count = int(toks[0])
+            names = tuple(toks[1:])
+            if len(names) != count:
+                raise ValueError(
+                    f"species&tree: expected {count} names, got {len(names)}")
+            line, i = next_content_line(i)
+            maxseqs = tuple(int(t) for t in line.split())
+            if len(maxseqs) != count:
+                raise ValueError(
+                    f"species&tree: expected {count} max-seq counts")
+            newick = None
+            if count > 1:
+                chunks = []
+                while True:
+                    line, i = next_content_line(i)
+                    chunks.append(line)
+                    if ";" in line:
+                        break
+                newick = " ".join(chunks)
+            kw["species"] = SpeciesTreeSpec(count, names, maxseqs, newick)
+        else:
+            kw[key] = value
+
+    return _build_config(kw)
+
+
+def _build_config(kw: dict) -> BppConfig:  # noqa: C901
+    c: dict = {}
+
+    def pop(key, default=None):
+        return kw.pop(key, default)
+
+    if "species" in kw:
+        c["species"] = kw.pop("species")
+
+    for src, dst in [("seqfile", "seqfile"), ("imapfile", "imapfile"),
+                     ("jobname", "jobname"), ("outfile", "jobname"),
+                     ("mcmcfile", "mcmcfile"), ("datefile", "datefile"),
+                     ("constraintfile", "constraintfile")]:
+        v = pop(src)
+        if v is not None:
+            c[dst] = v
+
+    v = pop("speciesdelimitation")
+    if v is not None:
+        toks = v.split()
+        if int(toks[0]) == 1:
+            c["est_delimit"] = True
+            alg = int(toks[1]) if len(toks) > 1 else 0
+            c["rjmcmc_method"] = alg
+            if alg == 0 and len(toks) > 2:
+                c["rjmcmc_epsilon"] = float(toks[2])
+            elif alg == 1 and len(toks) > 3:
+                c["rjmcmc_alpha"] = float(toks[2])
+                c["rjmcmc_mean"] = float(toks[3])
+
+    v = pop("speciestree")
+    if v is not None:
+        toks = v.split()
+        if int(toks[0]) == 1:
+            c["est_stree"] = True
+            nums = [float(t) for t in toks[1:]]
+            # cfile.c:502 parse_speciestree: pSNL pShrink lamExpand lamShrink
+            if len(nums) > 0:
+                c["prob_snl"] = nums[0]
+            if len(nums) > 1:
+                c["prob_snl_shrink"] = nums[1]
+            if len(nums) > 2:
+                c["snl_lambda_expand"] = nums[2]
+            if len(nums) > 3:
+                c["snl_lambda_shrink"] = nums[3]
+
+    v = pop("speciesmodelprior")
+    if v is not None:
+        c["delimit_prior"] = int(v)
+
+    v = pop("phase")
+    if v is not None:
+        c["phase"] = tuple(int(t) for t in v.split())
+
+    for key, conv in [("usedata", lambda s: bool(int(s))),
+                      ("cleandata", lambda s: bool(int(s))),
+                      ("nloci", int), ("seed", lambda s: int(float(s))),
+                      ("burnin", int), ("sampfreq", int), ("nsample", int),
+                      ("scaling", lambda s: bool(int(s)))]:
+        v = pop(key)
+        if v is not None:
+            c[key] = conv(v.split()[0])
+
+    v = pop("model")
+    if v is not None:
+        name = v.split()[0].upper()
+        if name not in _MODELS:
+            raise ValueError(f"unsupported substitution model {name!r}")
+        c["model"] = _MODELS[name]
+
+    v = pop("thetaprior")
+    if v is not None:
+        prior, integ = _parse_prior(v, PriorDist.INVGAMMA)
+        c["thetaprior"] = prior
+        c["theta_integrated"] = integ
+
+    v = pop("tauprior")
+    if v is not None:
+        prior, _ = _parse_prior(v, PriorDist.INVGAMMA)
+        c["tauprior"] = prior
+
+    v = pop("phiprior")
+    if v is not None:
+        toks = v.split()
+        nums = [float(t) for t in toks if _is_number(t)]
+        c["phiprior"] = Prior(PriorDist.BETA, nums[0], nums[1])
+
+    v = pop("alphaprior")
+    if v is not None:
+        nums = _floats(v)
+        c["alphaprior"] = Prior(PriorDist.GAMMA, nums[0], nums[1])
+        if len(nums) > 2:
+            c["alpha_cats"] = int(nums[2])
+
+    v = pop("clock")
+    if v is not None:
+        c["clock"] = Clock(int(v.split()[0]))
+
+    v = pop("locusrate")
+    if v is not None:
+        toks = v.split()
+        c["est_locusrate"] = int(toks[0])
+        if len(toks) > 1 and _is_number(toks[1]):
+            c["locusrate_mubar"] = float(toks[1])
+        if len(toks) > 2 and _is_number(toks[2]):
+            c["locusrate_alpha"] = float(toks[2])
+
+    v = pop("heredity")
+    if v is not None:
+        toks = v.split()
+        c["est_heredity"] = int(toks[0])
+        if len(toks) > 2:
+            c["heredity_alpha"] = float(toks[1])
+            c["heredity_beta"] = float(toks[2])
+
+    v = pop("finetune")
+    if v is not None:
+        toks = v.replace(":", " : ").split()
+        auto = bool(int(toks[0]))
+        nums = [float(t) for t in toks[1:] if t != ":"]
+        names = ["gtage", "gtspr", "theta", "tau", "mix", "locusrate", "seqerr"]
+        ft = dict(zip(names, nums))
+        c["finetune"] = Finetune(auto=auto, **ft)
+
+    v = pop("print")
+    if v is not None:
+        nums = [int(t) for t in v.split()]
+        for name, val in zip(["print_samples", "print_locusrate",
+                              "print_hscalars", "print_genetrees",
+                              "print_rates"], nums):
+            c[name] = val
+
+    v = pop("threads")
+    if v is not None:
+        nums = [int(t) for t in v.split()]
+        while len(nums) < 3:
+            nums.append([1, 0, 1][len(nums)] if len(nums) else 1)
+        c["threads"] = tuple(nums[:3])
+
+    v = pop("checkpoint")
+    if v is not None:
+        nums = [int(t) for t in v.split()]
+        c["checkpoint"] = (nums[0], nums[1] if len(nums) > 1 else 0)
+
+    v = pop("bayesfactorbeta")
+    if v is not None:
+        c["bfbeta"] = float(v.split()[0])
+
+    v = pop("geneflow")
+    if v is not None:
+        c["geneflow"] = bool(int(v.split()[0]))
+
+    v = pop("migprior")
+    if v is not None:
+        prior, _ = _parse_prior(v, PriorDist.GAMMA)
+        c["migprior"] = prior
+
+    v = pop("wprior")
+    if v is not None:
+        prior, _ = _parse_prior(v, PriorDist.GAMMA)
+        c["wprior"] = prior
+
+    # silently accept-and-record unknown keywords for forward compat
+    cfg = BppConfig(**c)
+    if kw:
+        unknown = ", ".join(sorted(kw))
+        import warnings
+        warnings.warn(f"ignoring unsupported control-file option(s): {unknown}")
+    return cfg

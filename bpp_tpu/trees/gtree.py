@@ -1,0 +1,277 @@
+"""Batched gene-tree state and topology operations.
+
+TPU-native replacement of the reference's pointer-based
+``gtree_t``/``gnode_t`` (``src/bpp.h:692-774``): per-locus gene trees
+live in fixed-shape ``[L, N]`` index arrays (SURVEY.md §7 design #1).
+Population assignments are re-derived from ages instead of maintained
+through coalescent-event bookkeeping (``src/gtree.c`` dlists): a gene
+node's population is the ancestor of the species-MRCA of its descendant
+tips whose tau interval contains the node age.  Initial gene trees are
+simulated from the MSC prior like the reference's ``gtree_simulate``
+(``src/gtree.c:2242-2330``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BIG_AGE = 1.0e30  # age sentinel for padded inner-node slots
+
+
+class GTrees(NamedTuple):
+    """Batched gene trees as index arrays.
+
+    Node indexing per locus: tips ``0..T-1`` (only ``0..n_seq-1``
+    valid), inner nodes ``T..2T-2`` (only ``T..T+n_seq-2`` occupied;
+    padded slots keep ``age=BIG_AGE``, ``parent=-1``, children 0).
+    """
+
+    left: jax.Array      # [L, N] int32
+    right: jax.Array     # [L, N] int32
+    parent: jax.Array    # [L, N] int32, -1 for root & padded
+    age: jax.Array       # [L, N] float
+
+    @property
+    def n_loci(self):
+        return self.left.shape[0]
+
+    @property
+    def n_nodes(self):
+        return self.left.shape[1]
+
+    @property
+    def n_tips(self):
+        return (self.left.shape[1] + 1) // 2
+
+
+class SpeciesArrays(NamedTuple):
+    """Replicated species tree/network state on device.
+
+    Mirrors ``stree_t`` essentials: node indexing tips ``0..NS-1``,
+    inner ``NS..2NS-2`` with root last; ``pptable[i, j]`` True iff j is
+    i or an ancestor of i (``src/stree.c:2840``); ``mrca[i, j]`` the
+    species MRCA.
+    """
+
+    left: jax.Array      # [H] int32
+    right: jax.Array     # [H] int32
+    parent: jax.Array    # [H] int32 (-1 root)
+    tau: jax.Array       # [H] float
+    theta: jax.Array     # [H] float
+    pptable: jax.Array   # [H, H] bool
+    mrca: jax.Array      # [H, H] int32
+
+    @property
+    def n_nodes(self):
+        return self.left.shape[0]
+
+    @property
+    def n_tips(self):
+        return (self.left.shape[0] + 1) // 2
+
+    @property
+    def root(self):
+        return self.left.shape[0] - 1
+
+
+def species_arrays(st, dtype=jnp.float64) -> SpeciesArrays:
+    """Build device arrays from a host-side SpeciesTree."""
+    return SpeciesArrays(
+        left=jnp.asarray(st.left, jnp.int32),
+        right=jnp.asarray(st.right, jnp.int32),
+        parent=jnp.asarray(st.parent, jnp.int32),
+        tau=jnp.asarray(st.tau, dtype),
+        theta=jnp.asarray(st.theta, dtype),
+        pptable=jnp.asarray(st.pptable()),
+        mrca=jnp.asarray(st.mrca_table(), jnp.int32),
+    )
+
+
+# --- schedules -----------------------------------------------------------------
+
+
+def inner_order(gt: GTrees):
+    """Age-sorted inner-node schedule ``[L, T-1]`` (values are node ids).
+
+    Valid topological order: a child's age is strictly below its
+    parent's, and padded slots (BIG_AGE) sort last.
+    """
+    T = gt.n_tips
+    inner_age = gt.age[:, T:]
+    return (T + jnp.argsort(inner_age, axis=1)).astype(jnp.int32)
+
+
+def root_index(gt: GTrees, n_seq, order=None):
+    if order is None:
+        order = inner_order(gt)
+    return order[jnp.arange(gt.n_loci), n_seq - 2]
+
+
+def topo_scan(gt: GTrees, tip_vals, combine, order=None):
+    """Bottom-up accumulation over all loci: ``out[u] = combine(out[l], out[r])``.
+
+    ``tip_vals``: [L, T] initial values; returns [L, N] (padded inner
+    slots receive garbage).
+    """
+    L, T = tip_vals.shape
+    N = gt.n_nodes
+    if order is None:
+        order = inner_order(gt)
+    lidx = jnp.arange(L)
+    buf = jnp.zeros((L, N), dtype=tip_vals.dtype).at[:, :T].set(tip_vals)
+
+    def step(buf, k):
+        node = order[:, k]
+        lv = buf[lidx, gt.left[lidx, node]]
+        rv = buf[lidx, gt.right[lidx, node]]
+        return buf.at[lidx, node].set(combine(lv, rv)), None
+
+    buf, _ = jax.lax.scan(step, buf, jnp.arange(T - 1))
+    return buf
+
+
+def mrca_species(gt: GTrees, sp: SpeciesArrays, tip_pop, order=None):
+    """Species-MRCA of the tips below every gene node: ``[L, N]`` int32."""
+    def combine(a, b):
+        return sp.mrca[a, b]
+    return topo_scan(gt, tip_pop, combine, order=order)
+
+
+def leaf_counts(gt: GTrees, n_seq, order=None):
+    """Number of gene-tree tips below each node: ``[L, N]`` int32."""
+    L, T = gt.n_loci, gt.n_tips
+    tip_vals = (jnp.arange(T)[None, :] < n_seq[:, None]).astype(jnp.int32)
+    return topo_scan(gt, tip_vals, lambda a, b: a + b, order=order)
+
+
+def lift_population(sp: SpeciesArrays, base, age):
+    """Population containing ``age`` on the ancestor chain of ``base``.
+
+    ``base``/``age`` are broadcast-compatible arrays; returns the unique
+    ancestor h of base with ``tau_h <= age < tau_parent(h)`` (root
+    interval open above).  Mirrors the pop-reassignment walks in
+    ``propose_ages`` (``src/gtree.c:4760+``).
+    """
+    anc = sp.pptable[base]                           # [..., H]
+    tau = sp.tau
+    par = sp.parent
+    partau = jnp.where(par >= 0, sp.tau[jnp.maximum(par, 0)], jnp.inf)
+    ok = anc & (tau <= age[..., None]) & (age[..., None] < partau)
+    return jnp.argmax(ok, axis=-1).astype(jnp.int32)
+
+
+def assign_populations(gt: GTrees, sp: SpeciesArrays, tip_pop, order=None):
+    """Population of every gene node from ages alone: ``[L, N]`` int32.
+
+    Tips sit in (a possibly collapsed ancestor of) their sampled
+    species; inner nodes in the ancestor of the species-MRCA of their
+    descendants whose tau interval contains their age.
+    """
+    T = gt.n_tips
+    msp = mrca_species(gt, sp, tip_pop, order=order)
+    age = jnp.clip(gt.age, 0.0, BIG_AGE * 0.5)  # padded slots -> root pop
+    return lift_population(sp, msp, age)
+
+
+# --- host-side initial simulation from the MSC prior ---------------------------
+
+
+def simulate_gtree_host(
+    rng: np.random.Generator,
+    tip_species: np.ndarray,       # [n] species tip index per sequence
+    st_left, st_right, st_parent,  # species tree arrays
+    tau, theta,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Simulate one gene tree from the MSC prior (gtree.c:2242 analog).
+
+    Returns (left, right, parent, age) over ``2n-1`` nodes, tips first.
+    """
+    n = len(tip_species)
+    H = len(st_parent)
+    nnodes = 2 * n - 1
+    left = np.full(nnodes, 0, np.int32)
+    right = np.full(nnodes, 0, np.int32)
+    parent = np.full(nnodes, -1, np.int32)
+    age = np.zeros(nnodes, np.float64)
+
+    # lineages per species population
+    lineages: dict[int, list[int]] = {h: [] for h in range(H)}
+    for i, spx in enumerate(tip_species):
+        lineages[int(spx)].append(i)
+
+    # species nodes sorted by tau (tips tau=0 first), then root epoch
+    epoch_order = sorted(range(H), key=lambda h: (tau[h], h))
+    next_node = n
+    t_now = {h: tau[h] for h in range(H)}
+
+    def coalesce_in(h: int, t_end: float):
+        nonlocal next_node
+        t = t_now[h]
+        while len(lineages[h]) > 1:
+            k = len(lineages[h])
+            rate = k * (k - 1) / max(theta[h], 1e-300)
+            t_next = t + rng.exponential(1.0 / rate)
+            if t_next >= t_end:
+                break
+            # pick two lineages
+            i, j = rng.choice(k, size=2, replace=False)
+            a, b = lineages[h][i], lineages[h][j]
+            node = next_node
+            next_node += 1
+            left[node], right[node] = a, b
+            parent[a] = parent[b] = node
+            age[node] = t_next
+            lineages[h] = [x for x in lineages[h] if x not in (a, b)]
+            lineages[h].append(node)
+            t = t_next
+        t_now[h] = t_end
+
+    for h in epoch_order:
+        p = st_parent[h]
+        t_end = tau[p] if p >= 0 else np.inf
+        coalesce_in(h, t_end)
+        if p >= 0:
+            lineages[p].extend(lineages[h])
+            lineages[h] = []
+    assert next_node == nnodes, "simulation did not fully coalesce"
+    return left, right, parent, age
+
+
+def init_gtrees(
+    seed: int,
+    batch,                  # LocusBatch
+    st,                     # host SpeciesTree
+    dtype=jnp.float64,
+) -> GTrees:
+    """Simulate starting gene trees for every locus (incl. padded ones)."""
+    rng = np.random.default_rng(seed)
+    L, T = batch.n_loci, batch.max_tips
+    N = 2 * T - 1
+    left = np.zeros((L, N), np.int32)
+    right = np.zeros((L, N), np.int32)
+    parent = np.full((L, N), -1, np.int32)
+    age = np.full((L, N), BIG_AGE, np.float64)
+    age[:, :T] = 0.0
+    theta = np.maximum(st.theta, 1e-6)
+    for li in range(L):
+        n = int(batch.n_seq[li])
+        tip_sp = batch.tip_pop[li, :n]
+        gl, gr, gp, ga = simulate_gtree_host(
+            rng, tip_sp, st.left, st.right, st.parent, st.tau, theta)
+        # map local inner ids n..2n-2 to global T..T+n-2
+        def gmap(i):
+            return i if i < n else i - n + T
+        for i in range(2 * n - 1):
+            gi = gmap(i)
+            parent[li, gi] = gmap(gp[i]) if gp[i] >= 0 else -1
+            age[li, gi] = ga[i]
+            if i >= n:
+                left[li, gi] = gmap(gl[i])
+                right[li, gi] = gmap(gr[i])
+    return GTrees(
+        left=jnp.asarray(left), right=jnp.asarray(right),
+        parent=jnp.asarray(parent), age=jnp.asarray(age, dtype))
