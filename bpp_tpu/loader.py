@@ -1,0 +1,104 @@
+"""Run assembly: control file -> packed device data + initial state.
+
+Mirrors the reference's ``init`` path (``src/method.c:3210``): parse
+sequences, clean, compress, map individuals to species, build the
+species tree, initialize (tau, theta) from the priors
+(``stree_init_tau`` ``src/stree.c:1489``, ``stree_init_theta``
+``stree.c:2471``), and simulate starting gene trees from the MSC prior.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .config import BppConfig, PriorDist, SubstModel
+from .data.msa import ProcessedLocus, process_locus
+from .data.packing import LocusBatch, pack_loci
+from .io.ctl import parse_ctl
+from .io.imap import parse_imap
+from .io.phylip import parse_phylip
+from .trees.stree import SpeciesTree
+
+PROP_THRESHOLD = 99  # stree.c PROP_THRESHOLD for tau init proportion
+
+
+@dataclass
+class RunData:
+    cfg: BppConfig
+    batch: LocusBatch
+    stree: SpeciesTree
+    loci: list[ProcessedLocus]
+
+
+def build_species_tree(cfg: BppConfig) -> SpeciesTree:
+    spec = cfg.species
+    if spec is None:
+        raise ValueError("control file lacks species&tree")
+    if spec.count == 1:
+        return SpeciesTree.single_population(spec.names[0])
+    st = SpeciesTree.from_newick(spec.newick, tip_order=list(spec.names))
+    return st
+
+
+def init_tau_theta(cfg: BppConfig, st: SpeciesTree, rng: np.random.Generator,
+                   collapsed: np.ndarray | None = None) -> None:
+    """Initialize tau/theta in place from the priors (stree.c:1489, 2471).
+
+    ``collapsed``: optional bool mask over nodes forcing tau=0 (A10/A11
+    random starting delimitation).
+    """
+    theta0 = cfg.thetaprior.mean()
+    st.theta[:] = theta0
+    if st.n_tips == 1:
+        st.tau[:] = 0.0
+        return
+    tau0 = cfg.tauprior.mean()
+    prop = 0.9 if st.n_tips > PROP_THRESHOLD else 0.5
+    root = st.root
+    active = np.ones(st.n_nodes, bool)
+    if collapsed is not None:
+        active = ~collapsed
+    st.tau[:] = 0.0
+    if active[root]:
+        st.tau[root] = tau0
+
+    def rec(i: int):
+        for ch in (st.left[i], st.right[i]):
+            if ch < st.n_tips:
+                continue
+            if st.tau[i] > 0 and active[ch]:
+                st.tau[ch] = st.tau[i] * (prop + (1 - prop)
+                                          * (0.2 + 0.1 * rng.random()))
+            else:
+                st.tau[ch] = 0.0
+            rec(ch)
+
+    rec(root)
+
+
+def load_run(cfg: BppConfig, pad_loci_to: int | None = None) -> RunData:
+    alns = parse_phylip(cfg.seqfile, max_loci=cfg.nloci)
+    if cfg.nloci is not None:
+        alns = alns[: cfg.nloci]
+
+    st = build_species_tree(cfg)
+    species_index = {name: i for i, name in enumerate(st.names)}
+
+    imap = None
+    if cfg.imapfile:
+        imap = parse_imap(cfg.imapfile)
+
+    jc69_fold = cfg.model == SubstModel.JC69
+    loci = [
+        process_locus(a, imap, species_index, cleandata=cfg.cleandata,
+                      jc69_fold=jc69_fold)
+        for a in alns
+    ]
+    batch = pack_loci(loci, site_block=cfg.site_block, pad_loci_to=pad_loci_to)
+    return RunData(cfg=cfg, batch=batch, stree=st, loci=loci)
+
+
+def load_run_from_ctl(path: str, **kw) -> RunData:
+    return load_run(parse_ctl(path), **kw)

@@ -1,0 +1,516 @@
+"""MCMC moves, batched over loci.
+
+Each move re-derives the reference's proposal math (SURVEY.md §2.3) as
+a pure jitted function over the fixed-shape state:
+
+  * gene-node ages    — gtree.c:4585 ``propose_ages``
+  * gene-tree SPR     — gtree.c:6531 ``propose_spr``
+  * theta slide/Gibbs — stree.c:3826/3645
+  * tau rubber band   — stree.c:5512 ``propose_tau`` +
+                        stree.c:4338 ``propose_tau_update_gtrees``
+  * mixing            — prop_mixing.c:275 ``proposal_mixing``
+
+Per-locus moves take independent accept decisions per locus; global
+moves (theta/tau/mixing) sum per-locus terms (the quantities the
+reference's thread pool reduces, threads.c:525-594) and take one
+decision.  Under a sharded locus axis those sums become psums.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BppConfig, PriorDist
+from ..trees import coalescent as coalmod
+from ..trees.gtree import (
+    BIG_AGE, GTrees, SpeciesArrays, assign_populations, lift_population,
+    mrca_species, topo_scan,
+)
+from . import rng
+from .gibbs import gamma_conditional_approx
+from .state import (
+    Ctx, FT_GTAGE, FT_GTSPR, FT_MIX, FT_TAU, FT_THETA, McmcState,
+    make_logl_fn, make_logpr_fn,
+)
+
+MAXAGE_CAP = 999.0  # reference's "999 for compatibility" upper bound
+
+
+def _psum_if_sharded(x):
+    """Cross-shard reduction hook; identity for single-process jit (XLA
+    computes global sums across sharded axes automatically under jit)."""
+    return x
+
+
+# --------------------------------------------------------------------------
+# gene-node age sweep (gtree.c:4585)
+# --------------------------------------------------------------------------
+
+
+def age_sweep(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
+    gt, sp = state.gt, state.sp
+    L, N, T = gt.n_loci, gt.n_nodes, gt.n_tips
+    lidx = jnp.arange(L)
+    logl_fn = make_logl_fn(ctx, cfg)
+    logpr_fn = make_logpr_fn(ctx)
+    msp = mrca_species(gt, sp, ctx.tip_pop)      # topology-static in this sweep
+    eps = state.finetune[FT_GTAGE]
+
+    def step(carry, inp):
+        age, logl, logpr, nprop, nacc = carry
+        k, kkey = inp
+        node = T + k
+        gtk = gt._replace(age=age)
+        valid = (k < ctx.n_seq - 1) & ctx.locus_mask
+
+        lc = gt.left[:, node]
+        rc = gt.right[:, node]
+        la = age[lidx, lc]
+        ra = age[lidx, rc]
+        pop_lc = lift_population(sp, msp[lidx, lc], la)
+        pop_rc = lift_population(sp, msp[lidx, rc], ra)
+        mrca_pop = sp.mrca[pop_lc, pop_rc]
+        minage = jnp.maximum(jnp.maximum(la, ra), sp.tau[mrca_pop])
+        par = gt.parent[:, node]
+        maxage = jnp.where(par >= 0, age[lidx, jnp.maximum(par, 0)],
+                           MAXAGE_CAP)
+
+        k1, k2 = jax.random.split(kkey)
+        tnew = rng.reflect(age[:, node] + eps * rng.bactrian(k1, (L,)),
+                           minage, maxage)
+        age_new = age.at[:, node].set(jnp.where(valid, tnew, age[:, node]))
+
+        gtn = gt._replace(age=age_new)
+        logl_new = logl_fn(gtn, state.subst)
+        logpr_new, _, _ = logpr_fn(gtn, sp, state.subst.heredity)
+
+        lnacc = (logl_new - logl) + (logpr_new - logpr)
+        accept = rng.mh_accept(k2, lnacc) & valid
+        age = jnp.where(accept[:, None], age_new, age)
+        logl = jnp.where(accept, logl_new, logl)
+        logpr = jnp.where(accept, logpr_new, logpr)
+        nprop = nprop + valid.sum(dtype=jnp.int32)
+        nacc = nacc + accept.sum(dtype=jnp.int32)
+        return (age, logl, logpr, nprop, nacc), None
+
+    keys = jax.random.split(key, T - 1)
+    init = (gt.age, state.logl, state.logpr,
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    (age, logl, logpr, nprop, nacc), _ = jax.lax.scan(
+        step, init, (jnp.arange(T - 1, dtype=jnp.int32), keys))
+    new_state = state._replace(gt=gt._replace(age=age), logl=logl, logpr=logpr)
+    return new_state, (nprop, nacc)
+
+
+# --------------------------------------------------------------------------
+# gene-tree SPR sweep (gtree.c:6531)
+# --------------------------------------------------------------------------
+
+
+def _select_uniform(key, mask):
+    """Uniformly select one True index per row of mask [L, N]."""
+    L = mask.shape[0]
+    count = mask.sum(axis=1)
+    r = jax.random.uniform(key, (L,))
+    sel_rank = jnp.floor(r * count).astype(jnp.int32)
+    sel_rank = jnp.minimum(sel_rank, jnp.maximum(count - 1, 0))
+    cum = jnp.cumsum(mask, axis=1) - mask  # rank of each True element
+    hit = mask & (cum == sel_rank[:, None])
+    return jnp.argmax(hit, axis=1).astype(jnp.int32), count
+
+
+def spr_sweep(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
+    gt0, sp = state.gt, state.sp
+    L, N, T = gt0.n_loci, gt0.n_nodes, gt0.n_tips
+    lidx = jnp.arange(L)
+    nodes_idx = jnp.arange(N)[None, :]
+    logl_fn = make_logl_fn(ctx, cfg)
+    logpr_fn = make_logpr_fn(ctx)
+    eps = state.finetune[FT_GTSPR]
+
+    # gene leaves per population: number of sampled tips whose species is
+    # a descendant-or-self of h (static through the sweep)
+    tipmask = nodes_idx[:, :T] < ctx.n_seq[:, None]
+    glv = (sp.pptable[ctx.tip_pop] & tipmask[..., None]).sum(1)   # [L, H]
+    depth = sp.pptable.sum(-1).astype(jnp.int32)                  # [H]
+
+    def step(carry, inp):
+        left, right, parent, age, logl, logpr, nprop, nacc = carry
+        i, kkey = inp                  # i: candidate curnode index 0..N-1
+        gtk = GTrees(left, right, parent, age)
+        valid_nodes = (nodes_idx < ctx.n_seq[:, None]) | (
+            (nodes_idx >= T) & (nodes_idx < T + ctx.n_seq[:, None] - 1))
+
+        father = parent[:, i]
+        is_valid = (parent[:, i] >= 0) & valid_nodes[:, i] & ctx.locus_mask
+        father_s = jnp.maximum(father, 0)
+        fleft = left[lidx, father_s]
+        sibling = jnp.where(fleft == i, right[lidx, father_s], fleft)
+
+        msp = mrca_species(gtk, sp, ctx.tip_pop)
+        pops = lift_population(
+            sp, msp, jnp.clip(age, 0.0, BIG_AGE * 0.5))
+        leaves = topo_scan(
+            gtk, tipmask.astype(jnp.int32), lambda a, b: a + b)
+
+        # youngest ancestor population of curnode's pop with other lineages
+        cur_pop = pops[:, i]
+        cand = sp.pptable[cur_pop] & (glv > leaves[:, i][:, None])
+        score = jnp.where(cand, depth[None, :], -1)
+        pop_min = jnp.argmax(score, axis=1)
+        minage = jnp.maximum(age[:, i], sp.tau[pop_min])
+
+        k1, k2, k3 = jax.random.split(kkey, 3)
+        f_age = age[lidx, father_s]
+        tnew = rng.reflect(f_age + eps * rng.bactrian(k1, (L,)),
+                           minage, MAXAGE_CAP)
+        pop_target = lift_population(sp, cur_pop, tnew)
+
+        # --- target branches ------------------------------------------------
+        page = jnp.where(parent >= 0,
+                         jnp.take_along_axis(age, jnp.maximum(parent, 0), 1),
+                         -jnp.inf)
+        order_root = jnp.argmax(
+            jnp.where(valid_nodes & (nodes_idx >= T), age, -jnp.inf),
+            axis=1).astype(jnp.int32)
+        root_age = age[lidx, order_root]
+        spans = (age <= tnew[:, None]) & (tnew[:, None] < page)
+        in_pop = sp.pptable[pops, pop_target[:, None]]
+        tmask = (valid_nodes & spans & in_pop
+                 & (nodes_idx != i)
+                 & (nodes_idx != order_root[:, None]))
+        above_root = tnew >= root_age
+        sel, tcount = _select_uniform(k2, tmask)
+        target = jnp.where(above_root, order_root, sel)
+        tcount = jnp.where(above_root, 1, tcount)
+        target = jnp.where(target == father, sibling, target)
+
+        # --- source branches (reverse-move targets) -------------------------
+        f_pop = pops[lidx, father_s]
+        sspans = (age <= f_age[:, None]) & (f_age[:, None] < page)
+        s_in_pop = sp.pptable[pops, f_pop[:, None]]
+        smask = (valid_nodes & sspans & s_in_pop
+                 & (nodes_idx != i) & (nodes_idx != order_root[:, None])
+                 & (nodes_idx != sibling[:, None])
+                 & (nodes_idx != father_s[:, None]))
+        father_is_root = father_s == order_root
+        scount = 1 + jnp.where(father_is_root, 0, smask.sum(axis=1))
+
+        ok = is_valid & (tcount > 0)
+
+        # --- build proposed arrays ------------------------------------------
+        do_topo = ok & (target != sibling) & (target != father_s)
+
+        def write(arr, row_ok, col, val):
+            col_s = jnp.where(row_ok, col, 0)
+            old = arr[lidx, col_s]
+            return arr.at[lidx, col_s].set(jnp.where(row_ok, val, old))
+
+        grandpa = parent[lidx, father_s]
+        has_gp = grandpa >= 0
+        gp_s = jnp.maximum(grandpa, 0)
+
+        nl, nr, np_, na = left, right, parent, age
+        # detach: replace father by sibling under grandpa
+        repl_l = do_topo & has_gp & (left[lidx, gp_s] == father_s)
+        repl_r = do_topo & has_gp & (right[lidx, gp_s] == father_s)
+        nl = write(nl, repl_l, gp_s, sibling)
+        nr = write(nr, repl_r, gp_s, sibling)
+        np_ = write(np_, do_topo, sibling, grandpa)
+        # attach father above target
+        tpar = parent[lidx, jnp.where(do_topo, target, 0)]
+        tpar = jnp.where(do_topo, tpar, 0)
+        tpar_s = jnp.maximum(tpar, 0)
+        repl_tl = do_topo & (tpar >= 0) & (nl[lidx, tpar_s] == target)
+        repl_tr = do_topo & (tpar >= 0) & (nr[lidx, tpar_s] == target)
+        nl = write(nl, repl_tl, tpar_s, father_s)
+        nr = write(nr, repl_tr, tpar_s, father_s)
+        np_ = write(np_, do_topo, father_s, tpar)
+        nl = write(nl, do_topo, father_s, jnp.broadcast_to(i.astype(jnp.int32), father_s.shape))
+        nr = write(nr, do_topo, father_s, target)
+        np_ = write(np_, do_topo, target, father_s)
+        # father's new age (also when no topology change)
+        na = write(na, ok, father_s, tnew)
+
+        gtn = GTrees(nl, nr, np_, na)
+        logl_new = logl_fn(gtn, state.subst)
+        logpr_new, _, _ = logpr_fn(gtn, sp, state.subst.heredity)
+
+        lnacc = (logl_new - logl) + (logpr_new - logpr) + jnp.log(
+            jnp.maximum(tcount, 1) / jnp.maximum(scount, 1))
+        accept = rng.mh_accept(k3, lnacc) & ok
+        am = accept[:, None]
+        left = jnp.where(am, nl, left)
+        right = jnp.where(am, nr, right)
+        parent = jnp.where(am, np_, parent)
+        age = jnp.where(am, na, age)
+        logl = jnp.where(accept, logl_new, logl)
+        logpr = jnp.where(accept, logpr_new, logpr)
+        nprop = nprop + is_valid.sum(dtype=jnp.int32)
+        nacc = nacc + accept.sum(dtype=jnp.int32)
+        return (left, right, parent, age, logl, logpr, nprop, nacc), None
+
+    keys = jax.random.split(key, N)
+    iters = jnp.arange(N, dtype=jnp.int32)
+    init = (gt0.left, gt0.right, gt0.parent, gt0.age, state.logl, state.logpr,
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    (left, right, parent, age, logl, logpr, nprop, nacc), _ = jax.lax.scan(
+        step, init, (iters, keys))
+    new_state = state._replace(
+        gt=GTrees(left, right, parent, age), logl=logl, logpr=logpr)
+    return new_state, (nprop, nacc)
+
+
+# --------------------------------------------------------------------------
+# theta moves (stree.c:3957 propose_theta -> slide:3826 / gibbs:3645)
+# --------------------------------------------------------------------------
+
+
+def theta_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
+    """Update every population's theta (slide or Metropolized Gibbs).
+
+    Per-population conditionals are independent given the gene trees, so
+    all populations update in parallel.
+    """
+    sp = state.sp
+    H = sp.n_nodes
+    logpr_fn = make_logpr_fn(ctx)
+    _, c, t2 = logpr_fn(state.gt, sp, state.subst.heredity)
+    mask_l = ctx.locus_mask[:, None]
+    ksum = _psum_if_sharded(jnp.sum(jnp.where(mask_l, c, 0), axis=0))
+    csum = _psum_if_sharded(jnp.sum(
+        jnp.where(mask_l, t2 / state.subst.heredity[:, None], 0.0), axis=0))
+
+    a = cfg.thetaprior.alpha
+    b = cfg.thetaprior.beta
+    gamma_prior = cfg.thetaprior.dist == PriorDist.GAMMA
+    eps = state.finetune[FT_THETA]
+    theta = sp.theta
+
+    k_sel, k_sl, k_gb, k_acc = jax.random.split(key, 4)
+    use_slide = jax.random.uniform(k_sel, (H,)) < cfg.theta_slide_prob
+
+    # --- slide proposal ------------------------------------------------------
+    th_slide = jnp.abs(theta + eps * rng.bactrian(k_sl, (H,)))
+    th_slide = jnp.maximum(th_slide, 1e-300)
+
+    # --- Gibbs proposal (inverse-gamma approx conditional) -------------------
+    if gamma_prior:
+        a1, b1 = gamma_conditional_approx(a, b, ksum, csum,
+                                          invgamma_proposal=True)
+    else:
+        a1 = a + ksum
+        b1 = b + csum
+    th_gibbs = b1 / jax.random.gamma(k_gb, a1)
+
+    th_new = jnp.where(use_slide, th_slide, th_gibbs)
+
+    # posterior-ratio pieces: Delta logpr = ksum*log(old/new) + csum*(1/old-1/new)
+    dlogpr = ksum * jnp.log(theta / th_new) + csum * (1.0 / theta - 1.0 / th_new)
+    if gamma_prior:
+        prior_ratio = (a - 1.0) * jnp.log(th_new / theta) - b * (th_new - theta)
+    else:
+        prior_ratio = (-a - 1.0) * jnp.log(th_new / theta) - b * (
+            1.0 / th_new - 1.0 / theta)
+    # proposal ratio: slide is symmetric; Gibbs: q(old)/q(new) under InvG(a1,b1)
+    prop_ratio = jnp.where(
+        use_slide, 0.0,
+        (-a1 - 1.0) * jnp.log(theta / th_new) - b1 * (1.0 / theta - 1.0 / th_new))
+    lnacc = dlogpr + prior_ratio + prop_ratio
+    if not gamma_prior:
+        # exact conjugate Gibbs: always accept the Gibbs draws
+        lnacc = jnp.where(use_slide, lnacc, jnp.inf)
+
+    accept = rng.mh_accept(k_acc, lnacc)
+    th_fin = jnp.where(accept, th_new, theta)
+
+    # update per-locus cached logpr with accepted pops only
+    dl = (c * jnp.log(theta / th_fin)[None, :]
+          + t2 / state.subst.heredity[:, None]
+          * (1.0 / theta - 1.0 / th_fin)[None, :])
+    logpr = state.logpr + jnp.where(ctx.locus_mask, dl.sum(1), 0.0)
+
+    new_sp = sp._replace(theta=th_fin)
+    new_state = state._replace(sp=new_sp, logpr=logpr)
+    return new_state, (jnp.asarray(H, jnp.int32), accept.sum().astype(jnp.int32))
+
+
+# --------------------------------------------------------------------------
+# tau rubber-band move (stree.c:5512 + 4338)
+# --------------------------------------------------------------------------
+
+
+def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
+    sp0 = state.sp
+    H = sp0.n_nodes
+    NS = sp0.n_tips
+    if NS == 1:
+        return state, (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    L = state.gt.n_loci
+    T = state.gt.n_tips
+    N = state.gt.n_nodes
+    lidx = jnp.arange(L)
+    logl_fn = make_logl_fn(ctx, cfg)
+    logpr_fn = make_logpr_fn(ctx)
+    gamma_tau = cfg.tauprior.dist == PriorDist.GAMMA
+    a, b = cfg.tauprior.alpha, cfg.tauprior.beta
+    eps = state.finetune[FT_TAU]
+    nodes_idx = jnp.arange(N)[None, :]
+
+    def body(h_off, carry):
+        age, tau, logl, logpr, kkey, nprop, nacc = carry
+        h = NS + h_off
+        kkey, k1, k2 = jax.random.split(kkey, 3)
+        told = tau[h]
+        active = told > 0.0
+
+        lh = sp0.left[h]
+        rh = sp0.right[h]
+        ph = sp0.parent[h]
+        minage = jnp.maximum(tau[lh], tau[rh])
+        maxage = jnp.where(ph >= 0, tau[jnp.maximum(ph, 0)], MAXAGE_CAP)
+        tnew = rng.reflect(told + eps * rng.bactrian(k1), minage, maxage)
+
+        minf = (tnew - minage) / (told - minage)
+        maxf = (tnew - maxage) / (told - maxage)
+
+        tau_new = tau.at[h].set(tnew)
+        sp_cur = sp0._replace(tau=tau)
+        sp_new = sp0._replace(tau=tau_new)
+
+        # affected gene nodes: in pops {h, lh, rh}, age in (minage, maxage)
+        gtc = state.gt._replace(age=age)
+        pops = assign_populations(gtc, sp_cur, ctx.tip_pop)
+        is_inner = (nodes_idx >= T) & (nodes_idx < T + ctx.n_seq[:, None] - 1)
+        in_aff = (pops == h) | (pops == lh) | (pops == rh)
+        window = (age > minage) & (age < maxage)
+        cond = is_inner & in_aff & window & ctx.locus_mask[:, None]
+        above = cond & (age >= told)
+        below = cond & (age < told)
+        age_new = jnp.where(
+            above, maxage + maxf * (age - maxage),
+            jnp.where(below, minage + minf * (age - minage), age))
+        ca = _psum_if_sharded(above.sum())
+        cb = _psum_if_sharded(below.sum())
+
+        gtn = state.gt._replace(age=age_new)
+        logl_new = logl_fn(gtn, state.subst)
+        logpr_new, _, _ = logpr_fn(gtn, sp_new, state.subst.heredity)
+
+        lnacc = (ca * jnp.log(maxf) + cb * jnp.log(minf)
+                 + _psum_if_sharded(jnp.sum(logl_new - logl))
+                 + _psum_if_sharded(jnp.sum(logpr_new - logpr)))
+        is_root = ph < 0
+        cand = jnp.sum(tau[NS:] > 0).astype(tau.dtype)
+        if gamma_tau:
+            root_term = (a - 1.0 - cand + 1.0) * jnp.log(tnew / told) \
+                - b * (tnew - told)
+        else:
+            root_term = (-a - 1.0 - cand + 1.0) * jnp.log(tnew / told) \
+                - b * (1.0 / tnew - 1.0 / told)
+        lnacc = lnacc + jnp.where(is_root, root_term, 0.0)
+
+        accept = rng.mh_accept(k2, lnacc) & active
+        age = jnp.where(accept, age_new, age)
+        tau = jnp.where(accept, tau_new, tau)
+        logl = jnp.where(accept, logl_new, logl)
+        logpr = jnp.where(accept, logpr_new, logpr)
+        nprop = nprop + active.astype(jnp.int32)
+        nacc = nacc + accept.astype(jnp.int32)
+        return (age, tau, logl, logpr, kkey, nprop, nacc)
+
+    init = (state.gt.age, sp0.tau, state.logl, state.logpr, key,
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    age, tau, logl, logpr, _, nprop, nacc = jax.lax.fori_loop(
+        0, NS - 1, body, init)
+    new_state = state._replace(
+        gt=state.gt._replace(age=age), sp=sp0._replace(tau=tau),
+        logl=logl, logpr=logpr)
+    return new_state, (nprop, nacc)
+
+
+# --------------------------------------------------------------------------
+# mixing move (prop_mixing.c:275)
+# --------------------------------------------------------------------------
+
+
+def mixing_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
+    gt, sp = state.gt, state.sp
+    L, N, T = gt.n_loci, gt.n_nodes, gt.n_tips
+    H = sp.n_nodes
+    NS = sp.n_tips
+    logl_fn = make_logl_fn(ctx, cfg)
+    logpr_fn = make_logpr_fn(ctx)
+    nodes_idx = jnp.arange(N)[None, :]
+    a, b = cfg.thetaprior.alpha, cfg.thetaprior.beta
+    gamma_prior = cfg.thetaprior.dist == PriorDist.GAMMA
+    ta, tb = cfg.tauprior.alpha, cfg.tauprior.beta
+    gamma_tau = cfg.tauprior.dist == PriorDist.GAMMA
+    eps = state.finetune[FT_MIX]
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    lnc = eps * rng.bactrian(k1)
+    c = jnp.exp(lnc)
+
+    tau_count = jnp.sum(sp.tau[NS:] > 0) if NS > 1 else jnp.zeros((), jnp.int32)
+    inner_count = _psum_if_sharded(
+        jnp.sum(jnp.where(ctx.locus_mask, ctx.n_seq - 1, 0)))
+    lnacc = (tau_count + inner_count) * lnc
+
+    # scale gene-node inner ages and taus
+    is_inner = (nodes_idx >= T) & (nodes_idx < T + ctx.n_seq[:, None] - 1)
+    age_new = jnp.where(is_inner, gt.age * c, gt.age)
+    tau_new = jnp.where(sp.tau > 0, sp.tau * c, sp.tau)
+
+    # root-tau prior ratio (prop_mixing.c:520-540)
+    if NS > 1:
+        rt_old = sp.tau[H - 1]
+        rt_new = tau_new[H - 1]
+        if gamma_tau:
+            root_term = (ta - 1.0 - tau_count + 1.0) * lnc - tb * (rt_new - rt_old)
+        else:
+            root_term = (-ta - 1.0 - tau_count + 1.0) * lnc \
+                - tb * (1.0 / rt_new - 1.0 / rt_old)
+        lnacc = lnacc + root_term
+
+    # Gibbs-style theta refresh at the scaled waiting times
+    _, cc, t2 = logpr_fn(gt, sp, state.subst.heredity)
+    mask_l = ctx.locus_mask[:, None]
+    ksum = _psum_if_sharded(jnp.sum(jnp.where(mask_l, cc, 0), axis=0))
+    csum = _psum_if_sharded(jnp.sum(
+        jnp.where(mask_l, t2 / state.subst.heredity[:, None], 0.0), axis=0))
+    cstar = csum * c
+    if gamma_prior:
+        a1, b1 = gamma_conditional_approx(a, b, ksum, cstar, True)
+        a1o, b1o = gamma_conditional_approx(a, b, ksum, csum, True)
+    else:
+        a1, b1 = a + ksum, b + cstar
+        a1o, b1o = a + ksum, b + csum
+    th_new = b1 / jax.random.gamma(k2, a1)
+    th_old = sp.theta
+    # proposal ratio (InvG pdfs) + prior ratio
+    lnacc = lnacc + jnp.sum(
+        rng.log_pdf_invgamma(th_old, a1o, b1o)
+        - rng.log_pdf_invgamma(th_new, a1, b1))
+    if gamma_prior:
+        lnacc = lnacc + jnp.sum(
+            (a - 1.0) * jnp.log(th_new / th_old) - b * (th_new - th_old))
+    else:
+        lnacc = lnacc + jnp.sum(
+            (-a - 1.0) * jnp.log(th_new / th_old)
+            - b * (1.0 / th_new - 1.0 / th_old))
+
+    gtn = gt._replace(age=age_new)
+    spn = sp._replace(tau=tau_new, theta=th_new)
+    logl_new = logl_fn(gtn, state.subst)
+    logpr_new, _, _ = logpr_fn(gtn, spn, state.subst.heredity)
+    lnacc = lnacc + _psum_if_sharded(jnp.sum(logl_new - state.logl)) \
+        + _psum_if_sharded(jnp.sum(logpr_new - state.logpr))
+
+    accept = rng.mh_accept(k3, lnacc)
+    new_state = jax.tree.map(
+        lambda n, o: jnp.where(accept, n, o),
+        state._replace(gt=gtn, sp=spn, logl=logl_new, logpr=logpr_new),
+        state)
+    return new_state, (jnp.ones((), jnp.int32), accept.astype(jnp.int32))

@@ -1,0 +1,157 @@
+"""MCMC state pytrees and likelihood glue.
+
+The reference threads its state through ~50 mutable C structures; here
+the whole sampler state is one immutable pytree, and every move is a
+pure jitted function ``(ctx, state, key) -> state`` (SURVEY.md §7
+design #3).  Rollback is ``jnp.where(accept, new, old)`` instead of
+CLV index-swapping.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import BppConfig, PriorDist, SubstModel
+from ..core import felsenstein as fe
+from ..core import pmatrix as pm
+from ..core.gammarates import discrete_gamma_rates
+from ..trees import coalescent as coal
+from ..trees.gtree import (
+    GTrees, SpeciesArrays, assign_populations, species_arrays,
+)
+
+# finetune slot indices (mirrors the reference's finetune vector order,
+# cfile.c:3199 / method.c pjump bookkeeping)
+FT_GTAGE = 0
+FT_GTSPR = 1
+FT_THETA = 2
+FT_TAU = 3
+FT_MIX = 4
+FT_LRHT = 5
+FT_PHI = 6
+FT_FREQS = 7
+FT_QRATES = 8
+FT_ALPHA = 9
+N_FINETUNE = 10
+
+# move-statistics slots (proposed, accepted) per move family
+MV_GTAGE = 0
+MV_GTSPR = 1
+MV_THETA = 2
+MV_TAU = 3
+MV_MIX = 4
+MV_LRHT = 5
+MV_FREQS = 6
+MV_QRATES = 7
+MV_ALPHA = 8
+MV_PHI = 9
+MV_RJ = 10
+MV_SSPR = 11
+MV_SNL = 12
+N_MOVES = 13
+
+
+class SubstState(NamedTuple):
+    """Per-locus substitution-model parameters."""
+
+    freqs: jax.Array     # [L, 4]
+    kappa1: jax.Array    # [L]
+    kappa2: jax.Array    # [L]
+    qrates: jax.Array    # [L, 6]
+    alpha: jax.Array     # [L] gamma shape (unused when C == 1)
+    rates: jax.Array     # [L, C] category rates (derived from alpha)
+    mu: jax.Array        # [L] locus rate
+    heredity: jax.Array  # [L]
+
+
+class McmcState(NamedTuple):
+    gt: GTrees
+    sp: SpeciesArrays
+    subst: SubstState
+    logl: jax.Array      # [L] cached log-likelihood
+    logpr: jax.Array     # [L] cached MSC log-density (theta-estimated path)
+    finetune: jax.Array  # [N_FINETUNE]
+
+
+class Ctx(NamedTuple):
+    """Static per-run device arrays (sharded along the locus axis)."""
+
+    tip_partials: jax.Array  # [L, T, S, A]
+    weights: jax.Array       # [L, S]
+    n_seq: jax.Array         # [L]
+    tip_pop: jax.Array       # [L, T]
+    locus_mask: jax.Array    # [L] bool
+
+
+def compute_pmats(gt: GTrees, subst: SubstState, model: SubstModel):
+    """Transition matrices for every (node, category): [L, N, C, A, A]."""
+    blen = fe.branch_lengths(gt, subst.mu)                  # [L, N]
+    t_eff = blen[:, :, None] * subst.rates[:, None, :]      # [L, N, C]
+    if model == SubstModel.JC69:
+        return pm.pmatrix_jc69(t_eff)
+    if model in (SubstModel.K80, SubstModel.F81, SubstModel.HKY,
+                 SubstModel.T92, SubstModel.TN93, SubstModel.F84):
+        f = subst.freqs[:, None, None, :]
+        return pm.pmatrix_tn93(t_eff, f, subst.kappa1[:, None, None],
+                               subst.kappa2[:, None, None])
+    if model == SubstModel.GTR:
+        w, T, Tinv = pm.gtr_eigen(subst.freqs, subst.qrates)
+        return pm.pmatrix_eigen(
+            t_eff, w[:, None, None, :], T[:, None, None, :, :],
+            Tinv[:, None, None, :, :])
+    raise NotImplementedError(model)
+
+
+def make_logl_fn(ctx: Ctx, cfg: BppConfig):
+    """Returns logl(gt, subst) -> [L]; bfbeta scales like the power
+    posterior (locus.c:2630 opt_bfbeta * logl)."""
+    usedata = cfg.usedata
+    model = cfg.model
+    bfbeta = cfg.bfbeta
+
+    def logl_fn(gt: GTrees, subst: SubstState):
+        if not usedata:
+            return jnp.zeros(ctx.weights.shape[0], ctx.weights.dtype)
+        pmats = compute_pmats(gt, subst, model)
+        cw = jnp.full((subst.rates.shape[1],),
+                      1.0 / subst.rates.shape[1], ctx.weights.dtype)
+        ll = fe.loglikelihood(gt, ctx.tip_partials, ctx.weights, ctx.n_seq,
+                              pmats, subst.freqs, cw)
+        if bfbeta != 1.0:
+            ll = ll * bfbeta
+        return jnp.where(ctx.locus_mask, ll, 0.0)
+
+    return logl_fn
+
+
+def make_logpr_fn(ctx: Ctx):
+    """Returns logpr(gt, sp) -> ([L], coal [L,H], T2h [L,H])."""
+
+    def logpr_fn(gt: GTrees, sp: SpeciesArrays, heredity):
+        pops = assign_populations(gt, sp, ctx.tip_pop)
+        c, t2, _ = coal.per_pop_stats(gt, sp, pops, ctx.n_seq)
+        contrib = coal.msc_contrib(c, t2, sp.theta, heredity)
+        lp = jnp.where(ctx.locus_mask, contrib.sum(1), 0.0)
+        return lp, c, t2
+
+    return logpr_fn
+
+
+def finetune_array(cfg: BppConfig, dtype=jnp.float64) -> jax.Array:
+    ft = cfg.finetune
+    vals = np.zeros(N_FINETUNE)
+    vals[FT_GTAGE] = ft.gtage
+    vals[FT_GTSPR] = ft.gtspr
+    vals[FT_THETA] = ft.theta
+    vals[FT_TAU] = ft.tau
+    vals[FT_MIX] = ft.mix
+    vals[FT_LRHT] = ft.locusrate
+    vals[FT_PHI] = ft.phi
+    vals[FT_FREQS] = ft.freqs
+    vals[FT_QRATES] = ft.qrates
+    vals[FT_ALPHA] = ft.alpha
+    return jnp.asarray(vals, dtype)
