@@ -1,0 +1,55 @@
+"""Benchmark: MCMC iterations/sec on the yu2001 example (A00, JC69).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference C binary (BPP 4.8.7, -O3 AVX2, single thread)
+runs the same config (61 sequences, 1 locus, ~113 site patterns after
+JC69 folding, moves gtage+gtspr+theta+mix) at ~846 iterations/sec on
+this container's host CPU (measured: 44,200 iterations in 52.2 s,
+/tmp/oracle/yu2001 run of 2026-08-17).  vs_baseline is ours/reference.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+REFERENCE_ITERS_PER_SEC = 846.0
+
+
+def main():
+    import jax
+
+    from bpp_tpu.loader import load_run_from_ctl
+    from bpp_tpu.mcmc.driver import Engine
+
+    run = load_run_from_ctl("/root/reference/examples/yu2001/yu2001.bpp.ctl")
+    run.cfg = run.cfg.replace(dtype="float32")
+    eng = Engine(run, seed=1)
+    state = eng.init_state()
+    key = jax.random.PRNGKey(0)
+
+    # warmup/compile
+    state, _ = eng.step(state, key)
+    jax.block_until_ready(state.logl)
+
+    n_iter = 40
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        key, sub = jax.random.split(key)
+        state, _ = eng.step(state, sub)
+    jax.block_until_ready(state.logl)
+    dt = time.perf_counter() - t0
+
+    ips = n_iter / dt
+    print(json.dumps({
+        "metric": "mcmc_iterations_per_sec_yu2001",
+        "value": round(ips, 3),
+        "unit": "iters/s",
+        "vs_baseline": round(ips / REFERENCE_ITERS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -39,16 +39,44 @@ def tip_partials_from_codes(codes, dtype=jnp.float32):
     return ((codes[..., None] >> bits) & 1).astype(dtype)
 
 
+def reduce_root(site_logl, weights, res_map=None, res_count=None):
+    """Weighted per-site reduction with diploid resolution averaging.
+
+    ``site_logl [L, S]`` are per-likelihood-pattern log-likelihoods;
+    with ``res_map [L, W, R]``/``res_count [L, W]`` each weight pattern
+    averages its resolution columns (locus.c:2587-2614), in log space
+    via logsumexp so per-pattern scaling is respected.
+    """
+    if res_map is None:
+        return jnp.sum(weights * site_logl, axis=1)
+    L, W, R = res_map.shape
+    if R == 1:
+        gathered = jnp.take_along_axis(site_logl, res_map[..., 0], axis=1)
+        return jnp.sum(weights * gathered, axis=1)
+    lidx = jnp.arange(L)[:, None, None]
+    vals = site_logl[lidx, res_map]                          # [L, W, R]
+    jidx = jnp.arange(R)[None, None, :]
+    valid = jidx < res_count[..., None]
+    neg = jnp.asarray(-1e30, site_logl.dtype)
+    vals = jnp.where(valid, vals, neg)
+    m = jnp.max(vals, axis=-1)
+    sumexp = jnp.sum(jnp.where(valid, jnp.exp(vals - m[..., None]), 0.0), -1)
+    logmean = m + jnp.log(sumexp) - jnp.log(res_count)
+    return jnp.sum(weights * logmean, axis=1)
+
+
 def loglikelihood(
     gt: GTrees,
     tip_partials,      # [L, T, S, A]
-    weights,           # [L, S]
+    weights,           # [L, W]
     n_seq,             # [L]
     pmats,             # [L, N, C, A, A] transition matrix of each node's branch
     freqs,             # [L, A]
     cat_weights,       # [C] or [L, C]
     order=None,        # [L, T-1] precomputed schedule (optional)
     return_site=False,
+    res_map=None,      # [L, W, R] resolution columns per weight pattern
+    res_count=None,    # [L, W]
 ):
     """Log-likelihood of every locus: ``[L]`` (masked loci give 0).
 
@@ -100,7 +128,7 @@ def loglikelihood(
         cat_weights if cat_weights.ndim == 2 else cat_weights[None, :], (L, C))
     site_lik = jnp.einsum("lsca,la,lc->ls", root_clv, freqs, cw)
     site_logl = jnp.log(jnp.maximum(site_lik, tiny)) + logscale
-    logl = jnp.sum(weights * site_logl, axis=1)
+    logl = reduce_root(site_logl, weights, res_map, res_count)
     if return_site:
         return logl, site_logl
     return logl

@@ -16,18 +16,28 @@ import numpy as np
 from ..io import maps
 from ..io.phylip import Alignment
 from .compress import compress_patterns
+from .diploid import resolve_locus
 
 
 @dataclass
 class ProcessedLocus:
-    """Device-ready arrays for one locus."""
+    """Device-ready arrays for one locus.
+
+    For unphased-diploid loci, ``codes`` holds the expanded+compressed
+    resolution patterns while ``weights`` stays on the original site
+    patterns; ``res_map``/``res_count`` link each original pattern to
+    its resolution columns in ``codes`` (likelihood averages them,
+    locus.c:2587-2614).  Haploid loci use an identity mapping.
+    """
 
     index: int
     labels: list[str]
     codes: np.ndarray       # [n_seq, n_patterns] uint8 ambiguity masks
-    weights: np.ndarray     # [n_patterns] int32 pattern multiplicities
+    weights: np.ndarray     # [n_wpat] int32 pattern multiplicities
     tip_species: np.ndarray  # [n_seq] int32 species-tip index
     n_sites: int            # original (uncompressed, post-clean) length
+    res_map: np.ndarray | None = None    # [n_wpat, Rmax] -> codes column
+    res_count: np.ndarray | None = None  # [n_wpat]
 
     @property
     def n_seq(self) -> int:
@@ -37,6 +47,14 @@ class ProcessedLocus:
     def n_patterns(self) -> int:
         return self.codes.shape[1]
 
+    @property
+    def n_wpatterns(self) -> int:
+        return self.weights.shape[0]
+
+    @property
+    def max_res(self) -> int:
+        return 1 if self.res_map is None else self.res_map.shape[1]
+
 
 def process_locus(
     aln: Alignment,
@@ -44,6 +62,7 @@ def process_locus(
     species_index: dict[str, int],
     cleandata: bool = False,
     jc69_fold: bool = False,
+    phase: tuple[int, ...] = (),
 ) -> ProcessedLocus:
     codes = np.stack([maps.encode_nt(s) for s in aln.sequences])
 
@@ -64,7 +83,6 @@ def process_locus(
         codes = codes[:, unamb]
 
     n_sites = codes.shape[1]
-    patterns, weights = compress_patterns(codes, jc69_fold=jc69_fold)
 
     if len(species_index) == 1:
         tip_species = np.zeros(codes.shape[0], dtype=np.int32)
@@ -85,6 +103,54 @@ def process_locus(
             sp.append(species_index[sp_name])
         tip_species = np.asarray(sp, dtype=np.int32)
 
+    diploid = np.zeros(codes.shape[0], bool)
+    if phase and any(phase):
+        for i, spi in enumerate(tip_species):
+            if phase[spi]:
+                diploid[i] = True
+
+    if diploid.any():
+        # compress first (diploid variant keeps the A1 patterns), expand
+        # resolutions, then recompress the expanded alignment; sorted
+        # pattern order reproduces the reference's het-pinning walk
+        patterns1, weights = compress_patterns(codes, jc69_fold=False,
+                                               sorted_order=True)
+        res = resolve_locus(patterns1, weights, diploid)
+        patterns2, _ = None, None
+        cols = res.codes2
+        # unique expanded columns, track inverse mapping
+        colsT = np.ascontiguousarray(cols.T)
+        view = colsT.view([("", colsT.dtype)] * colsT.shape[1]).ravel()
+        _, idx, inverse = np.unique(view, return_index=True,
+                                    return_inverse=True)
+        order = np.argsort(idx, kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order))
+        inverse = rank[inverse]
+        patterns2 = cols[:, idx[order]]
+        S1 = weights.shape[0]
+        rmax = int(res.res_count.max())
+        res_map = np.zeros((S1, rmax), np.int32)
+        res_cnt = res.res_count.astype(np.int32)
+        fill = np.zeros(S1, np.int64)
+        for col2, s in enumerate(res.res_index):
+            res_map[s, fill[s]] = inverse[col2]
+            fill[s] += 1
+        assert (fill == res_cnt).all()
+        new_labels = []
+        for r, si in enumerate(res.seq_of_row):
+            if diploid[si]:
+                suffix = ".1" if (r == 0 or res.seq_of_row[r - 1] != si) else ".2"
+                new_labels.append(labels[si] + suffix)
+            else:
+                new_labels.append(labels[si])
+        return ProcessedLocus(
+            index=aln.index, labels=new_labels,
+            codes=patterns2.astype(np.uint8), weights=weights,
+            tip_species=tip_species[res.seq_of_row].astype(np.int32),
+            n_sites=n_sites, res_map=res_map, res_count=res_cnt)
+
+    patterns, weights = compress_patterns(codes, jc69_fold=jc69_fold)
     return ProcessedLocus(
         index=aln.index, labels=labels, codes=patterns, weights=weights,
         tip_species=tip_species, n_sites=n_sites)

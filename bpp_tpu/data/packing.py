@@ -7,6 +7,11 @@ equivalent is a static packing pass: all loci are padded to a common
 every MCMC move is one fixed-shape batched kernel, and the locus axis
 shards evenly across the device mesh (padded with zero-weight dummy
 loci when needed).
+
+Two pattern axes exist to support unphased-diploid loci: ``tip_codes``
+runs over likelihood patterns (expanded resolutions), while ``weights``
+runs over the original site patterns, linked by ``res_map`` /
+``res_count`` (identity for haploid loci).
 """
 
 from __future__ import annotations
@@ -23,9 +28,11 @@ class LocusBatch:
     """Fixed-shape batch of loci (host numpy; engine converts to jnp)."""
 
     tip_codes: np.ndarray    # [L, T, S] uint8 ambiguity masks (15 in padding)
-    weights: np.ndarray      # [L, S] float64 pattern weights (0 in padding)
+    weights: np.ndarray      # [L, W] float64 pattern weights (0 in padding)
+    res_map: np.ndarray      # [L, W, R] int32 -> tip_codes pattern column
+    res_count: np.ndarray    # [L, W] int32 resolutions per weight pattern
     n_seq: np.ndarray        # [L] int32 (>=2 even for padded dummy loci)
-    n_pat: np.ndarray        # [L] int32
+    n_pat: np.ndarray        # [L] int32 likelihood patterns per locus
     tip_pop: np.ndarray      # [L, T] int32 species tip of each sequence
     n_sites: np.ndarray      # [L] int32 original site counts
     locus_mask: np.ndarray   # [L] bool, False for padding loci
@@ -48,6 +55,10 @@ class LocusBatch:
         """Gene-tree node capacity: 2*T-1 (tips then inner nodes)."""
         return 2 * self.max_tips - 1
 
+    @property
+    def identity_resolution(self) -> bool:
+        return self.res_map.shape[2] == 1
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -64,12 +75,15 @@ def pack_loci(
     L = pad_loci_to or n_real
     if L < n_real:
         raise ValueError("pad_loci_to smaller than locus count")
-    T = max(p.n_seq for p in loci)
-    T = max(T, 2)
+    T = max(max(p.n_seq for p in loci), 2)
     S = _round_up(max(p.n_patterns for p in loci), site_block)
+    W = _round_up(max(p.n_wpatterns for p in loci), site_block)
+    R = max(p.max_res for p in loci)
 
     tip_codes = np.full((L, T, S), 15, dtype=np.uint8)
-    weights = np.zeros((L, S), dtype=np.float64)
+    weights = np.zeros((L, W), dtype=np.float64)
+    res_map = np.zeros((L, W, R), dtype=np.int32)
+    res_count = np.ones((L, W), dtype=np.int32)
     n_seq = np.full(L, 2, dtype=np.int32)
     n_pat = np.zeros(L, dtype=np.int32)
     tip_pop = np.zeros((L, T), dtype=np.int32)
@@ -79,7 +93,12 @@ def pack_loci(
 
     for i, p in enumerate(loci):
         tip_codes[i, : p.n_seq, : p.n_patterns] = p.codes
-        weights[i, : p.n_patterns] = p.weights
+        weights[i, : p.n_wpatterns] = p.weights
+        if p.res_map is not None:
+            res_map[i, : p.n_wpatterns, : p.max_res] = p.res_map
+            res_count[i, : p.n_wpatterns] = p.res_count
+        else:
+            res_map[i, : p.n_wpatterns, 0] = np.arange(p.n_wpatterns)
         n_seq[i] = p.n_seq
         n_pat[i] = p.n_patterns
         tip_pop[i, : p.n_seq] = p.tip_species
@@ -88,5 +107,6 @@ def pack_loci(
         labels.append(p.labels)
 
     return LocusBatch(
-        tip_codes=tip_codes, weights=weights, n_seq=n_seq, n_pat=n_pat,
-        tip_pop=tip_pop, n_sites=n_sites, locus_mask=mask, labels=labels)
+        tip_codes=tip_codes, weights=weights, res_map=res_map,
+        res_count=res_count, n_seq=n_seq, n_pat=n_pat, tip_pop=tip_pop,
+        n_sites=n_sites, locus_mask=mask, labels=labels)

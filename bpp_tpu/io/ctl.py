@@ -75,6 +75,47 @@ def _is_number(t: str) -> bool:
 
 _MODELS = {m.name: m for m in SubstModel}
 
+# new-style (>=4.8.1) finetune dict keys -> Finetune fields (cfile.c ft_labels)
+_FT_KEYS = {
+    "gage": "gtage", "gspr": "gtspr", "tau": "tau", "mix": "mix",
+    "lrht": "locusrate", "phis": "phi", "pi": "freqs", "qmat": "qrates",
+    "alfa": "alpha", "mubr": "mubar", "mu_i": "mui", "brte": "branchrate",
+    "theta": "theta", "nubr": "mubar", "nu_i": "mui",
+}
+
+
+def _parse_finetune(value: str) -> Finetune:
+    """Both syntaxes: old '1: 5 0.001 ...' positional list and the
+    >=4.8.1 dict form '1 Gage:5 Gspr:0.001 mix:0.3' (cfile.c
+    parse_finetune)."""
+    toks = value.split()
+    head = toks[0].rstrip(":")
+    auto = bool(int(head))
+    rest = value[len(toks[0]):].strip() if toks else ""
+    kw: dict = {}
+    if toks[0].endswith(":") or (len(toks) > 1 and toks[1] == ":"):
+        # old positional syntax: '1: Gage Gspr theta tau mix lrht seqerr'
+        nums = [float(t) for t in rest.split() if t != ":"]
+        names = ["gtage", "gtspr", "theta", "tau", "mix", "locusrate",
+                 "seqerr"]
+        kw = dict(zip(names, nums))
+    else:
+        for tok in toks[1:]:
+            if ":" not in tok:
+                raise ValueError(f"bad finetune entry {tok!r}")
+            key, val = tok.split(":", 1)
+            lk = key.lower()
+            if lk in _FT_KEYS:
+                kw[_FT_KEYS[lk]] = float(val)
+            elif lk.startswith(("th", "wr", "wi")):
+                # per-parameter step lengths (th1:, wr1:, wi1:) — use as
+                # the scalar starting value for the family
+                fam = {"th": "theta", "wr": "migrates", "wi": "migrates"}
+                kw[fam[lk[:2]]] = float(val)
+            else:
+                raise ValueError(f"unknown finetune key {key!r}")
+    return Finetune(auto=auto, **kw)
+
 
 def parse_ctl(path: str) -> BppConfig:
     with open(path) as fh:
@@ -270,12 +311,7 @@ def _build_config(kw: dict) -> BppConfig:  # noqa: C901
 
     v = pop("finetune")
     if v is not None:
-        toks = v.replace(":", " : ").split()
-        auto = bool(int(toks[0]))
-        nums = [float(t) for t in toks[1:] if t != ":"]
-        names = ["gtage", "gtspr", "theta", "tau", "mix", "locusrate", "seqerr"]
-        ft = dict(zip(names, nums))
-        c["finetune"] = Finetune(auto=auto, **ft)
+        c["finetune"] = _parse_finetune(v)
 
     v = pop("print")
     if v is not None:

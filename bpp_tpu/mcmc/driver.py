@@ -82,6 +82,8 @@ class Engine:
             tip_partials=fe.tip_partials_from_codes(
                 jnp.asarray(batch.tip_codes), dtype=dtype),
             weights=jnp.asarray(batch.weights, dtype),
+            res_map=jnp.asarray(batch.res_map),
+            res_count=jnp.asarray(batch.res_count),
             n_seq=jnp.asarray(batch.n_seq),
             tip_pop=jnp.asarray(batch.tip_pop),
             locus_mask=jnp.asarray(batch.locus_mask),
@@ -200,7 +202,7 @@ class Engine:
         return log
 
     def _reset_finetune(self, state: McmcState, stats_acc) -> McmcState:
-        ft = np.asarray(state.finetune)
+        ft = np.array(state.finetune)
         for mv, fti in MOVE_TO_FT.items():
             prop, acc = stats_acc[mv]
             if prop > 0:

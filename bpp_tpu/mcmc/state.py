@@ -81,7 +81,9 @@ class Ctx(NamedTuple):
     """Static per-run device arrays (sharded along the locus axis)."""
 
     tip_partials: jax.Array  # [L, T, S, A]
-    weights: jax.Array       # [L, S]
+    weights: jax.Array       # [L, W]
+    res_map: jax.Array       # [L, W, R] resolution columns per weight pattern
+    res_count: jax.Array     # [L, W]
     n_seq: jax.Array         # [L]
     tip_pop: jax.Array       # [L, T]
     locus_mask: jax.Array    # [L] bool
@@ -120,7 +122,8 @@ def make_logl_fn(ctx: Ctx, cfg: BppConfig):
         cw = jnp.full((subst.rates.shape[1],),
                       1.0 / subst.rates.shape[1], ctx.weights.dtype)
         ll = fe.loglikelihood(gt, ctx.tip_partials, ctx.weights, ctx.n_seq,
-                              pmats, subst.freqs, cw)
+                              pmats, subst.freqs, cw,
+                              res_map=ctx.res_map, res_count=ctx.res_count)
         if bfbeta != 1.0:
             ll = ll * bfbeta
         return jnp.where(ctx.locus_mask, ll, 0.0)
