@@ -18,6 +18,7 @@ import numpy as np
 
 from ..config import BppConfig, Method
 from ..core import felsenstein as fe
+from ..core import incremental
 from ..loader import RunData, init_tau_theta
 from ..trees import coalescent as coalmod
 from ..trees.gtree import GTrees, init_gtrees, species_arrays
@@ -128,10 +129,16 @@ class Engine:
         stats = jnp.zeros((N_MOVES, 2), jnp.int32)
         keys = jax.random.split(key, 8)
 
-        state, (p, a) = moves.age_sweep(ctx, cfg, state, keys[0])
+        # CLV cache for the incremental path-update sweeps; invalidated by
+        # the global-age moves (tau/mixing) below, so rebuilt per iteration
+        cache = incremental.build_cache(
+            state.gt, state.sp, ctx.tip_partials, ctx.tip_pop, ctx.n_seq,
+            state.subst, cfg.model)
+
+        state, (p, a), cache = moves.age_sweep(ctx, cfg, state, keys[0], cache)
         stats = stats.at[MV_GTAGE].add(jnp.stack([p, a]))
 
-        state, (p, a) = moves.spr_sweep(ctx, cfg, state, keys[1])
+        state, (p, a), cache = moves.spr_sweep(ctx, cfg, state, keys[1], cache)
         stats = stats.at[MV_GTSPR].add(jnp.stack([p, a]))
 
         state, (p, a) = moves.theta_move(ctx, cfg, state, keys[2])

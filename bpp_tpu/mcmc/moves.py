@@ -27,6 +27,7 @@ from ..trees.gtree import (
     BIG_AGE, GTrees, SpeciesArrays, assign_populations, lift_population,
     mrca_species, topo_scan,
 )
+from ..core.incremental import ClvCache, stale_walk
 from . import rng
 from .gibbs import gamma_conditional_approx
 from .state import (
@@ -48,20 +49,21 @@ def _psum_if_sharded(x):
 # --------------------------------------------------------------------------
 
 
-def age_sweep(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
+def age_sweep(ctx: Ctx, cfg: BppConfig, state: McmcState, key,
+              cache: ClvCache):
     gt, sp = state.gt, state.sp
     L, N, T = gt.n_loci, gt.n_nodes, gt.n_tips
     lidx = jnp.arange(L)
-    logl_fn = make_logl_fn(ctx, cfg)
     logpr_fn = make_logpr_fn(ctx)
     msp = mrca_species(gt, sp, ctx.tip_pop)      # topology-static in this sweep
     eps = state.finetune[FT_GTAGE]
+    walk_kw = dict(subst=state.subst, model=cfg.model, weights=ctx.weights,
+                   res_map=ctx.res_map, res_count=ctx.res_count)
 
     def step(carry, inp):
-        age, logl, logpr, nprop, nacc = carry
+        age, cache, logl, logpr, nprop, nacc = carry
         k, kkey = inp
         node = T + k
-        gtk = gt._replace(age=age)
         valid = (k < ctx.n_seq - 1) & ctx.locus_mask
 
         lc = gt.left[:, node]
@@ -82,25 +84,28 @@ def age_sweep(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         age_new = age.at[:, node].set(jnp.where(valid, tnew, age[:, node]))
 
         gtn = gt._replace(age=age_new)
-        logl_new = logl_fn(gtn, state.subst)
+        node_arr = jnp.full((L,), node, jnp.int32)
+        logl_new, _ = stale_walk(gtn, sp, cache, node_arr, valid=valid, **walk_kw)
         logpr_new, _, _ = logpr_fn(gtn, sp, state.subst.heredity)
 
         lnacc = (logl_new - logl) + (logpr_new - logpr)
         accept = rng.mh_accept(k2, lnacc) & valid
+        _, cache = stale_walk(gtn, sp, cache, node_arr, valid=valid,
+                              commit_mask=accept, **walk_kw)
         age = jnp.where(accept[:, None], age_new, age)
         logl = jnp.where(accept, logl_new, logl)
         logpr = jnp.where(accept, logpr_new, logpr)
         nprop = nprop + valid.sum(dtype=jnp.int32)
         nacc = nacc + accept.sum(dtype=jnp.int32)
-        return (age, logl, logpr, nprop, nacc), None
+        return (age, cache, logl, logpr, nprop, nacc), None
 
     keys = jax.random.split(key, T - 1)
-    init = (gt.age, state.logl, state.logpr,
+    init = (gt.age, cache, state.logl, state.logpr,
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    (age, logl, logpr, nprop, nacc), _ = jax.lax.scan(
+    (age, cache, logl, logpr, nprop, nacc), _ = jax.lax.scan(
         step, init, (jnp.arange(T - 1, dtype=jnp.int32), keys))
     new_state = state._replace(gt=gt._replace(age=age), logl=logl, logpr=logpr)
-    return new_state, (nprop, nacc)
+    return new_state, (nprop, nacc), cache
 
 
 # --------------------------------------------------------------------------
@@ -120,14 +125,16 @@ def _select_uniform(key, mask):
     return jnp.argmax(hit, axis=1).astype(jnp.int32), count
 
 
-def spr_sweep(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
+def spr_sweep(ctx: Ctx, cfg: BppConfig, state: McmcState, key,
+              cache: ClvCache):
     gt0, sp = state.gt, state.sp
     L, N, T = gt0.n_loci, gt0.n_nodes, gt0.n_tips
     lidx = jnp.arange(L)
     nodes_idx = jnp.arange(N)[None, :]
-    logl_fn = make_logl_fn(ctx, cfg)
     logpr_fn = make_logpr_fn(ctx)
     eps = state.finetune[FT_GTSPR]
+    walk_kw = dict(subst=state.subst, model=cfg.model, weights=ctx.weights,
+                   res_map=ctx.res_map, res_count=ctx.res_count)
 
     # gene leaves per population: number of sampled tips whose species is
     # a descendant-or-self of h (static through the sweep)
@@ -136,9 +143,8 @@ def spr_sweep(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     depth = sp.pptable.sum(-1).astype(jnp.int32)                  # [H]
 
     def step(carry, inp):
-        left, right, parent, age, logl, logpr, nprop, nacc = carry
+        left, right, parent, age, cache, logl, logpr, nprop, nacc = carry
         i, kkey = inp                  # i: candidate curnode index 0..N-1
-        gtk = GTrees(left, right, parent, age)
         valid_nodes = (nodes_idx < ctx.n_seq[:, None]) | (
             (nodes_idx >= T) & (nodes_idx < T + ctx.n_seq[:, None] - 1))
 
@@ -148,11 +154,10 @@ def spr_sweep(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         fleft = left[lidx, father_s]
         sibling = jnp.where(fleft == i, right[lidx, father_s], fleft)
 
-        msp = mrca_species(gtk, sp, ctx.tip_pop)
+        # populations from cached species-MRCAs + ages (no tree traversal)
         pops = lift_population(
-            sp, msp, jnp.clip(age, 0.0, BIG_AGE * 0.5))
-        leaves = topo_scan(
-            gtk, tipmask.astype(jnp.int32), lambda a, b: a + b)
+            sp, cache.msp, jnp.clip(age, 0.0, BIG_AGE * 0.5))
+        leaves = cache.leaves
 
         # youngest ancestor population of curnode's pop with other lineages
         cur_pop = pops[:, i]
@@ -234,12 +239,20 @@ def spr_sweep(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         na = write(na, ok, father_s, tnew)
 
         gtn = GTrees(nl, nr, np_, na)
-        logl_new = logl_fn(gtn, state.subst)
+        # stale chains: B = father (new children/age); A = old grandparent
+        # (its children changed by the detach), where a detach happened
+        activeA = do_topo & has_gp
+        logl_new, _ = stale_walk(
+            gtn, sp, cache, father_s, startA=gp_s, activeA=activeA,
+            valid=ok, **walk_kw)
         logpr_new, _, _ = logpr_fn(gtn, sp, state.subst.heredity)
 
         lnacc = (logl_new - logl) + (logpr_new - logpr) + jnp.log(
             jnp.maximum(tcount, 1) / jnp.maximum(scount, 1))
         accept = rng.mh_accept(k3, lnacc) & ok
+        _, cache = stale_walk(
+            gtn, sp, cache, father_s, startA=gp_s, activeA=activeA,
+            valid=ok, commit_mask=accept, **walk_kw)
         am = accept[:, None]
         left = jnp.where(am, nl, left)
         right = jnp.where(am, nr, right)
@@ -249,17 +262,18 @@ def spr_sweep(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         logpr = jnp.where(accept, logpr_new, logpr)
         nprop = nprop + is_valid.sum(dtype=jnp.int32)
         nacc = nacc + accept.sum(dtype=jnp.int32)
-        return (left, right, parent, age, logl, logpr, nprop, nacc), None
+        return (left, right, parent, age, cache, logl, logpr, nprop, nacc), None
 
     keys = jax.random.split(key, N)
     iters = jnp.arange(N, dtype=jnp.int32)
-    init = (gt0.left, gt0.right, gt0.parent, gt0.age, state.logl, state.logpr,
+    init = (gt0.left, gt0.right, gt0.parent, gt0.age, cache,
+            state.logl, state.logpr,
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    (left, right, parent, age, logl, logpr, nprop, nacc), _ = jax.lax.scan(
-        step, init, (iters, keys))
+    (left, right, parent, age, cache, logl, logpr, nprop, nacc), _ = \
+        jax.lax.scan(step, init, (iters, keys))
     new_state = state._replace(
         gt=GTrees(left, right, parent, age), logl=logl, logpr=logpr)
-    return new_state, (nprop, nacc)
+    return new_state, (nprop, nacc), cache
 
 
 # --------------------------------------------------------------------------
