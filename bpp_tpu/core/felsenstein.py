@@ -18,6 +18,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+# TPU MXU defaults to bf16 inputs; likelihoods need full fp32
+# (bf16 noise in logL corrupts every MH acceptance decision)
+_PREC = lax.Precision.HIGHEST
 
 from ..trees.gtree import BIG_AGE, GTrees, inner_order, root_index  # noqa: F401
 
@@ -107,8 +112,8 @@ def loglikelihood(
         xr = clv[lidx, rc]
         Pl = pmats[lidx, lc]                                   # [L,C,A,A]
         Pr = pmats[lidx, rc]
-        yl = jnp.einsum("lcab,lscb->lsca", Pl, xl)
-        yr = jnp.einsum("lcab,lscb->lsca", Pr, xr)
+        yl = jnp.einsum("lcab,lscb->lsca", Pl, xl, precision=_PREC)
+        yr = jnp.einsum("lcab,lscb->lsca", Pr, xr, precision=_PREC)
         y = yl * yr
         m = jnp.max(y, axis=(2, 3), keepdims=True)             # [L,S,1,1]
         msafe = jnp.maximum(m, tiny)
@@ -126,7 +131,7 @@ def loglikelihood(
     root_clv = clv[lidx, root]                                 # [L,S,C,A]
     cw = jnp.broadcast_to(
         cat_weights if cat_weights.ndim == 2 else cat_weights[None, :], (L, C))
-    site_lik = jnp.einsum("lsca,la,lc->ls", root_clv, freqs, cw)
+    site_lik = jnp.einsum("lsca,la,lc->ls", root_clv, freqs, cw, precision=_PREC)
     site_logl = jnp.log(jnp.maximum(site_lik, tiny)) + logscale
     logl = reduce_root(site_logl, weights, res_map, res_count)
     if return_site:

@@ -28,6 +28,11 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+# TPU MXU defaults to bf16 inputs; likelihoods need full fp32
+# (bf16 noise in logL corrupts every MH acceptance decision)
+_PREC = lax.Precision.HIGHEST
 
 from ..config import SubstModel
 from ..trees.gtree import GTrees, SpeciesArrays
@@ -89,8 +94,8 @@ def build_cache(gt: GTrees, sp: SpeciesArrays, tip_partials, tip_pop, n_seq,
         na = gt.age[lidx, node]
         Pl = edge_pmats((na - gt.age[lidx, lc]) * mu, subst, model)
         Pr = edge_pmats((na - gt.age[lidx, rc]) * mu, subst, model)
-        yl = jnp.einsum("lcab,lscb->lsca", Pl, clv[lidx, lc])
-        yr = jnp.einsum("lcab,lscb->lsca", Pr, clv[lidx, rc])
+        yl = jnp.einsum("lcab,lscb->lsca", Pl, clv[lidx, lc], precision=_PREC)
+        yr = jnp.einsum("lcab,lscb->lsca", Pr, clv[lidx, rc], precision=_PREC)
         y = yl * yr
         m = jnp.maximum(jnp.max(y, axis=(2, 3), keepdims=True), TINY)
         clv = clv.at[lidx, node].set(y / m)
@@ -122,7 +127,7 @@ def _root_reduce(slab, cum_s, subst, weights, res_map, res_count):
     C = subst.rates.shape[1]
     L = slab.shape[0]
     cw = jnp.full((L, C), 1.0 / C, slab.dtype)
-    site_lik = jnp.einsum("lsca,la,lc->ls", slab, subst.freqs, cw)
+    site_lik = jnp.einsum("lsca,la,lc->ls", slab, subst.freqs, cw, precision=_PREC)
     site_logl = jnp.log(jnp.maximum(site_lik, TINY)) + cum_s
     return reduce_root(site_logl, weights, res_map, res_count)
 
@@ -213,8 +218,8 @@ def stale_walk(
         na = gt.age[lidx, node]
         Pl = edge_pmats((na - gt.age[lidx, lc]) * subst.mu, subst, model)
         Pr = edge_pmats((na - gt.age[lidx, rc]) * subst.mu, subst, model)
-        y = (jnp.einsum("lcab,lscb->lsca", Pl, lv_)
-             * jnp.einsum("lcab,lscb->lsca", Pr, rv_))
+        y = (jnp.einsum("lcab,lscb->lsca", Pl, lv_, precision=_PREC)
+             * jnp.einsum("lcab,lscb->lsca", Pr, rv_, precision=_PREC))
         m = jnp.maximum(jnp.max(y, axis=(2, 3), keepdims=True), TINY)
         nslab = y / m
         ncum = lcum + rcum + jnp.log(m[:, :, 0, 0])

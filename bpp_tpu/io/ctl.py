@@ -260,9 +260,12 @@ def _build_config(kw: dict) -> BppConfig:  # noqa: C901
     v = pop("model")
     if v is not None:
         name = v.split()[0].upper()
-        if name not in _MODELS:
+        if name.isdigit():
+            c["model"] = SubstModel(int(name))
+        elif name in _MODELS:
+            c["model"] = _MODELS[name]
+        else:
             raise ValueError(f"unsupported substitution model {name!r}")
-        c["model"] = _MODELS[name]
 
     v = pop("thetaprior")
     if v is not None:

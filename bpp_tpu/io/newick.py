@@ -137,8 +137,8 @@ def parse_newick(text: str) -> Node:
             lab = tk.read_label()
             if "#" in lab:
                 lab, tag = lab.split("#", 1)
-                node.hybrid_tag = tag
-            node.label = lab or None
+                node.hybrid_tag = tag.strip()
+            node.label = lab.strip() or None
         # annotations, possibly several
         while tk.peek() == "[":
             node.attributes.update(tk.read_annotation())

@@ -1,0 +1,224 @@
+"""Coalescent simulator (the reference's --simulate / MCcoal successor).
+
+Equivalent of ``src/simulate.c`` (``cmd_simulate:2606``): per locus,
+draw a gene tree from the MSC prior over the annotated species tree
+(taus from node ages, thetas from ``#`` annotations), evolve sequences
+down the tree under the substitution model (JC69 fast path /
+closed-form P(t) otherwise), and write multi-locus PHYLIP + Imap +
+gene-tree files.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..config import SubstModel
+from ..io.ctl_sim import SimConfig, parse_sim_ctl
+from ..io.newick import parse_newick
+from ..trees.gtree import simulate_gtree_host
+from ..trees.stree import SpeciesTree
+
+
+def species_tree_from_sim(cfg: SimConfig) -> SpeciesTree:
+    """Annotated newick -> SpeciesTree with taus and thetas."""
+    if cfg.newick is None:
+        st = SpeciesTree.single_population(cfg.species_names[0])
+        st.theta[:] = cfg.theta_single or 0.001
+        return st
+    root = parse_newick(cfg.newick)
+    # '#x' was tokenized as a hybrid tag; reinterpret numeric tags as theta
+    thetas = {}
+    for node in root.walk():
+        if node.hybrid_tag is not None:
+            try:
+                thetas[id(node)] = float(node.hybrid_tag)
+                node.hybrid_tag = None
+            except ValueError:
+                pass
+    st = SpeciesTree.from_node(root, tip_order=list(cfg.species_names))
+
+    # map Node objects to indices again to transfer tau/theta
+    def rec(node, idx_of):
+        if node.is_leaf:
+            idx = st.names.index(node.label)
+        else:
+            li = rec(node.children[0], idx_of)
+            ri = rec(node.children[1], idx_of)
+            idx = int(st.parent[li])
+            assert idx == int(st.parent[ri])
+        idx_of[id(node)] = idx
+        return idx
+
+    idx_of: dict = {}
+    rec(root, idx_of)
+    for node in root.walk():
+        idx = idx_of[id(node)]
+        if not node.is_leaf and node.length is not None:
+            st.tau[idx] = node.length       # sim format: lengths are ages
+        if id(node) in thetas:
+            st.theta[idx] = thetas[id(node)]
+    # default thetas: inherit parent's where unset
+    for i in range(st.n_nodes - 1, -1, -1):
+        if st.theta[i] == 0 and st.parent[i] != -1:
+            st.theta[i] = st.theta[st.parent[i]]
+    return st
+
+
+_BASES = np.array(list("ACGT"))
+
+
+# host-side closed-form P(t) (numpy, not jax: the simulator evolves one
+# branch at a time and must not dispatch tiny ops to the accelerator)
+
+def _np_pmatrix_jc69(t: float) -> np.ndarray:
+    e = np.exp(-4.0 / 3.0 * t)
+    return np.full((4, 4), 0.25 * (1 - e)) + np.eye(4) * e
+
+
+def _np_pmatrix_hky(t: float, freqs: np.ndarray, kappa: float) -> np.ndarray:
+    # TN93 closed form (core_pmatrix.c:299-587 math) with a1 = a2 = kappa*b
+    pi = freqs
+    R, Y = pi[0] + pi[2], pi[1] + pi[3]  # A,G purines / C,T pyrimidines
+    # normalize so mean rate = 1
+    beta = 1.0 / (2 * R * Y + 2 * kappa * (pi[0] * pi[2] + pi[1] * pi[3]))
+    a = kappa * beta
+    b = beta
+    e2 = np.exp(-b * t)
+    P = np.empty((4, 4))
+    for i in range(4):
+        purine = i in (0, 2)
+        S, pair = (R, 2 if i == 0 else 0) if purine else (Y, 3 if i == 1 else 1)
+        e3 = np.exp(-(S * a + (1 - S) * b) * t)
+        for j in range(4):
+            pj = pi[j]
+            if j == i:
+                P[i, j] = pj + pj * (1 / S - 1) * e2 + (S - pj) / S * e3
+            elif j == pair:
+                P[i, j] = pj + pj * (1 / S - 1) * e2 - pj / S * e3
+            else:
+                P[i, j] = pj * (1 - e2)
+    return P
+
+
+def _np_gtr_eigen(freqs: np.ndarray, rates: np.ndarray):
+    """Symmetrized eigendecomposition of the reversible GTR rate matrix."""
+    a, b, c, d, e, f = rates  # AC AG AT CG CT GT
+    Q = np.zeros((4, 4))
+    Q[0, 1], Q[0, 2], Q[0, 3] = a * freqs[1], b * freqs[2], c * freqs[3]
+    Q[1, 2], Q[1, 3] = d * freqs[2], e * freqs[3]
+    Q[2, 3] = f * freqs[3]
+    Q += Q.T * (freqs[None, :] / freqs[:, None])
+    np.fill_diagonal(Q, 0.0)
+    np.fill_diagonal(Q, -Q.sum(axis=1))
+    mean_rate = -(freqs * np.diag(Q)).sum()
+    Q /= mean_rate
+    sq = np.sqrt(freqs)
+    S = Q * sq[:, None] / sq[None, :]
+    w, U = np.linalg.eigh((S + S.T) / 2)
+    # Q = D^-1/2 U diag(w) U^T D^1/2  =>  P(t) = T exp(wt) Tinv
+    return w, U / sq[:, None], U.T * sq[None, :]
+
+
+def _np_pmatrix_eigen(t: float, w, T, Tinv) -> np.ndarray:
+    return (T * np.exp(w * t)[None, :]) @ Tinv
+
+
+def evolve_sequences(rng, left, right, parent, age, n_tips, length,
+                     model: SubstModel, freqs, pmat_fn):
+    """Simulate sequences down one gene tree; returns [n_tips, length] chars."""
+    nn = 2 * n_tips - 1
+    seqs = np.zeros((nn, length), dtype=np.int64)
+    root = nn - 1
+    seqs[root] = rng.choice(4, size=length, p=freqs)
+    # process nodes root-down (descending age order)
+    order = sorted(range(n_tips, nn), key=lambda u: -age[u])
+    assert order[0] == root or age[order[0]] >= age[root]
+    for u in order:
+        for ch in (left[u], right[u]):
+            t = age[u] - age[ch]
+            P = pmat_fn(t)                        # [4, 4]
+            cum = P.cumsum(axis=1)
+            r = rng.random(length)
+            src = seqs[u]
+            draw = (r[:, None] > cum[src]).sum(axis=1)
+            seqs[ch] = np.minimum(draw, 3)
+    return seqs[:n_tips]
+
+
+def run_simulation(ctl_path: str, seed: int | None = None) -> int:
+    cfg = parse_sim_ctl(ctl_path)
+    rng = np.random.default_rng(
+        seed if seed is not None else (cfg.seed if cfg.seed > 0 else None))
+    st = species_tree_from_sim(cfg)
+
+    # individual labels per species: a1..aN style from lower-cased species name
+    labels = []
+    tip_species = []
+    for si, (name, count) in enumerate(zip(st.names, cfg.n_per_species)):
+        for k in range(count):
+            labels.append(f"{name}^{name.lower()}{k+1}")
+            tip_species.append(si)
+    tip_species = np.asarray(tip_species, np.int32)
+    n = len(labels)
+
+    if cfg.model == SubstModel.JC69:
+        pmat_fn = _np_pmatrix_jc69
+        freqs = np.full(4, 0.25)
+    elif cfg.model in (SubstModel.HKY, SubstModel.K80, SubstModel.F81):
+        freqs = (np.full(4, 0.25) if cfg.model == SubstModel.K80
+                 else np.asarray(cfg.basefreqs))
+        kappa = 1.0 if cfg.model == SubstModel.F81 else cfg.kappa
+
+        def pmat_fn(t):
+            return _np_pmatrix_hky(t, freqs, kappa)
+    else:
+        freqs = np.asarray(cfg.basefreqs)
+        w, Tm, Tinv = _np_gtr_eigen(freqs, np.asarray(cfg.qrates))
+
+        def pmat_fn(t):
+            return _np_pmatrix_eigen(t, w, Tm, Tinv)
+
+    seq_fp = open(cfg.seqfile, "w")
+    tree_fp = open(cfg.treefile, "w") if cfg.treefile else None
+
+    for li in range(cfg.n_loci):
+        gl, gr, gp, ga = simulate_gtree_host(
+            rng, tip_species, st.left, st.right, st.parent, st.tau,
+            np.maximum(st.theta, 1e-12))
+        mu = 1.0
+        if cfg.locusrate_alpha > 0:
+            mu = rng.gamma(cfg.locusrate_alpha, 1.0 / cfg.locusrate_alpha)
+        seqs = evolve_sequences(rng, gl, gr, gp, ga * mu, n, cfg.length,
+                                cfg.model, freqs, pmat_fn)
+        seq_fp.write(f"{n} {cfg.length}\n\n")
+        for i, lab in enumerate(labels):
+            seq_fp.write(f"{lab:<12} {''.join(_BASES[seqs[i]])}\n")
+        seq_fp.write("\n")
+        if tree_fp:
+            tree_fp.write(_gtree_newick(gl, gr, gp, ga, labels, n) + "\n")
+
+    seq_fp.close()
+    if tree_fp:
+        tree_fp.close()
+    if cfg.imapfile and st.n_tips > 1:
+        with open(cfg.imapfile, "w") as fh:
+            for lab, si in zip(labels, tip_species):
+                fh.write(f"{lab.split('^')[1]}\t{st.names[si]}\n")
+    print(f"simulated {cfg.n_loci} loci -> {cfg.seqfile}", file=sys.stderr)
+    return 0
+
+
+def _gtree_newick(left, right, parent, age, labels, n_tips) -> str:
+    def rec(u):
+        if u < n_tips:
+            s = labels[u]
+        else:
+            s = f"({rec(left[u])},{rec(right[u])})"
+        p = parent[u]
+        if p >= 0:
+            s += f":{age[p]-age[u]:.10f}"
+        return s
+    root = 2 * n_tips - 2
+    return rec(root) + ";"
