@@ -151,10 +151,13 @@ class BppConfig:
 
     # rate variation across loci / clock
     clock: Clock = Clock.GLOBAL
-    locusrate_prior: int = 0            # 0: gamma-dirichlet(hierarchical), 1: dir
+    locusrate_prior: int = 0            # 0 GammaDir, 1 hierarchical, 2 none,
+                                        # 3 Dir (bpp.h:255-260)
     est_locusrate: int = 0              # 0 off, 1 estimate, 2 from file, 3 only hered
-    locusrate_mubar: float = 1.0
-    locusrate_alpha: float = 0.0
+    locusrate_mubar: float = 1.0        # fixed/initial mean rate
+    locusrate_mubar_a: float = 0.0      # Gamma(a, b) prior on mubar (0 0 =
+    locusrate_mubar_b: float = 0.0      #   fixed mubar)
+    locusrate_alpha: float = 0.0        # a_mui (Dirichlet/conditional shape)
     est_heredity: int = 0
     heredity_alpha: float = 4.0
     heredity_beta: float = 4.0
@@ -199,6 +202,11 @@ class BppConfig:
     @property
     def gamma_cats(self) -> int:
         return self.alpha_cats if self.alphaprior is not None else 1
+
+    @property
+    def locusrate_mubar_est(self) -> bool:
+        """mubar is random iff its Gamma prior is set (cfile.c:2903-2907)."""
+        return self.locusrate_mubar_a > 0 or self.locusrate_mubar_b > 0
 
     def replace(self, **kw) -> "BppConfig":
         return dataclasses.replace(self, **kw)

@@ -18,11 +18,21 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
-# TPU MXU defaults to bf16 inputs; likelihoods need full fp32
-# (bf16 noise in logL corrupts every MH acceptance decision)
-_PREC = lax.Precision.HIGHEST
+# The 4-state CLV contraction runs on the VPU as a broadcast
+# multiply-sum: a 4-wide matmul would use ~3% of the MXU and, worse,
+# default to bf16 inputs (logL noise corrupts MH acceptance decisions).
+
+
+def _pclv(P, x):
+    """parent partial: sum_b P[l,c,a,b] * x[l,s,c,b] -> [L,S,C,A]."""
+    return jnp.sum(P[:, None] * x[:, :, :, None, :], axis=-1)
+
+
+def _rootdot(clv, freqs, cw):
+    """site likelihood: sum_{c,a} clv[l,s,c,a] pi[l,a] w[l,c] -> [L,S]."""
+    return jnp.sum(clv * freqs[:, None, None, :] * cw[:, None, :, None],
+                   axis=(2, 3))
 
 from ..trees.gtree import BIG_AGE, GTrees, inner_order, root_index  # noqa: F401
 
@@ -34,7 +44,10 @@ def branch_lengths(gt: GTrees, rate):
     """
     safe_parent = jnp.maximum(gt.parent, 0)
     page = jnp.take_along_axis(gt.age, safe_parent, axis=1)
-    blen = jnp.where(gt.parent >= 0, page - gt.age, 0.0)
+    # clamp at 0 like the incremental path (edge_pmats): transient float32
+    # parent-child inversions of a few ulps must read as zero-length
+    # branches, not negative times (negative t explodes the eigen P(t))
+    blen = jnp.where(gt.parent >= 0, jnp.maximum(page - gt.age, 0.0), 0.0)
     return blen * rate[:, None]
 
 
@@ -112,8 +125,8 @@ def loglikelihood(
         xr = clv[lidx, rc]
         Pl = pmats[lidx, lc]                                   # [L,C,A,A]
         Pr = pmats[lidx, rc]
-        yl = jnp.einsum("lcab,lscb->lsca", Pl, xl, precision=_PREC)
-        yr = jnp.einsum("lcab,lscb->lsca", Pr, xr, precision=_PREC)
+        yl = _pclv(Pl, xl)
+        yr = _pclv(Pr, xr)
         y = yl * yr
         m = jnp.max(y, axis=(2, 3), keepdims=True)             # [L,S,1,1]
         msafe = jnp.maximum(m, tiny)
@@ -131,7 +144,7 @@ def loglikelihood(
     root_clv = clv[lidx, root]                                 # [L,S,C,A]
     cw = jnp.broadcast_to(
         cat_weights if cat_weights.ndim == 2 else cat_weights[None, :], (L, C))
-    site_lik = jnp.einsum("lsca,la,lc->ls", root_clv, freqs, cw, precision=_PREC)
+    site_lik = _rootdot(root_clv, freqs, cw)
     site_logl = jnp.log(jnp.maximum(site_lik, tiny)) + logscale
     logl = reduce_root(site_logl, weights, res_map, res_count)
     if return_site:

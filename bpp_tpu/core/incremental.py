@@ -28,11 +28,21 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
-# TPU MXU defaults to bf16 inputs; likelihoods need full fp32
-# (bf16 noise in logL corrupts every MH acceptance decision)
-_PREC = lax.Precision.HIGHEST
+# The 4-state CLV contraction runs on the VPU as a broadcast
+# multiply-sum: a 4-wide matmul would use ~3% of the MXU and, worse,
+# default to bf16 inputs (logL noise corrupts MH acceptance decisions).
+
+
+def _pclv(P, x):
+    """parent partial: sum_b P[l,c,a,b] * x[l,s,c,b] -> [L,S,C,A]."""
+    return jnp.sum(P[:, None] * x[:, :, :, None, :], axis=-1)
+
+
+def _rootdot(clv, freqs, cw):
+    """site likelihood: sum_{c,a} clv[l,s,c,a] pi[l,a] w[l,c] -> [L,S]."""
+    return jnp.sum(clv * freqs[:, None, None, :] * cw[:, None, :, None],
+                   axis=(2, 3))
 
 from ..config import SubstModel
 from ..trees.gtree import GTrees, SpeciesArrays
@@ -60,9 +70,9 @@ def edge_pmats(blen, subst, model: SubstModel):
         return pm.pmatrix_tn93(teff, f, subst.kappa1[:, None],
                                subst.kappa2[:, None])
     if model == SubstModel.GTR:
-        w, T, Tinv = pm.gtr_eigen(subst.freqs, subst.qrates)
-        return pm.pmatrix_eigen(teff, w[:, None, :], T[:, None, :, :],
-                                Tinv[:, None, :, :])
+        return pm.pmatrix_eigen(teff, subst.eigw[:, None, :],
+                                subst.eigT[:, None, :, :],
+                                subst.eigTi[:, None, :, :])
     raise NotImplementedError(model)
 
 
@@ -94,8 +104,8 @@ def build_cache(gt: GTrees, sp: SpeciesArrays, tip_partials, tip_pop, n_seq,
         na = gt.age[lidx, node]
         Pl = edge_pmats((na - gt.age[lidx, lc]) * mu, subst, model)
         Pr = edge_pmats((na - gt.age[lidx, rc]) * mu, subst, model)
-        yl = jnp.einsum("lcab,lscb->lsca", Pl, clv[lidx, lc], precision=_PREC)
-        yr = jnp.einsum("lcab,lscb->lsca", Pr, clv[lidx, rc], precision=_PREC)
+        yl = _pclv(Pl, clv[lidx, lc])
+        yr = _pclv(Pr, clv[lidx, rc])
         y = yl * yr
         m = jnp.maximum(jnp.max(y, axis=(2, 3), keepdims=True), TINY)
         clv = clv.at[lidx, node].set(y / m)
@@ -127,7 +137,7 @@ def _root_reduce(slab, cum_s, subst, weights, res_map, res_count):
     C = subst.rates.shape[1]
     L = slab.shape[0]
     cw = jnp.full((L, C), 1.0 / C, slab.dtype)
-    site_lik = jnp.einsum("lsca,la,lc->ls", slab, subst.freqs, cw, precision=_PREC)
+    site_lik = _rootdot(slab, subst.freqs, cw)
     site_logl = jnp.log(jnp.maximum(site_lik, TINY)) + cum_s
     return reduce_root(site_logl, weights, res_map, res_count)
 
@@ -218,8 +228,8 @@ def stale_walk(
         na = gt.age[lidx, node]
         Pl = edge_pmats((na - gt.age[lidx, lc]) * subst.mu, subst, model)
         Pr = edge_pmats((na - gt.age[lidx, rc]) * subst.mu, subst, model)
-        y = (jnp.einsum("lcab,lscb->lsca", Pl, lv_, precision=_PREC)
-             * jnp.einsum("lcab,lscb->lsca", Pr, rv_, precision=_PREC))
+        y = (_pclv(Pl, lv_)
+             * _pclv(Pr, rv_))
         m = jnp.maximum(jnp.max(y, axis=(2, 3), keepdims=True), TINY)
         nslab = y / m
         ncum = lcum + rcum + jnp.log(m[:, :, 0, 0])

@@ -107,8 +107,7 @@ def gtr_eigen(freqs, rates):
     diag = -Q.sum(-1)
     Q = Q + diag[..., None] * jnp.eye(S, dtype=Q.dtype)
     # normalize mean rate to 1
-    mu = -(freqs * diag).sum(-1) * -1.0  # = sum pi_i * (-Q_ii)
-    mu = (freqs * -diag).sum(-1)
+    mu = (freqs * -diag).sum(-1)          # sum pi_i * (-Q_ii)
     Q = Q / mu[..., None, None]
     # symmetrize: B = diag(sqrt(pi)) Q diag(1/sqrt(pi)) is symmetric
     sq = jnp.sqrt(freqs)
@@ -122,7 +121,10 @@ def gtr_eigen(freqs, rates):
 def pmatrix_eigen(t, eigvals, T, Tinv):
     """P(t) = T expm1(Λt) Tinv + I (expm1 trick of core_pmatrix.c:834)."""
     em1 = jnp.expm1(eigvals[..., None, :] * t[..., None, None])  # [...,1,S]
-    P = jnp.einsum("...ik,...k,...kj->...ij", T, em1[..., 0, :], Tinv)
+    # VPU broadcast-sum, not einsum: a 4-wide matmul would hit the MXU's
+    # bf16 default and inject noise into every P(t)
+    P = jnp.sum(T[..., :, None, :] * em1[..., 0, None, None, :]
+                * jnp.swapaxes(Tinv, -1, -2)[..., None, :, :], axis=-1)
     S = T.shape[-1]
     P = P + jnp.eye(S, dtype=P.dtype)
     return P

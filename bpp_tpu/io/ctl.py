@@ -288,8 +288,8 @@ def _build_config(kw: dict) -> BppConfig:  # noqa: C901
     if v is not None:
         nums = _floats(v)
         c["alphaprior"] = Prior(PriorDist.GAMMA, nums[0], nums[1])
-        if len(nums) > 2:
-            c["alpha_cats"] = int(nums[2])
+        # ncatG defaults to 4 when alphaprior is given (cfile.c:1444)
+        c["alpha_cats"] = int(nums[2]) if len(nums) > 2 else 4
 
     v = pop("clock")
     if v is not None:
@@ -297,12 +297,32 @@ def _build_config(kw: dict) -> BppConfig:  # noqa: C901
 
     v = pop("locusrate")
     if v is not None:
+        # locusrate = 1 a_mubar b_mubar a_mui [prior]   (cfile.c:951;
+        # pre-4.1.4 two-number form '1 a_mui' also accepted)
         toks = v.split()
         c["est_locusrate"] = int(toks[0])
-        if len(toks) > 1 and _is_number(toks[1]):
-            c["locusrate_mubar"] = float(toks[1])
-        if len(toks) > 2 and _is_number(toks[2]):
-            c["locusrate_alpha"] = float(toks[2])
+        nums = [float(t) for t in toks[1:] if _is_number(t)]
+        words = [t.lower() for t in toks[1:] if not _is_number(t)]
+        if c["est_locusrate"] == 1:
+            if len(nums) >= 3:
+                c["locusrate_mubar_a"], c["locusrate_mubar_b"] = nums[0], nums[1]
+                c["locusrate_alpha"] = nums[2]
+            elif len(nums) == 1:
+                c["locusrate_alpha"] = nums[0]
+            prior_names = {"gamma-dirichlet": 0, "gdir": 0, "hierarchical": 1,
+                           "iid": 1, "none": 2, "dir": 3}
+            if words:
+                c["locusrate_prior"] = prior_names.get(words[0], 0)
+            if len(nums) >= 4:
+                c["locusrate_prior"] = int(nums[3])
+            # GammaDir with a_mubar = b_mubar = 0 degrades to the fixed-
+            # mubar Dirichlet prior (cfile.c:2893-2897)
+            if (c.get("locusrate_prior", 0) == 0
+                    and c.get("locusrate_mubar_a", 0.0) == 0
+                    and c.get("locusrate_mubar_b", 0.0) == 0):
+                c["locusrate_prior"] = 3
+        elif c["est_locusrate"] in (2, 3) and nums:
+            c["locusrate_mubar"] = nums[0]
 
     v = pop("heredity")
     if v is not None:

@@ -22,11 +22,12 @@ from ..core import incremental
 from ..loader import RunData, init_tau_theta
 from ..trees import coalescent as coalmod
 from ..trees.gtree import GTrees, init_gtrees, species_arrays
-from . import moves
+from . import moves, subst_moves
 from .state import (
-    Ctx, FT_GTAGE, FT_GTSPR, FT_MIX, FT_TAU, FT_THETA, MV_GTAGE, MV_GTSPR,
-    MV_MIX, MV_TAU, MV_THETA, N_MOVES, McmcState, SubstState, finetune_array,
-    make_logl_fn, make_logpr_fn,
+    Ctx, FT_ALPHA, FT_FREQS, FT_GTAGE, FT_GTSPR, FT_LRHT, FT_MIX, FT_QRATES,
+    FT_TAU, FT_THETA, MV_ALPHA, MV_FREQS, MV_GTAGE, MV_GTSPR, MV_LRHT,
+    MV_MIX, MV_QRATES, MV_TAU, MV_THETA, N_MOVES, McmcState, SubstState,
+    finetune_array, make_logl_fn, make_logpr_fn, refresh_eigen,
 )
 
 PJ_OPTIMUM = 0.30     # method.c:45 target pjump
@@ -36,6 +37,10 @@ MOVE_TO_FT = {
     MV_THETA: FT_THETA,
     MV_TAU: FT_TAU,
     MV_MIX: FT_MIX,
+    MV_LRHT: FT_LRHT,
+    MV_FREQS: FT_FREQS,
+    MV_QRATES: FT_QRATES,
+    MV_ALPHA: FT_ALPHA,
 }
 
 
@@ -92,6 +97,7 @@ class Engine:
         self._logl_fn = make_logl_fn(self.ctx, cfg)
         self._logpr_fn = make_logpr_fn(self.ctx)
         self._step_jit = jax.jit(self._step)
+        self._chunk_jit = jax.jit(self._chunk, static_argnums=2)
 
     # --- state construction ---------------------------------------------------
 
@@ -104,18 +110,41 @@ class Engine:
         sp = species_arrays(run.stree, dtype=self.dtype)
         L = run.batch.n_loci
         C = cfg.gamma_cats
+        # near-uniform random starting freqs/qrates (locus.c:961-975)
+        if cfg.model in subst_moves.FREQS_MODELS:
+            f = 0.8 + 0.4 * rng.random((L, 4))
+            freqs = f / f.sum(1, keepdims=True)
+        else:
+            freqs = np.full((L, 4), 0.25)
+        qrates = np.ones((L, 6))
+        if cfg.model in subst_moves.QRATES_COUNT:
+            cnt, _ = subst_moves.QRATES_COUNT[cfg.model]
+            q = 0.8 + 0.4 * rng.random((L, cnt))
+            qrates[:, :cnt] = q / q.sum(1, keepdims=True)
+        alpha0 = cfg.alphaprior.mean() if cfg.alphaprior else 0.0
+        if cfg.alphaprior and C > 1:
+            from ..core.gammarates import discrete_gamma_rates
+            rates0 = np.tile(
+                np.asarray(discrete_gamma_rates(jnp.float64(alpha0), C)),
+                (L, 1))
+        else:
+            rates0 = np.ones((L, C))
         subst = SubstState(
-            freqs=jnp.full((L, 4), 0.25, self.dtype),
-            kappa1=jnp.full((L,), 2.0, self.dtype),
-            kappa2=jnp.full((L,), 2.0, self.dtype),
-            qrates=jnp.full((L, 6), 1.0, self.dtype),
-            alpha=jnp.full(
-                (L,),
-                cfg.alphaprior.mean() if cfg.alphaprior else 0.0, self.dtype),
-            rates=jnp.ones((L, C), self.dtype),
-            mu=jnp.ones((L,), self.dtype),
+            freqs=jnp.asarray(freqs, self.dtype),
+            kappa1=jnp.ones((L,), self.dtype),
+            kappa2=jnp.ones((L,), self.dtype),
+            qrates=jnp.asarray(qrates, self.dtype),
+            alpha=jnp.full((L,), alpha0, self.dtype),
+            rates=jnp.asarray(rates0, self.dtype),
+            mu=jnp.full((L,), cfg.locusrate_mubar if cfg.est_locusrate else 1.0,
+                        self.dtype),
             heredity=jnp.ones((L,), self.dtype),
+            eigw=jnp.zeros((L, 4), self.dtype),
+            eigT=jnp.zeros((L, 4, 4), self.dtype),
+            eigTi=jnp.zeros((L, 4, 4), self.dtype),
         )
+        subst = subst_moves._derive_kappas(subst, cfg.model)
+        subst = refresh_eigen(subst, cfg.model)
         logl = self._logl_fn(gt, subst)
         logpr, _, _ = self._logpr_fn(gt, sp, subst.heredity)
         return McmcState(
@@ -150,10 +179,52 @@ class Engine:
         state, (p, a) = moves.mixing_move(ctx, cfg, state, keys[4])
         stats = stats.at[MV_MIX].add(jnp.stack([p, a]))
 
+        # moves #8/#11-13 (method.c:5616-5736); inclusion is static per cfg
+        if cfg.est_locusrate == 1 and cfg.locusrate_prior != 2:
+            state, (p, a) = subst_moves.locusrate_move(ctx, cfg, state, keys[5])
+            stats = stats.at[MV_LRHT].add(jnp.stack([p, a]))
+        if cfg.est_heredity == 1:
+            state, (p, a) = subst_moves.heredity_move(
+                ctx, cfg, state, jax.random.fold_in(keys[5], 1))
+            stats = stats.at[MV_LRHT].add(jnp.stack([p, a]))
+        if cfg.model in subst_moves.FREQS_MODELS:
+            state, (p, a) = subst_moves.freqs_move(ctx, cfg, state, keys[6])
+            stats = stats.at[MV_FREQS].add(jnp.stack([p, a]))
+        if cfg.model in subst_moves.QRATES_COUNT:
+            state, (p, a) = subst_moves.qrates_move(
+                ctx, cfg, state, jax.random.fold_in(keys[6], 1))
+            stats = stats.at[MV_QRATES].add(jnp.stack([p, a]))
+        if cfg.alphaprior is not None:
+            state, (p, a) = subst_moves.alpha_move(ctx, cfg, state, keys[7])
+            stats = stats.at[MV_ALPHA].add(jnp.stack([p, a]))
+
+        # float32 tie repair (see trees.gtree.detie_ages): the rubber-band
+        # maps can collapse parent-child age gaps to exact ties; bump by
+        # ulps so the next iteration's sweeps see strict ordering
+        from ..trees.gtree import detie_ages
+        state = state._replace(gt=detie_ages(state.gt, ctx.n_seq))
+
         return state, stats
 
     def step(self, state: McmcState, key):
         return self._step_jit(state, key)
+
+    def _chunk(self, state: McmcState, key, n: int):
+        """n MCMC iterations in one jitted scan (amortizes dispatch/sync:
+        the per-iteration host round trip dominates on a TPU tunnel)."""
+
+        def body(carry, sub):
+            st, acc = carry
+            st, stats = self._step(st, sub)
+            return (st, acc + stats), None
+
+        (state, stats), _ = jax.lax.scan(
+            body, (state, jnp.zeros((N_MOVES, 2), jnp.int32)),
+            jax.random.split(key, n))
+        return state, stats
+
+    def chunk_step(self, state: McmcState, key, n: int):
+        return self._chunk_jit(state, key, n)
 
     # --- full run -------------------------------------------------------------
 
@@ -165,46 +236,66 @@ class Engine:
         log = SampleLog()
 
         total_burn = cfg.burnin
-        total_main = cfg.nsample * cfg.sampfreq
         stats_acc = np.zeros((N_MOVES, 2), np.float64)
-        finetune_marks = {total_burn // 4, total_burn // 2,
-                          3 * total_burn // 4} if (
-            cfg.finetune.auto and total_burn >= 8) else set()
-
         t0 = time.time()
+        last_print = [0]
+
+        def progress(it):
+            if not progress_every:
+                return
+            if it - last_print[0] < progress_every and it != 0:
+                return
+            last_print[0] = it
+            with np.errstate(invalid="ignore", divide="ignore"):
+                pj = stats_acc[:, 1] / np.maximum(stats_acc[:, 0], 1)
+            msg = (f"  it {it:>8d}  lnL "
+                   f"{float(np.sum(np.asarray(state.logl))):.4f}"
+                   f"  pjump " + " ".join(f"{x:.2f}" for x in pj[:5])
+                   + f"  [{time.time()-t0:.1f}s]")
+            print(msg, file=log_fp or sys.stderr)
+
+        # one compiled chunk size for the whole run; burn-in quarters are
+        # rounded to chunk boundaries (the finetune reset is a heuristic,
+        # exact quarter alignment is not load-bearing)
+        K = max(1, cfg.sampfreq)
         it = -total_burn
-        while it < total_main:
+        if cfg.finetune.auto and total_burn >= 8:
+            quarter = [total_burn // 4] * 4
+            quarter[-1] = total_burn - 3 * (total_burn // 4)
+            for q in quarter:
+                done = 0
+                while done < q:
+                    n = min(K, q - done)
+                    key, sub = jax.random.split(key)
+                    state, stats = self.chunk_step(state, sub, n)
+                    stats_acc += np.asarray(stats)
+                    done += n
+                    it += n
+                    progress(it)
+                state = self._reset_finetune(state, stats_acc)
+                stats_acc[:] = 0.0
+        else:
+            while it < 0:
+                n = min(K, -it)
+                key, sub = jax.random.split(key)
+                state, stats = self.chunk_step(state, sub, n)
+                stats_acc += np.asarray(stats)
+                it += n
+                progress(it)
+
+        for s in range(cfg.nsample):
             key, sub = jax.random.split(key)
-            state, stats = self.step(state, sub)
-            it += 1
-
-            burn_step = it <= 0
-            if burn_step:
-                stats_acc += np.asarray(stats)
-                if cfg.finetune.auto and (it + total_burn) in finetune_marks:
-                    state = self._reset_finetune(state, stats_acc)
-                    stats_acc[:] = 0.0
-            else:
-                stats_acc += np.asarray(stats)
-
-            if (not burn_step) and it % cfg.sampfreq == 0:
-                sp = state.sp
-                log.gen.append(it)
-                log.theta.append(np.asarray(sp.theta))
-                log.tau.append(np.asarray(sp.tau))
-                mask = np.asarray(self.ctx.locus_mask)
-                log.lnL.append(float(np.asarray(state.logl).sum()))
-                log.logpr.append(float(np.asarray(state.logpr).sum()))
-                if on_sample is not None:
-                    on_sample(it, state)
-
-            if progress_every and it % progress_every == 0:
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    pj = stats_acc[:, 1] / np.maximum(stats_acc[:, 0], 1)
-                msg = (f"  it {it:>8d}  lnL {float(np.sum(np.asarray(state.logl))):.4f}"
-                       f"  pjump " + " ".join(f"{x:.2f}" for x in pj[:5])
-                       + f"  [{time.time()-t0:.1f}s]")
-                print(msg, file=log_fp or sys.stderr)
+            state, stats = self.chunk_step(state, sub, K)
+            stats_acc += np.asarray(stats)
+            it += K
+            log.gen.append(it)
+            log.theta.append(np.asarray(state.sp.theta))
+            log.tau.append(np.asarray(state.sp.tau))
+            log.lnL.append(float(np.asarray(state.logl).sum()))
+            log.logpr.append(float(np.asarray(state.logpr).sum()))
+            if on_sample is not None:
+                on_sample(it, state)
+            progress(it)
 
         return log
 
@@ -212,6 +303,8 @@ class Engine:
         ft = np.array(state.finetune)
         for mv, fti in MOVE_TO_FT.items():
             prop, acc = stats_acc[mv]
-            if prop > 0:
+            # too few proposals (short burn-in quarters) make the pjump
+            # estimate useless and can drive eps to an extreme
+            if prop >= 30:
                 ft[fti] = reset_finetune_onestep(acc / prop, ft[fti])
         return state._replace(finetune=jnp.asarray(ft, self.dtype))

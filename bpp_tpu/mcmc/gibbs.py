@@ -22,6 +22,8 @@ def gamma_conditional_approx(a, b, k, T, invgamma_proposal: bool = True):
     With ``invgamma_proposal`` the (a1, b1) parameterize an InvGamma
     proposal, otherwise a Gamma proposal.
     """
+    out_dtype = jnp.result_type(jnp.asarray(k).dtype, jnp.float32)
+    # solve in the widest available precision, return in the state dtype
     k = jnp.asarray(k, jnp.result_type(float))
     T = jnp.asarray(T, jnp.result_type(float))
     a1k = a - 1.0 - k
@@ -37,7 +39,7 @@ def gamma_conditional_approx(a, b, k, T, invgamma_proposal: bool = True):
         b1 = (a1 - 1.0) / m
         a1 = jnp.where(T <= 0.0, a, a1)
         b1 = jnp.where(T <= 0.0, b, b1)
-        return a1, b1
+        return a1.astype(out_dtype), b1.astype(out_dtype)
 
     # inverse-gamma proposal: a1 is the root of
     #   x^3 - (4+mmv) x^2 + (5-2mmv) x - (2+mmv) = 0  in [x0, x1]
@@ -65,12 +67,12 @@ def gamma_conditional_approx(a, b, k, T, invgamma_proposal: bool = True):
     b1 = m * (a1 + 1.0)
     a1 = jnp.where(T <= 0.0, a + 2.0, a1)
     b1 = jnp.where(T <= 0.0, a * (a + 1.0) / b, b1)
-    return a1, b1
+    return a1.astype(out_dtype), b1.astype(out_dtype)
 
 
 def sample_invgamma(key, a1, b1):
-    return b1 / jax.random.gamma(key, a1)
+    return b1 / jax.random.gamma(key, a1, dtype=jnp.asarray(a1).dtype)
 
 
 def sample_gamma_ab(key, a1, b1):
-    return jax.random.gamma(key, a1) / b1
+    return jax.random.gamma(key, a1, dtype=jnp.asarray(a1).dtype) / b1

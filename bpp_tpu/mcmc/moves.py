@@ -79,7 +79,7 @@ def age_sweep(ctx: Ctx, cfg: BppConfig, state: McmcState, key,
                            MAXAGE_CAP)
 
         k1, k2 = jax.random.split(kkey)
-        tnew = rng.reflect(age[:, node] + eps * rng.bactrian(k1, (L,)),
+        tnew = rng.reflect(age[:, node] + eps * rng.bactrian(k1, (L,), dtype=eps.dtype),
                            minage, maxage)
         age_new = age.at[:, node].set(jnp.where(valid, tnew, age[:, node]))
 
@@ -168,7 +168,7 @@ def spr_sweep(ctx: Ctx, cfg: BppConfig, state: McmcState, key,
 
         k1, k2, k3 = jax.random.split(kkey, 3)
         f_age = age[lidx, father_s]
-        tnew = rng.reflect(f_age + eps * rng.bactrian(k1, (L,)),
+        tnew = rng.reflect(f_age + eps * rng.bactrian(k1, (L,), dtype=eps.dtype),
                            minage, MAXAGE_CAP)
         pop_target = lift_population(sp, cur_pop, tnew)
 
@@ -306,7 +306,7 @@ def theta_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     use_slide = jax.random.uniform(k_sel, (H,)) < cfg.theta_slide_prob
 
     # --- slide proposal ------------------------------------------------------
-    th_slide = jnp.abs(theta + eps * rng.bactrian(k_sl, (H,)))
+    th_slide = jnp.abs(theta + eps * rng.bactrian(k_sl, (H,), dtype=eps.dtype))
     th_slide = jnp.maximum(th_slide, 1e-300)
 
     # --- Gibbs proposal (inverse-gamma approx conditional) -------------------
@@ -316,7 +316,7 @@ def theta_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     else:
         a1 = a + ksum
         b1 = b + csum
-    th_gibbs = b1 / jax.random.gamma(k_gb, a1)
+    th_gibbs = b1 / jax.random.gamma(k_gb, a1, dtype=a1.dtype)
 
     th_new = jnp.where(use_slide, th_slide, th_gibbs)
 
@@ -339,13 +339,11 @@ def theta_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     accept = rng.mh_accept(k_acc, lnacc)
     th_fin = jnp.where(accept, th_new, theta)
 
-    # update per-locus cached logpr with accepted pops only
-    dl = (c * jnp.log(theta / th_fin)[None, :]
-          + t2 / state.subst.heredity[:, None]
-          * (1.0 / theta - 1.0 / th_fin)[None, :])
-    logpr = state.logpr + jnp.where(ctx.locus_mask, dl.sum(1), 0.0)
-
+    # recompute the cached per-locus logpr exactly: a float32 delta
+    # update (c*log(th/th') + ...) random-walks away from the truth over
+    # hundreds of iterations
     new_sp = sp._replace(theta=th_fin)
+    logpr, _, _ = logpr_fn(state.gt, new_sp, state.subst.heredity)
     new_state = state._replace(sp=new_sp, logpr=logpr)
     return new_state, (jnp.asarray(H, jnp.int32), accept.sum().astype(jnp.int32))
 
@@ -384,10 +382,13 @@ def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         ph = sp0.parent[h]
         minage = jnp.maximum(tau[lh], tau[rh])
         maxage = jnp.where(ph >= 0, tau[jnp.maximum(ph, 0)], MAXAGE_CAP)
-        tnew = rng.reflect(told + eps * rng.bactrian(k1), minage, maxage)
+        tnew = rng.reflect(told + eps * rng.bactrian(k1, dtype=eps.dtype), minage, maxage)
 
-        minf = (tnew - minage) / (told - minage)
-        maxf = (tnew - maxage) / (told - maxage)
+        # (ulp(999) ~ 6e-5 >> age gaps), collapsing distinct ages; the
+        # delta form rounds at ulp(age) instead
+        # delta-form rubber band: "maxage + maxf*(age-maxage)" cancels
+        # catastrophically in float32 when maxage is the 999 cap
+        dt = tnew - told
 
         tau_new = tau.at[h].set(tnew)
         sp_cur = sp0._replace(tau=tau)
@@ -403,8 +404,9 @@ def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         above = cond & (age >= told)
         below = cond & (age < told)
         age_new = jnp.where(
-            above, maxage + maxf * (age - maxage),
-            jnp.where(below, minage + minf * (age - minage), age))
+            above, age + dt * (maxage - age) / (maxage - told),
+            jnp.where(below, age + dt * (age - minage) / (told - minage),
+                      age))
         ca = _psum_if_sharded(above.sum())
         cb = _psum_if_sharded(below.sum())
 
@@ -412,7 +414,9 @@ def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         logl_new = logl_fn(gtn, state.subst)
         logpr_new, _, _ = logpr_fn(gtn, sp_new, state.subst.heredity)
 
-        lnacc = (ca * jnp.log(maxf) + cb * jnp.log(minf)
+        ln_maxf = jnp.log1p(dt / (told - maxage))   # = log(maxf), stable
+        ln_minf = jnp.log1p(dt / (told - minage))   # = log(minf), stable
+        lnacc = (ca * ln_maxf + cb * ln_minf
                  + _psum_if_sharded(jnp.sum(logl_new - logl))
                  + _psum_if_sharded(jnp.sum(logpr_new - logpr)))
         is_root = ph < 0
@@ -464,7 +468,7 @@ def mixing_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     eps = state.finetune[FT_MIX]
 
     k1, k2, k3 = jax.random.split(key, 3)
-    lnc = eps * rng.bactrian(k1)
+    lnc = eps * rng.bactrian(k1, dtype=eps.dtype)
     c = jnp.exp(lnc)
 
     tau_count = jnp.sum(sp.tau[NS:] > 0) if NS > 1 else jnp.zeros((), jnp.int32)
@@ -501,7 +505,7 @@ def mixing_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     else:
         a1, b1 = a + ksum, b + cstar
         a1o, b1o = a + ksum, b + csum
-    th_new = b1 / jax.random.gamma(k2, a1)
+    th_new = b1 / jax.random.gamma(k2, a1, dtype=a1.dtype)
     th_old = sp.theta
     # proposal ratio (InvG pdfs) + prior ratio
     lnacc = lnacc + jnp.sum(

@@ -16,15 +16,22 @@ M_BACTRIAN = 0.90
 S_BACTRIAN = (1.0 - M_BACTRIAN * M_BACTRIAN) ** 0.5
 
 
-def bactrian(key, shape=()):
-    """Bactrian-Laplace variate: mean 0, variance 1, bimodal at ±m."""
+def bactrian(key, shape=(), dtype=None):
+    """Bactrian-Laplace variate: mean 0, variance 1, bimodal at ±m.
+
+    ``dtype`` should be the state dtype: under x64 the JAX PRNG defaults
+    to float64, which would silently promote float32 sampler state.
+    """
+    if dtype is None:
+        dtype = jnp.result_type(float)
     k1, k2 = jax.random.split(key)
-    u = jax.random.uniform(k1, shape) - 0.5
+    u = jax.random.uniform(k1, shape, dtype=dtype) - 0.5
     r = jnp.log1p(-2.0 * jnp.abs(u)) * 0.70710678118654752440
     lap = jnp.where(u >= 0, -r, r)
     z = M_BACTRIAN + lap * S_BACTRIAN
-    sign = jnp.where(jax.random.uniform(k2, shape) < 0.5, -1.0, 1.0)
-    return sign * z
+    sign = jnp.where(jax.random.uniform(k2, shape, dtype=dtype) < 0.5,
+                     jnp.asarray(-1.0, dtype), jnp.asarray(1.0, dtype))
+    return (sign * z).astype(dtype)
 
 
 def reflect(x, a, b):
@@ -42,9 +49,16 @@ def reflect(x, a, b):
     excess = excess - n * diff
     y = jnp.where(side == 1, b - excess, a + excess)
     y = jnp.where(excess > 0, y, x)
-    # keep strictly inside
-    eps = 1e-12 * jnp.maximum(diff, 1.0) + 1e-300
-    return jnp.clip(y, a + eps, b - eps)
+    # keep strictly inside IN THE WORKING DTYPE: a fixed 1e-12 nudge
+    # underflows in float32 (a + 1e-12 == a for a ~ 1e-3), producing
+    # exact parent==child age ties that break age-sorted traversals
+    lo = jnp.nextafter(jnp.asarray(a, y.dtype), jnp.asarray(b, y.dtype))
+    hi = jnp.nextafter(jnp.asarray(b, y.dtype), jnp.asarray(a, y.dtype))
+    # XLA flushes subnormals to zero, so nextafter(0, b) == 0 after FTZ;
+    # fall back to the smallest normal to stay strictly above a zero bound
+    tiny = jnp.asarray(jnp.finfo(y.dtype).tiny, y.dtype)
+    lo = jnp.where(lo <= a, jnp.asarray(a, y.dtype) + tiny, lo)
+    return jnp.clip(y, lo, jnp.maximum(lo, hi))
 
 
 def mh_accept(key, lnacceptance):

@@ -66,6 +66,20 @@ class SubstState(NamedTuple):
     rates: jax.Array     # [L, C] category rates (derived from alpha)
     mu: jax.Array        # [L] locus rate
     heredity: jax.Array  # [L]
+    # cached GTR eigendecomposition (pll_update_eigen analog): depends
+    # only on (freqs, qrates); refreshed by refresh_eigen() when either
+    # moves, NOT recomputed per edge
+    eigw: jax.Array      # [L, 4]
+    eigT: jax.Array      # [L, 4, 4]
+    eigTi: jax.Array     # [L, 4, 4]
+
+
+def refresh_eigen(subst: SubstState, model: SubstModel) -> SubstState:
+    """Recompute the cached eigendecomposition (GTR only)."""
+    if model != SubstModel.GTR:
+        return subst
+    w, T, Tinv = pm.gtr_eigen(subst.freqs, subst.qrates)
+    return subst._replace(eigw=w, eigT=T, eigTi=Tinv)
 
 
 class McmcState(NamedTuple):
@@ -101,10 +115,9 @@ def compute_pmats(gt: GTrees, subst: SubstState, model: SubstModel):
         return pm.pmatrix_tn93(t_eff, f, subst.kappa1[:, None, None],
                                subst.kappa2[:, None, None])
     if model == SubstModel.GTR:
-        w, T, Tinv = pm.gtr_eigen(subst.freqs, subst.qrates)
         return pm.pmatrix_eigen(
-            t_eff, w[:, None, None, :], T[:, None, None, :, :],
-            Tinv[:, None, None, :, :])
+            t_eff, subst.eigw[:, None, None, :],
+            subst.eigT[:, None, None, :, :], subst.eigTi[:, None, None, :, :])
     raise NotImplementedError(model)
 
 

@@ -37,7 +37,10 @@ def eff_ict(y: np.ndarray, maxlag: int = 2000, min_nr: int = 10) -> tuple[float,
                 break
             tint += (rho0 + rho) * 2.0
         rho0 = rho
-    return max(tint, 1e-12), rho1
+    # short anticorrelated chains can drive the Geyer sum negative (the
+    # reference then reports a negative Tint, allfixed.c:233-266); clamp
+    # to the iid floor instead of printing garbage
+    return max(tint, 1.0), rho1
 
 
 def hpd_interval(x: np.ndarray, alpha: float = 0.05) -> tuple[float, float]:

@@ -94,15 +94,76 @@ def species_arrays(st, dtype=jnp.float64) -> SpeciesArrays:
 # --- schedules -----------------------------------------------------------------
 
 
+def node_depths(gt: GTrees):
+    """Topological depth (#ancestors) per node, [L, N] int32.
+
+    Pointer doubling over the parent array (O(log N) gather rounds, no
+    traversal order needed): d[u] += d[ptr[u]]; ptr[u] = ptr[ptr[u]],
+    with a virtual sentinel slot N (d=0, self-loop) for roots.
+    """
+    L, N = gt.parent.shape
+    lidx = jnp.arange(L)[:, None]
+    sent = jnp.full((L, 1), N, jnp.int32)
+    ptr = jnp.concatenate(
+        [jnp.where(gt.parent >= 0, gt.parent, N).astype(jnp.int32), sent],
+        axis=1)                                            # [L, N+1]
+    d = (ptr < N).astype(jnp.int32).at[:, N].set(0)
+    steps = max(1, int(np.ceil(np.log2(max(N, 2)))))
+    for _ in range(steps):
+        d = d + d[lidx, ptr]
+        ptr = ptr[lidx, ptr]
+    return d[:, :N]
+
+
+def detie_ages(gt: GTrees, n_seq):
+    """Restore strict child < parent age ordering after float rounding.
+
+    Affine age maps (tau rubber band, stree.c:4413) can compress a
+    parent-child age gap below one float32 ulp, collapsing it to an
+    exact tie (or to 0.0 near a zero bound).  Likelihood evaluation is
+    tie-robust, but persisted ties would degrade the sweeps'
+    youngest-first stale-walk scheduling, so each iteration bumps every
+    inner node at least one ulp above its children, in tie-broken age
+    order.  The bump is a few ulps — statistically invisible.
+    """
+    L = gt.age.shape[0]
+    T = gt.n_tips
+    lidx = jnp.arange(L)
+    order = inner_order(gt)
+
+    def step(age, k):
+        node = order[:, k]
+        valid = (k < n_seq - 1)                      # skip padded slots
+        lc = jnp.clip(gt.left[lidx, node], 0, gt.n_nodes - 1)
+        rc = jnp.clip(gt.right[lidx, node], 0, gt.n_nodes - 1)
+        cm = jnp.maximum(age[lidx, lc], age[lidx, rc])
+        above = jnp.nextafter(cm, jnp.asarray(jnp.inf, age.dtype))
+        # subnormals are flushed to zero by XLA: keep a normal-number floor
+        above = jnp.where(above <= cm,
+                          cm + jnp.asarray(jnp.finfo(age.dtype).tiny,
+                                           age.dtype), above)
+        bumped = jnp.maximum(age[lidx, node], above)
+        bumped = jnp.where(valid, bumped, age[lidx, node])
+        return age.at[lidx, node].set(bumped), None
+
+    age, _ = jax.lax.scan(step, gt.age, jnp.arange(order.shape[1]))
+    return gt._replace(age=age)
+
+
 def inner_order(gt: GTrees):
     """Age-sorted inner-node schedule ``[L, T-1]`` (values are node ids).
 
-    Valid topological order: a child's age is strictly below its
-    parent's, and padded slots (BIG_AGE) sort last.
+    Ties in age (possible from float rounding of rubber-band/reflect
+    maps) are broken by topological depth, deepest first, so a child
+    always precedes its equal-aged parent.  Padded slots (BIG_AGE)
+    sort last.
     """
     T = gt.n_tips
     inner_age = gt.age[:, T:]
-    return (T + jnp.argsort(inner_age, axis=1)).astype(jnp.int32)
+    depth = node_depths(gt)[:, T:]
+    # lexsort: primary = age ascending, secondary = depth descending
+    order = jnp.lexsort((-depth, inner_age), axis=1)
+    return (T + order).astype(jnp.int32)
 
 
 def root_index(gt: GTrees, n_seq, order=None):
