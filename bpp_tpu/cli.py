@@ -38,7 +38,7 @@ def cmd_run(args) -> int:
     from .io.ctl import parse_ctl
     from .loader import load_run
     from .mcmc.driver import Engine
-    from .output import McmcWriter, a00_summary
+    from .output import A01McmcWriter, McmcWriter, a00_summary
 
     cfg = parse_ctl(args.cfile)
     if args.x64:
@@ -53,12 +53,20 @@ def cmd_run(args) -> int:
               file=sys.stderr)
 
     mcmc_path = cfg.mcmcfile or f"{cfg.jobname}.mcmc.txt"
-    writer = McmcWriter(mcmc_path, cfg, run.stree)
+    if cfg.est_stree:
+        writer = A01McmcWriter(mcmc_path, cfg, run.stree)
 
-    def on_sample(gen, state):
-        writer.write_sample(
-            gen, np.asarray(state.sp.theta), np.asarray(state.sp.tau),
-            float(np.asarray(state.logl).sum()))
+        def on_sample(gen, state):
+            writer.write_sample(
+                gen, np.asarray(state.sp.left), np.asarray(state.sp.right),
+                np.asarray(state.sp.parent), np.asarray(state.sp.tau))
+    else:
+        writer = McmcWriter(mcmc_path, cfg, run.stree)
+
+        def on_sample(gen, state):
+            writer.write_sample(
+                gen, np.asarray(state.sp.theta), np.asarray(state.sp.tau),
+                float(np.asarray(state.logl).sum()))
 
     t0 = time.time()
     log = eng.run_mcmc(progress_every=0 if args.quiet else 1000,
@@ -66,11 +74,18 @@ def cmd_run(args) -> int:
     writer.close()
 
     gen, theta, tau, lnl, logpr = log.arrays()
-    report = a00_summary(cfg, run.stree, gen, theta, tau, lnl)
+    if cfg.est_stree:
+        from .summary.stree_summary import (
+            format_a01_summary, summarize_sptrees,
+        )
+        topo, clades, n = summarize_sptrees(log.sptrees, run.stree.names)
+        report = format_a01_summary(topo, clades, n, run.stree.names)
+    else:
+        report = a00_summary(cfg, run.stree, gen, theta, tau, lnl)
     out_path = f"{cfg.jobname}.txt"
     with open(out_path, "w") as fh:
-        fh.write(f"bpp_tpu A00 run summary ({len(gen)} samples, "
-                 f"{time.time()-t0:.1f}s)\n\n")
+        fh.write(f"bpp_tpu {cfg.method.name} run summary ({len(gen)} "
+                 f"samples, {time.time()-t0:.1f}s)\n\n")
         fh.write(report + "\n")
     if not args.quiet:
         print(report)

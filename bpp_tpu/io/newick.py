@@ -146,11 +146,18 @@ def parse_newick(text: str) -> Node:
         if tk.peek() == ":":
             tk.take()
             num_start = tk.i
-            while tk.i < len(tk.s) and tk.s[tk.i] not in "(),;[":
+            while tk.i < len(tk.s) and tk.s[tk.i] not in "(),;[#":
                 tk.i += 1
             node.length = float(tk.s[num_start:tk.i].strip())
             while tk.peek() == "[":
                 node.attributes.update(tk.read_annotation())
+        # '#tag' may follow the branch length (sim ctl: ':age #theta')
+        if tk.peek() == "#":
+            tk.take()
+            tag_start = tk.i
+            while tk.i < len(tk.s) and tk.s[tk.i] not in "():,;[# \t":
+                tk.i += 1
+            node.hybrid_tag = tk.s[tag_start:tk.i].strip()
         return node
 
     root = parse_node()

@@ -26,8 +26,8 @@ from . import moves, subst_moves
 from .state import (
     Ctx, FT_ALPHA, FT_FREQS, FT_GTAGE, FT_GTSPR, FT_LRHT, FT_MIX, FT_QRATES,
     FT_TAU, FT_THETA, MV_ALPHA, MV_FREQS, MV_GTAGE, MV_GTSPR, MV_LRHT,
-    MV_MIX, MV_QRATES, MV_TAU, MV_THETA, N_MOVES, McmcState, SubstState,
-    finetune_array, make_logl_fn, make_logpr_fn, refresh_eigen,
+    MV_MIX, MV_QRATES, MV_SSPR, MV_TAU, MV_THETA, N_MOVES, McmcState,
+    SubstState, finetune_array, make_logl_fn, make_logpr_fn, refresh_eigen,
 )
 
 PJ_OPTIMUM = 0.30     # method.c:45 target pjump
@@ -47,12 +47,13 @@ MOVE_TO_FT = {
 def reset_finetune_onestep(pjump: float, val: float) -> float:
     """method.c:1122 reset_finetune_onestep."""
     maxstep = 99.0
+    minstep = 1e-10        # repeated /100 must not underflow eps to 0.0
     if pjump < 0.001:
-        return val / 100.0
+        return max(minstep, val / 100.0)
     if pjump > 0.999:
         return min(maxstep, val * 100.0)
-    return min(maxstep, val * np.tan(np.pi / 2 * pjump)
-               / np.tan(np.pi / 2 * PJ_OPTIMUM))
+    return min(maxstep, max(minstep, val * np.tan(np.pi / 2 * pjump)
+                            / np.tan(np.pi / 2 * PJ_OPTIMUM)))
 
 
 @dataclass
@@ -64,6 +65,8 @@ class SampleLog:
     tau: list = field(default_factory=list)       # [H]
     lnL: list = field(default_factory=list)
     logpr: list = field(default_factory=list)
+    sptrees: list = field(default_factory=list)   # (left, right, parent) per
+                                                  # sample; A01/A11 only
 
     def arrays(self):
         return (np.asarray(self.gen), np.stack(self.theta),
@@ -78,6 +81,10 @@ class Engine:
         self.run = run
         self.cfg = run.cfg
         cfg = self.cfg
+        if cfg.est_delimit:
+            raise NotImplementedError(
+                "species delimitation (A10/A11 rjMCMC) is not implemented "
+                "yet; set speciesdelimitation = 0")
         self.seed = seed if seed is not None else (
             cfg.seed if cfg.seed > 0 else np.random.SeedSequence().entropy % (2**31))
         batch = run.batch
@@ -156,7 +163,15 @@ class Engine:
     def _step(self, state: McmcState, key):
         cfg, ctx = self.cfg, self.ctx
         stats = jnp.zeros((N_MOVES, 2), jnp.int32)
-        keys = jax.random.split(key, 8)
+        keys = jax.random.split(key, 9)
+
+        # move #0b: species-tree SPR (A01/A11; method.c:5438-5477);
+        # with < 3 species there is no alternative rooted topology
+        if cfg.est_stree and self.run.stree.n_tips >= 3:
+            from . import stree_moves
+            state, (p, a) = stree_moves.species_spr_move(
+                ctx, cfg, state, keys[8])
+            stats = stats.at[MV_SSPR].add(jnp.stack([p, a]))
 
         # CLV cache for the incremental path-update sweeps; invalidated by
         # the global-age moves (tau/mixing) below, so rebuilt per iteration
@@ -293,6 +308,10 @@ class Engine:
             log.tau.append(np.asarray(state.sp.tau))
             log.lnL.append(float(np.asarray(state.logl).sum()))
             log.logpr.append(float(np.asarray(state.logpr).sum()))
+            if cfg.est_stree:
+                log.sptrees.append((np.asarray(state.sp.left),
+                                    np.asarray(state.sp.right),
+                                    np.asarray(state.sp.parent)))
             if on_sample is not None:
                 on_sample(it, state)
             progress(it)

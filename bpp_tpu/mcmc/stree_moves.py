@@ -1,0 +1,353 @@
+"""Species-tree topology moves (A01/A11): the SPR move.
+
+Re-derivation of ``stree_propose_spr`` (src/stree.c:7747, the
+Rannala-Yang 2017 SPR with gene-tree surgery), TPU-first:
+
+  * The species-level choice (focal node Y weighted 1/sqrt(branch len),
+    target C weighted 1/path-length, Z = LCA) runs as vectorized ops
+    over the small [H] species arrays INSIDE jit, so the move composes
+    with the fused iteration megastep and is replicated-deterministic
+    across devices (same PRNG key -> same decision on every shard).
+  * The gene-tree surgery (mark A/OTHER lineages, find Moved nodes,
+    prune + regraft each at a uniformly chosen target branch spanning
+    its age) is batched over all loci.
+  * The reference's square/diamond/circle/triangle population
+    re-bookkeeping (stree.c:8337-8470) vanishes entirely: populations
+    are DERIVED from ages + the species tree here (assign_populations),
+    so only the topology surgery and the Hastings terms remain, and the
+    MSC density/likelihood are recomputed in full batch.
+
+Acceptance (matching stree.c:8579-8630):
+  lnacc = log(w'_Y) - log(w_Y) + log(p'_B) - log(p_C)
+        + sum_moved log(#targets/#sources)
+        + dlogpr + dlogl + d ln prior(species model)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BppConfig
+from ..trees.gtree import GTrees, SpeciesArrays, assign_populations, topo_scan
+from . import rng
+from .state import Ctx, McmcState, make_logl_fn, make_logpr_fn
+
+NEG = -1e30
+
+
+def _sp_depth(pptable):
+    """#ancestors per species node from the ancestor-or-self table."""
+    return pptable.sum(-1).astype(jnp.int32) - 1
+
+
+def _recompute_pptable(parent, H: int):
+    """Ancestor-or-self table by repeated squaring (stree.c:2840 analog)."""
+    P = (jnp.arange(H)[None, :] == jnp.where(parent < 0, H, parent)[:, None])
+    reach = jnp.eye(H, dtype=bool) | P
+    for _ in range(max(1, H.bit_length())):
+        reach = reach | (reach.astype(jnp.int32) @ reach.astype(jnp.int32) > 0)
+    return reach
+
+
+def _recompute_mrca(pptable):
+    depth = _sp_depth(pptable)
+    common = pptable[:, None, :] & pptable[None, :, :]
+    score = jnp.where(common, depth[None, None, :], -1)
+    return jnp.argmax(score, axis=-1).astype(jnp.int32)
+
+
+def _log_histories(pptable, tips_mask):
+    """log #labeled histories = log (n-1)! - sum_v log(#inner below v)
+    (delimit.c ``histories``); used for the uniform-tree priors 2/3."""
+    # ntips_below[v] = #tips t with v ancestor-or-self of t
+    ntips_below = pptable.astype(jnp.int32).T @ tips_mask.astype(jnp.int32)
+    inner_below = jnp.maximum(ntips_below - 1, 0)
+    inner_mask = ~tips_mask & (inner_below > 0)
+    n = tips_mask.sum()
+    return (jax.lax.lgamma(jnp.asarray(n, jnp.float64))
+            - jnp.where(inner_mask, jnp.log(jnp.maximum(inner_below, 1)),
+                        0.0).sum())
+
+
+def _pick_categorical(key, logw, mask):
+    logits = jnp.where(mask, logw, NEG)
+    idx = jax.random.categorical(key, logits)
+    logp = logits[idx] - jax.scipy.special.logsumexp(logits)
+    return idx.astype(jnp.int32), logp
+
+
+def species_spr_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
+    gt, sp = state.gt, state.sp
+    L, N, T = gt.n_loci, gt.n_nodes, gt.n_tips
+    H = sp.n_nodes
+    NS = (H + 1) // 2
+    lidx = jnp.arange(L)
+    hidx = jnp.arange(H)
+    nodes_idx = jnp.arange(N)[None, :]
+    dtype = sp.tau.dtype
+    logl_fn = make_logl_fn(ctx, cfg)
+    logpr_fn = make_logpr_fn(ctx)
+
+    k_y, k_ab, k_c, k_t, k_acc = jax.random.split(key, 5)
+
+    partau = jnp.where(sp.parent >= 0, sp.tau[jnp.maximum(sp.parent, 0)],
+                       jnp.inf)
+    depth = _sp_depth(sp.pptable)
+    is_inner = hidx >= NS
+
+    # --- select focal node Y (init_weights: 1/sqrt(branch length)) ----------
+    feas_y = is_inner & (sp.parent >= 0) & (sp.tau > 0)
+    w = jnp.where(feas_y, 1.0 / jnp.sqrt(jnp.maximum(partau - sp.tau, 1e-30)),
+                  0.0)
+    y, logp_y = _pick_categorical(k_y, jnp.log(jnp.maximum(w, 1e-300)),
+                                  feas_y)
+    x = sp.parent[y]
+    swap = jax.random.bernoulli(k_ab)
+    a = jnp.where(swap, sp.right[y], sp.left[y])
+    b = jnp.where(swap, sp.left[y], sp.right[y])
+
+    # --- select target C (weight 1/path length) -----------------------------
+    # candidates: not a descendant-or-self of Y, tau < tau_Y < parent tau
+    cand = (~sp.pptable[:, y]) & (sp.tau < sp.tau[y]) & (partau > sp.tau[y])
+    # z(c) = LCA(x, c): deepest common ancestor
+    common = sp.pptable[x][None, :] & sp.pptable          # [H(c), H]
+    zc = jnp.argmax(jnp.where(common, depth[None, :], -1),
+                    axis=-1).astype(jnp.int32)            # [H]
+    pathlen = 1 + (depth[y] - depth[zc]) + (depth - depth[zc])
+    c, logp_c = _pick_categorical(
+        k_c, -jnp.log(jnp.maximum(pathlen, 1).astype(dtype)), cand)
+    z = zc[c]
+
+    # --- new species topology ----------------------------------------------
+    def replace_child(left, right, par, old, new):
+        left = left.at[par].set(jnp.where(left[par] == old, new, left[par]))
+        right = right.at[par].set(
+            jnp.where(right[par] == old, new, right[par]))
+        return left, right
+
+    nleft, nright = sp.left, sp.right
+    nparent = sp.parent
+    cp = sp.parent[c]
+    # detach: B replaces Y under X
+    nleft, nright = replace_child(nleft, nright, x, y, b)
+    nparent = nparent.at[b].set(x)
+    # regraft: Y replaces C under C's parent; Y's B-slot takes C
+    nleft, nright = replace_child(nleft, nright, cp, c, y)
+    nparent = nparent.at[y].set(cp)
+    nleft = nleft.at[y].set(jnp.where(sp.left[y] == b, c, nleft[y]))
+    nright = nright.at[y].set(jnp.where(sp.right[y] == b, c, nright[y]))
+    nparent = nparent.at[c].set(y)
+
+    npptable = _recompute_pptable(nparent, H)
+    nmrca = _recompute_mrca(npptable)
+    sp_new = sp._replace(left=nleft, right=nright, parent=nparent,
+                         pptable=npptable, mrca=nmrca)
+
+    # --- gene-tree marks on the ORIGINAL state ------------------------------
+    pops = assign_populations(gt, sp, ctx.tip_pop)         # [L, N]
+    age = gt.age
+
+    # path masks on the species tree
+    path_yz = sp.pptable[y] & sp.pptable[:, z] & (hidx != z)   # y..z exclusive
+    path_cz = sp.pptable[c] & sp.pptable[:, z] & (hidx != z)   # c..z exclusive
+
+    tip_under_a = sp.pptable[ctx.tip_pop, a]               # [L, T]
+    ge_zmask = sp.pptable[z, pops]                         # pop >= z  [L, N]
+
+    hasA = topo_scan(gt, tip_under_a, jnp.logical_or)      # [L, N]
+    markA = hasA & ~ge_zmask
+    tip_qual = (~tip_under_a) & (
+        sp.pptable[ctx.tip_pop] & path_yz[None, None, :]).any(-1)
+    hasO = topo_scan(gt, tip_qual, jnp.logical_or)
+    markO = hasO & ~ge_zmask
+
+    pureA = markA & ~markO
+    valid_inner = (nodes_idx >= T) & (nodes_idx < T + ctx.n_seq[:, None] - 1)
+    on_path = path_yz[pops]                                # [L, N]
+    lA = pureA[lidx[:, None], jnp.maximum(gt.left, 0)]
+    rA = pureA[lidx[:, None], jnp.maximum(gt.right, 0)]
+    lO = markO[lidx[:, None], jnp.maximum(gt.left, 0)]
+    rO = markO[lidx[:, None], jnp.maximum(gt.right, 0)]
+    square = (pops == y) & lO & rO
+    moved = valid_inner & on_path & (lA ^ rA) & ~square & ctx.locus_mask[:, None]
+
+    pruned_is_left = lA
+    pruned = jnp.where(pruned_is_left, gt.left, gt.right)
+    intact = jnp.where(pruned_is_left, gt.right, gt.left)
+
+    # pop_cz per node: highest node on c..z-exclusive path with tau < age
+    elig = path_cz[None, None, :] & (sp.tau[None, None, :] < age[..., None])
+    pop_cz = jnp.argmax(jnp.where(elig, sp.tau[None, None, :], -1.0),
+                        axis=-1).astype(jnp.int32)         # [L, N]
+
+    # spanning test for every candidate branch (tmp, parent(tmp))
+    page = jnp.where(gt.parent >= 0,
+                     jnp.take_along_axis(age, jnp.maximum(gt.parent, 0), 1),
+                     jnp.inf)
+    valid_branch = ((nodes_idx < ctx.n_seq[:, None])
+                    | valid_inner) & (gt.parent >= 0)
+
+    def _select_uniform_rows(kkey, mask):
+        count = mask.sum(1)
+        r = jax.random.uniform(kkey, (L,))
+        sel = jnp.minimum(jnp.floor(r * count).astype(jnp.int32),
+                          jnp.maximum(count - 1, 0))
+        cum = jnp.cumsum(mask, axis=1) - mask
+        hit = mask & (cum == sel[:, None])
+        return jnp.argmax(hit, axis=1).astype(jnp.int32), count
+
+    # identification pass: per inner node k, compute (is_moved, target, HR)
+    def ident(carry, inp):
+        lnhr, bad, targets = carry
+        k, kkey = inp
+        node = T + k
+        is_m = moved[:, node]
+        mtime = age[:, node]
+        mcz = pop_cz[:, node]
+        maz = pops[:, node]
+        spans = valid_branch & (age < mtime[:, None]) & (page > mtime[:, None])
+        tmask = spans & sp.pptable[pops, mcz[:, None]]
+        tcount = tmask.sum(1)
+        tgt, _ = _select_uniform_rows(kkey, tmask)
+        smask = spans & sp.pptable[pops, maz[:, None]] & ~pureA \
+            & (nodes_idx != intact[:, node][:, None])
+        scount = smask.sum(1) + 1
+        lnhr = lnhr + jnp.where(is_m & (tcount > 0),
+                                jnp.log(tcount.astype(dtype))
+                                - jnp.log(scount.astype(dtype)), 0.0)
+        bad = bad | (is_m & (tcount == 0))
+        targets = targets.at[:, node].set(jnp.where(is_m, tgt, -1))
+        return (lnhr, bad, targets), None
+
+    keys_id = jax.random.split(k_t, T - 1)
+    (lnhr, badmask, targets), _ = jax.lax.scan(
+        ident,
+        (jnp.zeros((L,), dtype), jnp.zeros((L,), bool),
+         jnp.full((L, N), -1, jnp.int32)),
+        (jnp.arange(T - 1, dtype=jnp.int32), keys_id))
+
+    # application pass: sequential prune+regraft on evolving topology
+    def apply_one(carry, k):
+        left, right, parent = carry
+        node = T + k
+        is_m = moved[:, node] & ~badmask
+        prn = pruned[:, node]
+        # intact must be recomputed from the CURRENT topology: an earlier
+        # moved node's prune may have replaced this node's other child
+        # (stree.c:8208-8210 recomputes it at application time)
+        lcur = left[lidx, node]
+        rcur = right[lidx, node]
+        itc = jnp.where(lcur == prn, rcur, lcur)
+        par = parent[lidx, node]
+        par_s = jnp.maximum(par, 0)
+
+        # prune: intact replaces node under its parent
+        lval = left[lidx, par_s]
+        left = left.at[lidx, par_s].set(
+            jnp.where(is_m & (lval == node), itc, lval))
+        rval = right[lidx, par_s]
+        right = right.at[lidx, par_s].set(
+            jnp.where(is_m & (rval == node), itc, rval))
+        parent = parent.at[lidx, itc].set(
+            jnp.where(is_m, par, parent[lidx, itc]))
+
+        # receiver: lift stored target while its current parent is younger
+        mtime = age[lidx, node]
+
+        def lift(rcv):
+            rp = parent[lidx, jnp.maximum(rcv, 0)]
+            again = is_m & (rp >= 0) & (
+                age[lidx, jnp.maximum(rp, 0)] <= mtime)
+            return jnp.where(again, rp, rcv), again.any()
+
+        def cond(st):
+            return st[1]
+
+        def body(st):
+            rcv, _ = st
+            return lift(rcv)
+
+        rcv0 = targets[:, node]
+        rcv, _ = jax.lax.while_loop(cond, body, lift(rcv0))
+        rcv_s = jnp.maximum(rcv, 0)
+
+        # regraft: node replaces receiver under receiver's parent
+        rp = parent[lidx, rcv_s]
+        rp_s = jnp.maximum(rp, 0)
+        lval = left[lidx, rp_s]
+        left = left.at[lidx, rp_s].set(
+            jnp.where(is_m & (lval == rcv), node, lval))
+        rval = right[lidx, rp_s]
+        right = right.at[lidx, rp_s].set(
+            jnp.where(is_m & (rval == rcv), node, rval))
+        parent = parent.at[lidx, node].set(
+            jnp.where(is_m, rp, parent[lidx, node]))
+        # node's intact slot takes the receiver; the pruned slot stays
+        lval = left[lidx, node]
+        rval = right[lidx, node]
+        new_l = jnp.where(lval == prn, lval, rcv)
+        new_r = jnp.where(lval == prn, rcv, rval)
+        left = left.at[lidx, node].set(jnp.where(is_m, new_l, lval))
+        right = right.at[lidx, node].set(jnp.where(is_m, new_r, rval))
+        parent = parent.at[lidx, rcv_s].set(
+            jnp.where(is_m, node, parent[lidx, rcv_s]))
+        return (left, right, parent), None
+
+    (gl, gr, gp), _ = jax.lax.scan(
+        apply_one, (gt.left, gt.right, gt.parent),
+        jnp.arange(T - 1, dtype=jnp.int32))
+    gt_new = gt._replace(left=gl, right=gr, parent=gp)
+
+    # --- full re-evaluation --------------------------------------------------
+    logl_new = logl_fn(gt_new, state.subst)
+    logpr_new, _, _ = logpr_fn(gt_new, sp_new, state.subst.heredity)
+
+    # --- reverse species-level weights ---------------------------------------
+    npartau = jnp.where(nparent >= 0, sp_new.tau[jnp.maximum(nparent, 0)],
+                        jnp.inf)
+    ndepth = _sp_depth(npptable)
+    feas2 = is_inner & (nparent >= 0) & (sp_new.tau > 0)
+    w2 = jnp.where(feas2,
+                   1.0 / jnp.sqrt(jnp.maximum(npartau - sp_new.tau, 1e-30)),
+                   0.0)
+    logits2 = jnp.where(feas2, jnp.log(jnp.maximum(w2, 1e-300)), NEG)
+    logp_y_rev = logits2[y] - jax.scipy.special.logsumexp(logits2)
+
+    cand2 = (~npptable[:, y]) & (sp_new.tau < sp_new.tau[y]) & (
+        npartau > sp_new.tau[y])
+    nx = nparent[y]
+    common2 = npptable[jnp.maximum(nx, 0)][None, :] & npptable
+    zc2 = jnp.argmax(jnp.where(common2, ndepth[None, :], -1),
+                     axis=-1).astype(jnp.int32)
+    pathlen2 = 1 + (ndepth[y] - ndepth[zc2]) + (ndepth - ndepth[zc2])
+    logits3 = jnp.where(cand2,
+                        -jnp.log(jnp.maximum(pathlen2, 1).astype(dtype)), NEG)
+    logp_b_rev = logits3[b] - jax.scipy.special.logsumexp(logits3)
+
+    # species-model prior ratio (uniform-LH priors 0/1 are constant)
+    if cfg.delimit_prior in (2, 3):
+        tips_mask = hidx < NS
+        prior_ratio = (_log_histories(sp.pptable, tips_mask)
+                       - _log_histories(npptable, tips_mask)).astype(dtype)
+    else:
+        prior_ratio = jnp.zeros((), dtype)
+
+    bad_any = (badmask & ctx.locus_mask).any()
+    lnacc = (logp_y_rev - logp_y + logp_b_rev - logp_c
+             + jnp.sum(jnp.where(ctx.locus_mask, lnhr, 0.0))
+             + jnp.sum(jnp.where(ctx.locus_mask,
+                                 (logl_new - state.logl)
+                                 + (logpr_new - state.logpr), 0.0))
+             + prior_ratio)
+    lnacc = jnp.where(bad_any, -jnp.inf, lnacc)
+    accept = rng.mh_accept(k_acc, lnacc)
+
+    def pick(new, old):
+        return jax.tree.map(lambda n, o: jnp.where(accept, n, o), new, old)
+
+    new_state = state._replace(
+        gt=pick(gt_new, gt), sp=pick(sp_new, sp),
+        logl=jnp.where(accept, logl_new, state.logl),
+        logpr=jnp.where(accept, logpr_new, state.logpr))
+    return new_state, (jnp.ones((), jnp.int32), accept.astype(jnp.int32))

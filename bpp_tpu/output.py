@@ -88,6 +88,46 @@ class McmcWriter:
         self.fp.close()
 
 
+def species_newick(left, right, parent, tau, names) -> str:
+    """Newick with branch lengths from taus (A01 sample lines,
+    method.c mcmc_logsample tree output)."""
+    ns = len(names)
+    root = int(np.nonzero(np.asarray(parent) < 0)[0][0])
+
+    def rec(i):
+        if i < ns:
+            s = names[i]
+            h = 0.0
+        else:
+            a, ha = rec(int(left[i]))
+            b, hb = rec(int(right[i]))
+            s = f"({a}, {b})"
+            h = float(tau[i])
+            s_a, s_b = sorted([f"{a}", f"{b}"])
+            s = f"({s_a}, {s_b})"
+        p = int(parent[i])
+        if p >= 0:
+            s += f": {float(tau[p]) - h:.6f}"
+        return s, h
+
+    return rec(root)[0] + ";"
+
+
+class A01McmcWriter:
+    """Streams A01 samples: one newick per line (mcmc_logsample)."""
+
+    def __init__(self, path: str, cfg: BppConfig, st: SpeciesTree):
+        self.fp = open(path, "w")
+        self.names = st.names
+
+    def write_sample(self, gen, left, right, parent, tau):
+        self.fp.write(species_newick(left, right, parent, tau,
+                                     self.names) + "\n")
+
+    def close(self):
+        self.fp.close()
+
+
 def a00_summary(cfg: BppConfig, st: SpeciesTree, gen, theta, tau, lnl) -> str:
     """Posterior summary text for an A00 run (allfixed.c analog)."""
     inner = bpp_inner_order(st)
