@@ -80,6 +80,12 @@ def cmd_run(args) -> int:
         )
         topo, clades, n = summarize_sptrees(log.sptrees, run.stree.names)
         report = format_a01_summary(topo, clades, n, run.stree.names)
+    elif cfg.est_delimit:
+        from .summary.delimit_summary import (
+            format_a10_summary, summarize_delimitations,
+        )
+        models, nsp = summarize_delimitations(tau, run.stree)
+        report = format_a10_summary(models, nsp, len(gen), run.stree)
     else:
         report = a00_summary(cfg, run.stree, gen, theta, tau, lnl)
     out_path = f"{cfg.jobname}.txt"

@@ -26,7 +26,7 @@ from . import moves, subst_moves
 from .state import (
     Ctx, FT_ALPHA, FT_FREQS, FT_GTAGE, FT_GTSPR, FT_LRHT, FT_MIX, FT_QRATES,
     FT_TAU, FT_THETA, MV_ALPHA, MV_FREQS, MV_GTAGE, MV_GTSPR, MV_LRHT,
-    MV_MIX, MV_QRATES, MV_SSPR, MV_TAU, MV_THETA, N_MOVES, McmcState,
+    MV_MIX, MV_QRATES, MV_RJ, MV_SSPR, MV_TAU, MV_THETA, N_MOVES, McmcState,
     SubstState, finetune_array, make_logl_fn, make_logpr_fn, refresh_eigen,
 )
 
@@ -81,10 +81,14 @@ class Engine:
         self.run = run
         self.cfg = run.cfg
         cfg = self.cfg
-        if cfg.est_delimit:
+        if cfg.est_delimit and cfg.est_stree:
             raise NotImplementedError(
-                "species delimitation (A10/A11 rjMCMC) is not implemented "
-                "yet; set speciesdelimitation = 0")
+                "joint delimitation + tree inference (A11) is not wired up "
+                "yet; run A10 (fixed guide tree) or A01")
+        if cfg.est_delimit and cfg.delimit_prior != 1:
+            raise NotImplementedError(
+                "only speciesmodelprior = 1 (uniform labeled histories) is "
+                "implemented")
         self.seed = seed if seed is not None else (
             cfg.seed if cfg.seed > 0 else np.random.SeedSequence().entropy % (2**31))
         batch = run.batch
@@ -112,6 +116,9 @@ class Engine:
         cfg, run = self.cfg, self.run
         rng = np.random.default_rng(self.seed)
         init_tau_theta(cfg, run.stree, rng)
+        # initial root age: the fixed Beta scale for root split/join
+        # proposals (prop_rj.c:431-435 stree->root_age)
+        self.root_age0 = float(run.stree.tau[run.stree.root])
         gt = init_gtrees(int(rng.integers(2**31)), run.batch, run.stree,
                          dtype=self.dtype)
         sp = species_arrays(run.stree, dtype=self.dtype)
@@ -163,7 +170,14 @@ class Engine:
     def _step(self, state: McmcState, key):
         cfg, ctx = self.cfg, self.ctx
         stats = jnp.zeros((N_MOVES, 2), jnp.int32)
-        keys = jax.random.split(key, 9)
+        keys = jax.random.split(key, 10)
+
+        # move #0a: rjMCMC split/join (A10/A11; method.c:5420-5435)
+        if cfg.est_delimit:
+            from . import rj_moves
+            state, (p, a) = rj_moves.rj_move(ctx, cfg, state, keys[9],
+                                             self.root_age0)
+            stats = stats.at[MV_RJ].add(jnp.stack([p, a]))
 
         # move #0b: species-tree SPR (A01/A11; method.c:5438-5477);
         # with < 3 species there is no alternative rooted topology

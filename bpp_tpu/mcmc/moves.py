@@ -85,11 +85,17 @@ def age_sweep(ctx: Ctx, cfg: BppConfig, state: McmcState, key,
 
         gtn = gt._replace(age=age_new)
         node_arr = jnp.full((L,), node, jnp.int32)
-        logl_new, _ = stale_walk(gtn, sp, cache, node_arr, valid=valid, **walk_kw)
+        if cfg.usedata:
+            logl_new, _ = stale_walk(gtn, sp, cache, node_arr, valid=valid,
+                                     **walk_kw)
+        else:
+            logl_new = jnp.zeros_like(logl)
         logpr_new, _, _ = logpr_fn(gtn, sp, state.subst.heredity)
 
         lnacc = (logl_new - logl) + (logpr_new - logpr)
         accept = rng.mh_accept(k2, lnacc) & valid
+        # commit walk also maintains the cache's msp/leaves bookkeeping,
+        # so it runs even when the likelihood is off
         _, cache = stale_walk(gtn, sp, cache, node_arr, valid=valid,
                               commit_mask=accept, **walk_kw)
         age = jnp.where(accept[:, None], age_new, age)
@@ -242,14 +248,18 @@ def spr_sweep(ctx: Ctx, cfg: BppConfig, state: McmcState, key,
         # stale chains: B = father (new children/age); A = old grandparent
         # (its children changed by the detach), where a detach happened
         activeA = do_topo & has_gp
-        logl_new, _ = stale_walk(
-            gtn, sp, cache, father_s, startA=gp_s, activeA=activeA,
-            valid=ok, **walk_kw)
+        if cfg.usedata:
+            logl_new, _ = stale_walk(
+                gtn, sp, cache, father_s, startA=gp_s, activeA=activeA,
+                valid=ok, **walk_kw)
+        else:
+            logl_new = jnp.zeros_like(logl)
         logpr_new, _, _ = logpr_fn(gtn, sp, state.subst.heredity)
 
         lnacc = (logl_new - logl) + (logpr_new - logpr) + jnp.log(
             jnp.maximum(tcount, 1) / jnp.maximum(scount, 1))
         accept = rng.mh_accept(k3, lnacc) & ok
+        # commit walk also maintains msp/leaves; runs even with data off
         _, cache = stale_walk(
             gtn, sp, cache, father_s, startA=gp_s, activeA=activeA,
             valid=ok, commit_mask=accept, **walk_kw)
@@ -481,16 +491,19 @@ def mixing_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     age_new = jnp.where(is_inner, gt.age * c, gt.age)
     tau_new = jnp.where(sp.tau > 0, sp.tau * c, sp.tau)
 
-    # root-tau prior ratio (prop_mixing.c:520-540)
+    # root-tau prior ratio (prop_mixing.c:520-540); absent when the root
+    # is collapsed (A10 one-species state: no tau exists to re-prior)
     if NS > 1:
         rt_old = sp.tau[H - 1]
         rt_new = tau_new[H - 1]
+        rts = jnp.maximum(rt_old, 1e-300)
+        rtn = jnp.maximum(rt_new, 1e-300)
         if gamma_tau:
             root_term = (ta - 1.0 - tau_count + 1.0) * lnc - tb * (rt_new - rt_old)
         else:
             root_term = (-ta - 1.0 - tau_count + 1.0) * lnc \
-                - tb * (1.0 / rt_new - 1.0 / rt_old)
-        lnacc = lnacc + root_term
+                - tb * (1.0 / rtn - 1.0 / rts)
+        lnacc = lnacc + jnp.where(rt_old > 0, root_term, 0.0)
 
     # Gibbs-style theta refresh at the scaled waiting times
     _, cc, t2 = logpr_fn(gt, sp, state.subst.heredity)
