@@ -1,6 +1,9 @@
 """Command-line interface (the reference's bpp.c main analog).
 
-Usage: python -m bpp_tpu --cfile run.ctl [--seed N] [--threads ...]
+Usage:
+  python -m bpp_tpu --cfile run.ctl [--seed N]
+  python -m bpp_tpu --resume jobname.chk.npz
+  python -m bpp_tpu --simulate sim.ctl
 """
 
 from __future__ import annotations
@@ -19,6 +22,8 @@ def build_argparser() -> argparse.ArgumentParser:
         description="TPU-native Bayesian multispecies-coalescent inference")
     ap.add_argument("--cfile", help="inference control file")
     ap.add_argument("--simulate", help="simulation control file")
+    ap.add_argument("--resume", help="checkpoint file (.chk.npz) to resume; "
+                    "data files must still be at their original paths")
     ap.add_argument("--seed", type=int, default=None, help="override seed")
     ap.add_argument("--x64", action="store_true",
                     help="run in float64 (oracle-comparison mode)")
@@ -35,50 +40,99 @@ def cmd_run(args) -> int:
     if args.x64:
         jax.config.update("jax_enable_x64", True)
 
+    from . import checkpoint as ckpt
     from .io.ctl import parse_ctl
     from .loader import load_run
     from .mcmc.driver import Engine
-    from .output import A01McmcWriter, McmcWriter, a00_summary
+    from .output import (
+        A01McmcWriter, McmcWriter, a00_summary, read_mcmc_samples,
+    )
 
-    cfg = parse_ctl(args.cfile)
+    resume_state = None
+    if args.resume:
+        meta, ctl_text, arrays = ckpt.load_checkpoint(args.resume)
+        ctl_path = ".bpp_tpu_resume.ctl"
+        with open(ctl_path, "w") as fh:
+            fh.write(ctl_text)
+        cfg = parse_ctl(ctl_path)
+        cfg_text = ctl_text
+        seed = meta["seed"]
+    else:
+        cfg = parse_ctl(args.cfile)
+        with open(args.cfile) as fh:
+            cfg_text = fh.read()
+        seed = args.seed
     if args.x64:
         cfg = cfg.replace(dtype="float64")
+
     run = load_run(cfg)
-    eng = Engine(run, seed=args.seed)
+    eng = Engine(run, seed=seed)
     if not args.quiet:
         b = run.batch
         print(f"bpp_tpu: {len(run.loci)} loci | max seqs {b.max_tips} | "
               f"max patterns {b.max_patterns} | species {run.stree.n_tips} | "
-              f"method {cfg.method.name} | seed {eng.seed}",
+              f"method {cfg.method.name} | seed {eng.seed}"
+              + (f" | RESUMED at it {meta['it']}" if args.resume else ""),
               file=sys.stderr)
 
     mcmc_path = cfg.mcmcfile or f"{cfg.jobname}.mcmc.txt"
+    if args.resume:
+        # exactly-once logging: truncate to the checkpointed offset
+        ckpt.truncate_file(mcmc_path, meta["mcmc_offset"])
+        template = eng.init_state()
+        state = ckpt.restore_state(template, arrays)
+        key = jax.numpy.asarray(arrays["prng_key"])
+        resume_state = (state, key, meta["it"], arrays["stats_acc"])
+
     if cfg.est_stree:
-        writer = A01McmcWriter(mcmc_path, cfg, run.stree)
+        writer = A01McmcWriter(mcmc_path, cfg, run.stree,
+                               append=bool(args.resume))
 
         def on_sample(gen, state):
             writer.write_sample(
                 gen, np.asarray(state.sp.left), np.asarray(state.sp.right),
                 np.asarray(state.sp.parent), np.asarray(state.sp.tau))
     else:
-        writer = McmcWriter(mcmc_path, cfg, run.stree)
+        writer = McmcWriter(mcmc_path, cfg, run.stree,
+                            append=bool(args.resume))
 
         def on_sample(gen, state):
             writer.write_sample(
                 gen, np.asarray(state.sp.theta), np.asarray(state.sp.tau),
                 float(np.asarray(state.logl).sum()))
 
+    chk_path = f"{cfg.jobname}.chk.npz"
+
+    def on_checkpoint(state, key, it, stats_acc):
+        writer.fp.flush()
+        ckpt.save_checkpoint(
+            chk_path, state, key, it, stats_acc, cfg_text=cfg_text,
+            seed=eng.seed, mcmc_offset=writer.fp.tell())
+        if not args.quiet:
+            print(f"  checkpoint -> {chk_path} (it {it})", file=sys.stderr)
+
     t0 = time.time()
     log = eng.run_mcmc(progress_every=0 if args.quiet else 1000,
-                       on_sample=on_sample)
+                       on_sample=on_sample, resume=resume_state,
+                       on_checkpoint=on_checkpoint if cfg.checkpoint else None)
     writer.close()
 
-    gen, theta, tau, lnl, logpr = log.arrays()
-    if cfg.est_stree:
+    if args.resume:
+        # summaries must cover pre-checkpoint samples: read them back
+        gen, theta, tau, lnl, sptrees = read_mcmc_samples(
+            cfg, run.stree, mcmc_path)
+    else:
+        gen, theta, tau, lnl, logpr = log.arrays()
+        sptrees = log.sptrees
+    if cfg.est_stree and cfg.est_delimit:
+        from .summary.mixed_summary import format_a11_summary, summarize_mixed
+        trees, nsp = summarize_mixed(sptrees, tau, run.stree.names)
+        report = format_a11_summary(trees, nsp, len(gen))
+    elif cfg.est_stree:
         from .summary.stree_summary import (
             format_a01_summary, summarize_sptrees,
         )
-        topo, clades, n = summarize_sptrees(log.sptrees, run.stree.names)
+        topo, clades, n = summarize_sptrees(sptrees, run.stree.names)
         report = format_a01_summary(topo, clades, n, run.stree.names)
     elif cfg.est_delimit:
         from .summary.delimit_summary import (
@@ -107,7 +161,7 @@ def cmd_simulate(args) -> int:
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
-    if args.cfile:
+    if args.cfile or args.resume:
         return cmd_run(args)
     if args.simulate:
         return cmd_simulate(args)

@@ -31,6 +31,64 @@ from .state import (
 )
 
 PJ_OPTIMUM = 0.30     # method.c:45 target pjump
+
+
+def _root_age_scale(cfg: BppConfig, run: RunData) -> float:
+    """Beta-proposal scale for rjMCMC at the root (stree.c:7534-7642).
+
+    Prior-based: 0.9 gamma quantile, or 4*beta/(alpha-1) for invgamma.
+    With data: mean cross-root pairwise divergence md minus theta/2, where
+    theta solves the within-population diversity from the across-locus
+    variance vd of the divergences.
+    """
+    from ..config import PriorDist
+    tp = cfg.tauprior
+    if tp.dist == PriorDist.INVGAMMA:
+        prior_age = tp.beta / (tp.alpha - 1.0) * 4.0
+    else:
+        from scipy.stats import gamma as sgamma
+        prior_age = float(sgamma.ppf(0.9, tp.alpha, scale=1.0 / tp.beta))
+    if not cfg.usedata:
+        return prior_age
+    st, batch = run.stree, run.batch
+    anc = st.pptable()
+    lroot = st.left[st.root]
+    md = vd = 0.0
+    used = 0
+    for li in range(batch.n_loci):
+        if not batch.locus_mask[li]:
+            continue
+        ns = int(batch.n_seq[li])
+        codes = batch.tip_codes[li, :ns]               # [T, S] masks
+        w = batch.weights[li]
+        pops = batch.tip_pop[li, :ns]
+        on_left = anc[pops, lroot]                     # [T] bool
+        diff_locus = 0.0
+        diff_count = 0
+        for j in range(ns):
+            for k in range(j + 1, ns):
+                if on_left[j] == on_left[k]:
+                    continue
+                diff = float(w[codes[j] != codes[k]].sum())
+                diff_locus += diff / float(batch.n_sites[li])
+                diff_count += 1
+        if not diff_count:
+            continue
+        used += 1
+        diff_locus /= 2 * diff_count
+        vd += (diff_locus - md) ** 2 * (used - 1) / used
+        md = (md * (used - 1) + diff_locus) / used
+    if not used:
+        return prior_age
+    n_real = int(batch.locus_mask.sum())
+    vd /= max(n_real, 1)
+    if used >= 2:
+        theta = (2 * np.sqrt(vd) + np.sqrt(vd * 4 + 1) - 1) / 2
+        if md - theta / 2 > 0:
+            return float(md - theta / 2)
+    # plain python float: np scalars are strongly typed and would promote
+    # the whole rubber-band to float64 under x64
+    return float(md)
 MOVE_TO_FT = {
     MV_GTAGE: FT_GTAGE,
     MV_GTSPR: FT_GTSPR,
@@ -81,10 +139,6 @@ class Engine:
         self.run = run
         self.cfg = run.cfg
         cfg = self.cfg
-        if cfg.est_delimit and cfg.est_stree:
-            raise NotImplementedError(
-                "joint delimitation + tree inference (A11) is not wired up "
-                "yet; run A10 (fixed guide tree) or A01")
         if cfg.est_delimit and cfg.delimit_prior != 1:
             raise NotImplementedError(
                 "only speciesmodelprior = 1 (uniform labeled histories) is "
@@ -116,9 +170,13 @@ class Engine:
         cfg, run = self.cfg, self.run
         rng = np.random.default_rng(self.seed)
         init_tau_theta(cfg, run.stree, rng)
-        # initial root age: the fixed Beta scale for root split/join
-        # proposals (prop_rj.c:431-435 stree->root_age)
-        self.root_age0 = float(run.stree.tau[run.stree.root])
+        # root-age scale for the rjMCMC Beta proposal at the root
+        # (prop_rj.c:431-435): the 0.9 prior quantile (gamma) or
+        # 4*beta/(alpha-1) (invgamma), refined by mean cross-root sequence
+        # divergence when data is used (stree.c:7534-7642) — NOT the
+        # sampled initial root tau, which would make root joins
+        # infeasible once tau drifts above 0.6x it.
+        self.root_age0 = _root_age_scale(cfg, run)
         gt = init_gtrees(int(rng.integers(2**31)), run.batch, run.stree,
                          dtype=self.dtype)
         sp = species_arrays(run.stree, dtype=self.dtype)
@@ -187,17 +245,16 @@ class Engine:
                 ctx, cfg, state, keys[8])
             stats = stats.at[MV_SSPR].add(jnp.stack([p, a]))
 
-        # CLV cache for the incremental path-update sweeps; invalidated by
-        # the global-age moves (tau/mixing) below, so rebuilt per iteration
-        cache = incremental.build_cache(
-            state.gt, state.sp, ctx.tip_partials, ctx.tip_pop, ctx.n_seq,
-            state.subst, cfg.model)
-
-        state, (p, a), cache = moves.age_sweep(ctx, cfg, state, keys[0], cache)
+        # gene-tree moves: blocked full-recompute variants (see moves.py
+        # "blocked" section — per-op overhead makes the full batched
+        # Felsenstein pass cheaper than one incremental path walk)
+        state, (p, a) = moves.age_block_move(ctx, cfg, state, keys[0])
         stats = stats.at[MV_GTAGE].add(jnp.stack([p, a]))
 
-        state, (p, a), cache = moves.spr_sweep(ctx, cfg, state, keys[1], cache)
-        stats = stats.at[MV_GTSPR].add(jnp.stack([p, a]))
+        for r in range(3):
+            state, (p, a) = moves.spr_round_move(
+                ctx, cfg, state, jax.random.fold_in(keys[1], r))
+            stats = stats.at[MV_GTSPR].add(jnp.stack([p, a]))
 
         state, (p, a) = moves.theta_move(ctx, cfg, state, keys[2])
         stats = stats.at[MV_THETA].add(jnp.stack([p, a]))
@@ -258,16 +315,42 @@ class Engine:
     # --- full run -------------------------------------------------------------
 
     def run_mcmc(self, progress_every: int = 1000, log_fp=None,
-                 on_sample=None) -> SampleLog:
+                 on_sample=None, resume=None,
+                 on_checkpoint=None) -> SampleLog:
+        """Run the chain.  ``resume = (state, key, it, stats_acc)``
+        continues from a checkpoint; ``on_checkpoint(state, key, it,
+        stats_acc)`` fires at the ctl-scheduled generations
+        (``checkpoint = initial [step]``, method.c:6183-6188)."""
         cfg = self.cfg
-        state = self.init_state()
-        key = jax.random.PRNGKey(self.seed)
+        if resume is None:
+            state = self.init_state()
+            key = jax.random.PRNGKey(self.seed)
+            it0 = -cfg.burnin
+            stats_acc = np.zeros((N_MOVES, 2), np.float64)
+        else:
+            self.init_state()         # rebuilds host stree + root_age0
+            state, key, it0, stats_acc = resume
+            stats_acc = np.asarray(stats_acc, np.float64).copy()
         log = SampleLog()
 
         total_burn = cfg.burnin
-        stats_acc = np.zeros((N_MOVES, 2), np.float64)
         t0 = time.time()
         last_print = [0]
+
+        # checkpoint generations count like the reference: generation 1
+        # is the first post-burnin iteration; negative = burn-in
+        if cfg.checkpoint:
+            ck_initial, ck_step = cfg.checkpoint
+            next_ck = [ck_initial]
+
+            def maybe_checkpoint(it, state, key):
+                if on_checkpoint is None or it < next_ck[0]:
+                    return
+                on_checkpoint(state, key, it, stats_acc)
+                next_ck[0] = (it + ck_step) if ck_step > 0 else (1 << 60)
+        else:
+            def maybe_checkpoint(it, state, key):
+                pass
 
         def progress(it):
             if not progress_every:
@@ -285,50 +368,47 @@ class Engine:
 
         # one compiled chunk size for the whole run; burn-in quarters are
         # rounded to chunk boundaries (the finetune reset is a heuristic,
-        # exact quarter alignment is not load-bearing)
+        # exact quarter alignment is not load-bearing).  Position-based
+        # loop so a resume can start at any iteration.
         K = max(1, cfg.sampfreq)
-        it = -total_burn
-        if cfg.finetune.auto and total_burn >= 8:
-            quarter = [total_burn // 4] * 4
-            quarter[-1] = total_burn - 3 * (total_burn // 4)
-            for q in quarter:
-                done = 0
-                while done < q:
-                    n = min(K, q - done)
-                    key, sub = jax.random.split(key)
-                    state, stats = self.chunk_step(state, sub, n)
-                    stats_acc += np.asarray(stats)
-                    done += n
-                    it += n
-                    progress(it)
+        total_main = cfg.nsample * cfg.sampfreq
+        auto_ft = cfg.finetune.auto and total_burn >= 8
+        quarter = max(1, total_burn // 4)
+        # finetune marks at it = -burn + q*quarter (q = 1..3) and at 0
+        marks = sorted({-total_burn + q * quarter for q in (1, 2, 3)}
+                       | {0}) if auto_ft else [0]
+
+        it = it0
+        while it < total_main:
+            # distance to next boundary: a finetune mark, it=0, or the
+            # next sample point
+            bounds = [m for m in marks if m > it]
+            if it >= 0:
+                nxt_sample = ((it // K) + 1) * K
+                bounds.append(nxt_sample)
+            bounds.append(total_main)
+            n = min(K, min(bounds) - it)
+            key, sub = jax.random.split(key)
+            state, stats = self.chunk_step(state, sub, n)
+            stats_acc += np.asarray(stats)
+            it += n
+            progress(it)
+            if auto_ft and it in marks and it <= 0:
                 state = self._reset_finetune(state, stats_acc)
                 stats_acc[:] = 0.0
-        else:
-            while it < 0:
-                n = min(K, -it)
-                key, sub = jax.random.split(key)
-                state, stats = self.chunk_step(state, sub, n)
-                stats_acc += np.asarray(stats)
-                it += n
-                progress(it)
-
-        for s in range(cfg.nsample):
-            key, sub = jax.random.split(key)
-            state, stats = self.chunk_step(state, sub, K)
-            stats_acc += np.asarray(stats)
-            it += K
-            log.gen.append(it)
-            log.theta.append(np.asarray(state.sp.theta))
-            log.tau.append(np.asarray(state.sp.tau))
-            log.lnL.append(float(np.asarray(state.logl).sum()))
-            log.logpr.append(float(np.asarray(state.logpr).sum()))
-            if cfg.est_stree:
-                log.sptrees.append((np.asarray(state.sp.left),
-                                    np.asarray(state.sp.right),
-                                    np.asarray(state.sp.parent)))
-            if on_sample is not None:
-                on_sample(it, state)
-            progress(it)
+            if it > 0 and it % K == 0:
+                log.gen.append(it)
+                log.theta.append(np.asarray(state.sp.theta))
+                log.tau.append(np.asarray(state.sp.tau))
+                log.lnL.append(float(np.asarray(state.logl).sum()))
+                log.logpr.append(float(np.asarray(state.logpr).sum()))
+                if cfg.est_stree:
+                    log.sptrees.append((np.asarray(state.sp.left),
+                                        np.asarray(state.sp.right),
+                                        np.asarray(state.sp.parent)))
+                if on_sample is not None:
+                    on_sample(it, state)
+            maybe_checkpoint(it, state, key)
 
         return log
 

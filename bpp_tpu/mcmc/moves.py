@@ -545,3 +545,213 @@ def mixing_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         state._replace(gt=gtn, sp=spn, logl=logl_new, logpr=logpr_new),
         state)
     return new_state, (jnp.ones((), jnp.int32), accept.astype(jnp.int32))
+
+
+# --------------------------------------------------------------------------
+# blocked full-recompute variants of the gene-tree moves
+#
+# TPU-first redesign: the incremental stale-walk path costs more per
+# node-step than a FULL batched Felsenstein pass (per-op overhead, not
+# FLOPs, dominates at 4 states), so instead of the reference's
+# node-by-node serial sweep (gtree.c:4620) these moves propose whole
+# independent sets jointly and take one accept decision per locus:
+#
+#   * ages: nodes at even/odd topological depth form independent sets
+#     (each node's [min, max] window depends only on its parent and
+#     children, which are the other parity), so two jointly-proposed
+#     phases cover every node — 2 likelihood passes instead of T-1.
+#   * SPR: R rounds of one uniformly-chosen pruned node per locus —
+#     R likelihood passes instead of T-1.
+#
+# Block acceptance is exact MH (windows are computed from the
+# out-of-block state, identical under the reverse move); finetune
+# adapts eps to the block-level pjump.
+# --------------------------------------------------------------------------
+
+
+def age_block_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
+    from ..trees.gtree import node_depths
+
+    gt, sp = state.gt, state.sp
+    L, N, T = gt.n_loci, gt.n_nodes, gt.n_tips
+    lidx = jnp.arange(L)
+    nodes_idx = jnp.arange(N)[None, :]
+    logl_fn = make_logl_fn(ctx, cfg)
+    logpr_fn = make_logpr_fn(ctx)
+    eps = state.finetune[FT_GTAGE]
+    msp = mrca_species(gt, sp, ctx.tip_pop)
+    depths = node_depths(gt)
+    inner_valid = (nodes_idx >= T) & (nodes_idx < T + ctx.n_seq[:, None] - 1)
+
+    age = gt.age
+    logl, logpr = state.logl, state.logpr
+    nprop = jnp.zeros((), jnp.int32)
+    nacc = jnp.zeros((), jnp.int32)
+    lc = jnp.maximum(gt.left, 0)
+    rc = jnp.maximum(gt.right, 0)
+
+    for phase in (0, 1):
+        key, k1, k2 = jax.random.split(key, 3)
+        mask = inner_valid & (depths % 2 == phase) & ctx.locus_mask[:, None]
+
+        la = jnp.take_along_axis(age, lc, 1)
+        ra = jnp.take_along_axis(age, rc, 1)
+        pop_lc = lift_population(sp, msp[lidx[:, None], lc], la)
+        pop_rc = lift_population(sp, msp[lidx[:, None], rc], ra)
+        mrca_pop = sp.mrca[pop_lc, pop_rc]
+        minage = jnp.maximum(jnp.maximum(la, ra), sp.tau[mrca_pop])
+        par_s = jnp.maximum(gt.parent, 0)
+        maxage = jnp.where(gt.parent >= 0,
+                           jnp.take_along_axis(age, par_s, 1), MAXAGE_CAP)
+
+        tnew = rng.reflect(age + eps * rng.bactrian(k1, (L, N),
+                                                    dtype=eps.dtype),
+                           minage, maxage)
+        age_new = jnp.where(mask, tnew, age)
+        gtn = gt._replace(age=age_new)
+        logl_new = logl_fn(gtn, state.subst)
+        logpr_new, _, _ = logpr_fn(gtn, sp, state.subst.heredity)
+        lnacc = (logl_new - logl) + (logpr_new - logpr)
+        accept = rng.mh_accept(k2, lnacc) & ctx.locus_mask & mask.any(1)
+        age = jnp.where(accept[:, None], age_new, age)
+        logl = jnp.where(accept, logl_new, logl)
+        logpr = jnp.where(accept, logpr_new, logpr)
+        nprop = nprop + (ctx.locus_mask & mask.any(1)).sum(dtype=jnp.int32)
+        nacc = nacc + accept.sum(dtype=jnp.int32)
+
+    new_state = state._replace(gt=gt._replace(age=age), logl=logl,
+                               logpr=logpr)
+    return new_state, (nprop, nacc)
+
+
+def spr_round_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
+    """One SPR proposal per locus (pruned node chosen uniformly among
+    non-root nodes), full-batch evaluation, per-locus accept."""
+    from ..trees.gtree import leaf_counts
+
+    gt0, sp = state.gt, state.sp
+    L, N, T = gt0.n_loci, gt0.n_nodes, gt0.n_tips
+    lidx = jnp.arange(L)
+    nodes_idx = jnp.arange(N)[None, :]
+    logl_fn = make_logl_fn(ctx, cfg)
+    logpr_fn = make_logpr_fn(ctx)
+    eps = state.finetune[FT_GTSPR]
+
+    left, right, parent, age = gt0.left, gt0.right, gt0.parent, gt0.age
+    logl, logpr = state.logl, state.logpr
+
+    tipmask = nodes_idx[:, :T] < ctx.n_seq[:, None]
+    glv = (sp.pptable[ctx.tip_pop] & tipmask[..., None]).sum(1)   # [L, H]
+    depth = sp.pptable.sum(-1).astype(jnp.int32)                  # [H]
+    valid_nodes = (nodes_idx < ctx.n_seq[:, None]) | (
+        (nodes_idx >= T) & (nodes_idx < T + ctx.n_seq[:, None] - 1))
+
+    ksel, k1, k2, k3 = jax.random.split(key, 4)
+    cand_mask = valid_nodes & (parent >= 0)
+    sel, _ = _select_uniform(ksel, cand_mask)
+    i = sel                                                       # [L]
+
+    msp = mrca_species(gt0, sp, ctx.tip_pop)
+    leaves = leaf_counts(gt0, ctx.n_seq)
+    pops = lift_population(sp, msp, jnp.clip(age, 0.0, BIG_AGE * 0.5))
+
+    father = parent[lidx, i]
+    is_valid = (father >= 0) & ctx.locus_mask
+    father_s = jnp.maximum(father, 0)
+    fleft = left[lidx, father_s]
+    sibling = jnp.where(fleft == i, right[lidx, father_s], fleft)
+
+    cur_pop = pops[lidx, i]
+    i_leaves = leaves[lidx, i]
+    cand = sp.pptable[cur_pop] & (glv > i_leaves[:, None])
+    score = jnp.where(cand, depth[None, :], -1)
+    pop_min = jnp.argmax(score, axis=1)
+    minage = jnp.maximum(age[lidx, i], sp.tau[pop_min])
+
+    f_age = age[lidx, father_s]
+    tnew = rng.reflect(f_age + eps * rng.bactrian(k1, (L,), dtype=eps.dtype),
+                       minage, MAXAGE_CAP)
+    pop_target = lift_population(sp, cur_pop, tnew)
+
+    page = jnp.where(parent >= 0,
+                     jnp.take_along_axis(age, jnp.maximum(parent, 0), 1),
+                     -jnp.inf)
+    order_root = jnp.argmax(
+        jnp.where(valid_nodes & (nodes_idx >= T), age, -jnp.inf),
+        axis=1).astype(jnp.int32)
+    root_age = age[lidx, order_root]
+    spans = (age <= tnew[:, None]) & (tnew[:, None] < page)
+    in_pop = sp.pptable[pops, pop_target[:, None]]
+    tmask = (valid_nodes & spans & in_pop
+             & (nodes_idx != i[:, None])
+             & (nodes_idx != order_root[:, None]))
+    above_root = tnew >= root_age
+    tsel, tcount = _select_uniform(k2, tmask)
+    target = jnp.where(above_root, order_root, tsel)
+    tcount = jnp.where(above_root, 1, tcount)
+    target = jnp.where(target == father, sibling, target)
+
+    f_pop = pops[lidx, father_s]
+    sspans = (age <= f_age[:, None]) & (f_age[:, None] < page)
+    s_in_pop = sp.pptable[pops, f_pop[:, None]]
+    smask = (valid_nodes & sspans & s_in_pop
+             & (nodes_idx != i[:, None]) & (nodes_idx != order_root[:, None])
+             & (nodes_idx != sibling[:, None])
+             & (nodes_idx != father_s[:, None]))
+    father_is_root = father_s == order_root
+    scount = 1 + jnp.where(father_is_root, 0, smask.sum(axis=1))
+
+    ok = is_valid & (tcount > 0)
+    do_topo = ok & (target != sibling) & (target != father_s)
+
+    def write(arr, row_ok, col, val):
+        col_s = jnp.where(row_ok, col, 0)
+        old = arr[lidx, col_s]
+        return arr.at[lidx, col_s].set(jnp.where(row_ok, val, old))
+
+    grandpa = parent[lidx, father_s]
+    has_gp = grandpa >= 0
+    gp_s = jnp.maximum(grandpa, 0)
+
+    nl, nr, np_, na = left, right, parent, age
+    repl_l = do_topo & has_gp & (left[lidx, gp_s] == father_s)
+    repl_r = do_topo & has_gp & (right[lidx, gp_s] == father_s)
+    nl = write(nl, repl_l, gp_s, sibling)
+    nr = write(nr, repl_r, gp_s, sibling)
+    np_ = write(np_, do_topo, sibling, grandpa)
+    tpar = parent[lidx, jnp.where(do_topo, target, 0)]
+    tpar = jnp.where(do_topo, tpar, 0)
+    tpar_s = jnp.maximum(tpar, 0)
+    repl_tl = do_topo & (tpar >= 0) & (nl[lidx, tpar_s] == target)
+    repl_tr = do_topo & (tpar >= 0) & (nr[lidx, tpar_s] == target)
+    nl = write(nl, repl_tl, tpar_s, father_s)
+    nr = write(nr, repl_tr, tpar_s, father_s)
+    np_ = write(np_, do_topo, father_s, tpar)
+    # father's sibling slot takes the target
+    fl = nl[lidx, father_s]
+    new_fl = jnp.where(fl == i, fl, target)
+    fr = nr[lidx, father_s]
+    new_fr = jnp.where(fl == i, target, fr)
+    nl = write(nl, do_topo, father_s, new_fl)
+    nr = write(nr, do_topo, father_s, new_fr)
+    np_ = write(np_, do_topo, jnp.where(do_topo, target, 0), father_s)
+    # father age update (also for the no-topology-change case)
+    na = write(na, ok, father_s, tnew)
+
+    gtn = GTrees(nl, nr, np_, na)
+    logl_new = logl_fn(gtn, state.subst)
+    logpr_new, _, _ = logpr_fn(gtn, sp, state.subst.heredity)
+    lnacc = (logl_new - logl) + (logpr_new - logpr) + jnp.log(
+        jnp.maximum(tcount, 1) / jnp.maximum(scount, 1))
+    accept = rng.mh_accept(k3, lnacc) & ok
+    am = accept[:, None]
+    left = jnp.where(am, nl, left)
+    right = jnp.where(am, nr, right)
+    parent = jnp.where(am, np_, parent)
+    age = jnp.where(am, na, age)
+    logl = jnp.where(accept, logl_new, logl)
+    logpr = jnp.where(accept, logpr_new, logpr)
+
+    new_state = state._replace(
+        gt=GTrees(left, right, parent, age), logl=logl, logpr=logpr)
+    return new_state, (ok.sum(dtype=jnp.int32), accept.sum(dtype=jnp.int32))

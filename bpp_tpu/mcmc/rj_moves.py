@@ -146,7 +146,8 @@ def _child_theta_join(cfg: BppConfig, theta_c, theta_h):
     return rng.log_pdf_gamma(theta_c, a, b), jnp.zeros((), bool)
 
 
-def rj_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key, root_age0):
+def rj_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key, root_age0,
+            debug=False):
     """One rjMCMC step: split or join with probability 1/2 each
     (method.c:5420-5435, pr_split = 0.5 so the move-type term is 0)."""
     sp = state.sp
@@ -256,4 +257,11 @@ def rj_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key, root_age0):
         sp=jax.tree.map(lambda n, o: jnp.where(accept, n, o), sp_new, sp),
         logl=jnp.where(accept, logl_new, state.logl),
         logpr=jnp.where(accept, logpr_new, state.logpr))
+    if debug:
+        return new_state, (jnp.ones((), jnp.int32),
+                           accept.astype(jnp.int32)), {
+            "do_split": do_split, "h": h, "lnacc": lnacc, "bad": bad,
+            "lnterms": jnp.sum(jnp.where(ctx.locus_mask, lnterms, 0.0)),
+            "dlogpr": jnp.sum(jnp.where(ctx.locus_mask,
+                                        logpr_new - state.logpr, 0.0))}
     return new_state, (jnp.ones((), jnp.int32), accept.astype(jnp.int32))

@@ -101,6 +101,9 @@ class Ctx(NamedTuple):
     n_seq: jax.Array         # [L]
     tip_pop: jax.Array       # [L, T]
     locus_mask: jax.Array    # [L] bool
+    # A-major tip partials [L, T, A, S'] with S' padded to a multiple of
+    # 128; present only when the Pallas likelihood kernel is enabled
+    tips_am: jax.Array | None = None
 
 
 def compute_pmats(gt: GTrees, subst: SubstState, model: SubstModel):
@@ -131,12 +134,27 @@ def make_logl_fn(ctx: Ctx, cfg: BppConfig):
     def logl_fn(gt: GTrees, subst: SubstState):
         if not usedata:
             return jnp.zeros(ctx.weights.shape[0], ctx.weights.dtype)
-        pmats = compute_pmats(gt, subst, model)
-        cw = jnp.full((subst.rates.shape[1],),
-                      1.0 / subst.rates.shape[1], ctx.weights.dtype)
-        ll = fe.loglikelihood(gt, ctx.tip_partials, ctx.weights, ctx.n_seq,
-                              pmats, subst.freqs, cw,
-                              res_map=ctx.res_map, res_count=ctx.res_count)
+        if ctx.tips_am is not None:
+            from ..core.pallas_fels import site_logl_pallas
+            from ..trees.gtree import inner_order
+            rk = jnp.concatenate(
+                [subst.rates, subst.kappa1[:, None], subst.kappa2[:, None]],
+                axis=1)
+            site_logl = site_logl_pallas(
+                inner_order(gt), gt.left, gt.right, ctx.n_seq, gt.age,
+                subst.mu, rk, subst.freqs, subst.eigw, subst.eigT,
+                subst.eigTi, ctx.tips_am, model=model,
+                n_cats=subst.rates.shape[1])
+            ll = fe.reduce_root(site_logl.astype(ctx.weights.dtype),
+                                ctx.weights, ctx.res_map, ctx.res_count)
+        else:
+            pmats = compute_pmats(gt, subst, model)
+            cw = jnp.full((subst.rates.shape[1],),
+                          1.0 / subst.rates.shape[1], ctx.weights.dtype)
+            ll = fe.loglikelihood(gt, ctx.tip_partials, ctx.weights,
+                                  ctx.n_seq, pmats, subst.freqs, cw,
+                                  res_map=ctx.res_map,
+                                  res_count=ctx.res_count)
         if bfbeta != 1.0:
             ll = ll * bfbeta
         return jnp.where(ctx.locus_mask, ll, 0.0)

@@ -333,7 +333,10 @@ def species_spr_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     else:
         prior_ratio = jnp.zeros((), dtype)
 
-    bad_any = (badmask & ctx.locus_mask).any()
+    # no feasible focal/target (e.g. A11 states with everything
+    # collapsed): the categorical picked garbage; reject outright
+    bad_any = (badmask & ctx.locus_mask).any() \
+        | ~feas_y.any() | ~cand.any()
     lnacc = (logp_y_rev - logp_y + logp_b_rev - logp_c
              + jnp.sum(jnp.where(ctx.locus_mask, lnhr, 0.0))
              + jnp.sum(jnp.where(ctx.locus_mask,

@@ -42,16 +42,26 @@ def node_label(st: SpeciesTree, i: int) -> str:
 class McmcWriter:
     """Streams samples to <jobname>.mcmc.txt in the reference layout."""
 
-    def __init__(self, path: str, cfg: BppConfig, st: SpeciesTree):
+    def __init__(self, path: str, cfg: BppConfig, st: SpeciesTree,
+                 append: bool = False):
         self.cfg = cfg
         self.st = st
-        self.fp = open(path, "w")
+        self.fp = open(path, "a" if append else "w")
         self.inner = bpp_inner_order(st)
         self._anc = st.pptable()
         # node output order: all nodes with theta (tips then inner pre-order)
         self.theta_nodes = list(range(st.n_tips)) + self.inner
         self.tau_nodes = list(self.inner)
-        self._write_header()
+        if not append:
+            self._write_header()
+        else:
+            cols = ["Gen"]
+            for i in self.theta_nodes:
+                cols.append(f"theta:{self._bpp_index(i)}:{self._label(i)}")
+            for i in self.tau_nodes:
+                cols.append(f"tau:{self._bpp_index(i)}:{self._label(i)}")
+            cols.append("lnL")
+            self.columns = cols
 
     def _bpp_index(self, i: int) -> int:
         """1-based output index: tips keep their index; inner nodes are
@@ -116,8 +126,9 @@ def species_newick(left, right, parent, tau, names) -> str:
 class A01McmcWriter:
     """Streams A01 samples: one newick per line (mcmc_logsample)."""
 
-    def __init__(self, path: str, cfg: BppConfig, st: SpeciesTree):
-        self.fp = open(path, "w")
+    def __init__(self, path: str, cfg: BppConfig, st: SpeciesTree,
+                 append: bool = False):
+        self.fp = open(path, "a" if append else "w")
         self.names = st.names
 
     def write_sample(self, gen, left, right, parent, tau):
@@ -126,6 +137,82 @@ class A01McmcWriter:
 
     def close(self):
         self.fp.close()
+
+
+def read_mcmc_samples(cfg: BppConfig, st: SpeciesTree, path: str):
+    """Parse a <jobname>.mcmc.txt back into sample arrays (resume path:
+    the summary must cover pre-checkpoint samples too).
+
+    Returns (gen, theta [n,H], tau [n,H], lnl, sptrees) with sptrees a
+    list of (left, right, parent) for A01/A11 else [].
+    """
+    H = 2 * st.n_tips - 1
+    gen, thetas, taus, lnls, sptrees = [], [], [], [], []
+    if cfg.est_stree:
+        from .io.newick import parse_newick
+        with open(path) as fh:
+            g = 0
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                root = parse_newick(line)
+                left = np.full(H, -1, np.int64)
+                right = np.full(H, -1, np.int64)
+                parent = np.full(H, -1, np.int64)
+                tau = np.zeros(H)
+                nxt = [st.n_tips]
+
+                def rec(node):
+                    if node.is_leaf:
+                        i = st.names.index(node.label)
+                        h = 0.0
+                    else:
+                        a, ha = rec(node.children[0])
+                        b, hb = rec(node.children[1])
+                        i = nxt[0]
+                        nxt[0] += 1
+                        left[i], right[i] = a, b
+                        parent[a] = parent[b] = i
+                        h = ha + (node.children[0].length or 0.0)
+                        tau[i] = h
+                    return i, h
+
+                rec(root)
+                g += cfg.sampfreq
+                gen.append(g)
+                taus.append(tau)
+                thetas.append(np.zeros(H))
+                lnls.append(0.0)
+                sptrees.append((left, right, parent))
+        return (np.asarray(gen), np.stack(thetas) if thetas else
+                np.zeros((0, H)), np.stack(taus) if taus else
+                np.zeros((0, H)), np.asarray(lnls), sptrees)
+
+    inner = bpp_inner_order(st)
+    theta_nodes = list(range(st.n_tips)) + inner
+    tau_nodes = list(inner)
+    with open(path) as fh:
+        header = fh.readline()
+        for line in fh:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            gen.append(int(parts[0]))
+            vals = [float(x) for x in parts[1:]]
+            th = np.zeros(H)
+            ta = np.zeros(H)
+            for k, i in enumerate(theta_nodes):
+                th[i] = vals[k]
+            off = len(theta_nodes)
+            for k, i in enumerate(tau_nodes):
+                ta[i] = vals[off + k]
+            taus.append(ta)
+            thetas.append(th)
+            lnls.append(vals[-1])
+    return (np.asarray(gen), np.stack(thetas) if thetas else np.zeros((0, H)),
+            np.stack(taus) if taus else np.zeros((0, H)),
+            np.asarray(lnls), sptrees)
 
 
 def a00_summary(cfg: BppConfig, st: SpeciesTree, gen, theta, tau, lnl) -> str:

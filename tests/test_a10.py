@@ -78,20 +78,78 @@ def _sim(tmp_path, tau_ab, tau_root, n_loci=8, length=300, seed=5):
     return "sim.txt", "sim.imap"
 
 
-def test_a10_prior_delimitation_frequencies(tmp_path):
+def test_a10_prior_rj_flow_balance(tmp_path):
+    """Detailed-balance flow test for the rjMCMC kernel under the prior.
+
+    Occupancy over unit-test-scale chains is useless here: 1sp<->2sp
+    transitions happen ~1 per 900 iterations (the reference binary needs
+    ~800k prior iterations to show the uniform 1/3 1/3 1/3; at 40k its
+    own occupancy is 0.23/0.37/0.40).  Instead measure the DIRECTED
+    PROBABILITY FLOWS with probe proposals from within-state stationary
+    ensembles: for the uniform-prior target, flow(2sp->1sp) must equal
+    flow(1sp->2sp) and flow(2sp->3sp) must equal flow(3sp->2sp), which
+    the per-proposal acceptance averages estimate ~30x more efficiently
+    than waiting for realized jumps."""
+    import jax.numpy as jnp
+
+    from bpp_tpu.mcmc import rj_moves
+    from bpp_tpu.mcmc.state import make_logpr_fn
+
     (tmp_path / "d.txt").write_text(
         "\n".join(["12 20"] + [f"{s}^{s.lower()}{i} " + "A" * 20
                                for s in "ABC" for i in range(4)]) + "\n\n")
     (tmp_path / "d.imap").write_text(
         "".join(f"{s.lower()}{i}\t{s}\n" for s in "ABC" for i in range(4)))
     ctl = _write_ctl(tmp_path, "d.txt", "d.imap", usedata=False, nloci=1,
-                     burnin=300, nsample=800, seed=17)
-    eng, log, run = _run(tmp_path, ctl, 17)
-    models, nsp = summarize_delimitations(np.stack(log.tau), run.stree)
-    total = sum(nsp.values())
-    assert set(nsp) == {1, 2, 3}, nsp
-    for k in (1, 2, 3):
-        assert 0.15 < nsp[k] / total < 0.55, nsp
+                     burnin=300, nsample=100, seed=17)
+    from bpp_tpu.io.ctl import parse_ctl
+    from bpp_tpu.loader import load_run
+
+    cfg = parse_ctl(ctl)
+    run = load_run(cfg)
+    eng = Engine(run, seed=17)
+    rjdbg = jax.jit(lambda st, k: rj_moves.rj_move(
+        eng.ctx, cfg, st, k, eng.root_age0, debug=True))
+    logpr_fn = make_logpr_fn(eng.ctx)
+
+    def flow(collapsed, seed):
+        """Per-rj-call flow out of the given delimitation state, split
+        into (join_flow, split_flow)."""
+        st = eng.init_state()
+        tau = np.array(st.sp.tau)
+        tau[collapsed] = 0.0
+        sp = st.sp._replace(tau=jnp.asarray(tau, eng.dtype))
+        logpr, _, _ = logpr_fn(st.gt, sp, st.subst.heredity)
+        st = st._replace(sp=sp, logpr=logpr)
+        key = jax.random.PRNGKey(seed)
+        probe = jax.random.PRNGKey(seed + 10**6)
+        alpha = {True: 0.0, False: 0.0}
+        n = 0
+        for it in range(1200):
+            key, s1 = jax.random.split(key)
+            st, _ = eng.step(st, s1)  # rj inside keeps delimitation moving;
+            tau_now = np.asarray(st.sp.tau)
+            if it < 200 or ((tau_now[3:] > 0) != ~np.isin([3, 4], collapsed)).any():
+                continue  # only probe from the target delimitation
+            probe, p1 = jax.random.split(probe)
+            _, _, d = rjdbg(st, p1)
+            n += 1
+            if not bool(d["bad"]):
+                alpha[bool(d["do_split"])] += min(
+                    1.0, float(np.exp(min(float(d["lnacc"]), 0.0))))
+        return alpha[False] / n, alpha[True] / n, n
+
+    j2, s2, n2 = flow([3], 41)        # 2sp: tau_AB = 0
+    j1, s1, n1 = flow([3, 4], 43)     # 1sp: both collapsed
+    j3, s3, n3 = flow([], 47)         # 3sp: nothing collapsed
+    # uniform prior: flow(2->1) == flow(1->2), flow(2->3) == flow(3->2)
+    assert n1 > 300 and n2 > 300 and n3 > 300, (n1, n2, n3)
+    assert j1 == 0.0  # no joinable node in the 1sp state
+    assert s3 == 0.0  # no splittable node in the 3sp state
+    ratio_12 = j2 / max(s1, 1e-12)
+    ratio_23 = s2 / max(j3, 1e-12)
+    assert 0.4 < ratio_12 < 2.5, (j2, s1, ratio_12)
+    assert 0.4 < ratio_23 < 2.5, (s2, j3, ratio_23)
 
 
 def test_a10_detects_distinct_species(tmp_path):
@@ -107,8 +165,10 @@ def test_a10_detects_distinct_species(tmp_path):
 def test_a10_collapses_panmictic_data(tmp_path):
     # one population: negligible divergence between "species"
     _sim(tmp_path, tau_ab=1e-6, tau_root=2e-6, n_loci=8, seed=9)
+    # needs a few hundred iterations for the first AB-join to land
+    # (theta-window + tau gates); 150+400 was observed to be marginal
     ctl = _write_ctl(tmp_path, "sim.txt", "sim.imap", usedata=True, nloci=8,
-                     burnin=150, nsample=200, seed=29)
+                     burnin=400, nsample=350, seed=29)
     eng, log, run = _run(tmp_path, ctl, 29)
     models, nsp = summarize_delimitations(np.stack(log.tau), run.stree)
     total = sum(nsp.values())
@@ -138,3 +198,55 @@ def test_a10_no_cache_drift(tmp_path):
         fp = np.asarray(logpr_fn(state.gt, state.sp, state.subst.heredity))
         dp = np.abs(fp - np.asarray(state.logpr)).max()
         assert dp < 0.05, f"logpr drift {dp}"
+
+
+def test_a11_prior_joint_frequencies(tmp_path):
+    """A11 (both moves on): uniform over the 9 (topology, delimitation)
+    states => P(1sp)=3/9, each 2sp/3sp model 1/9 (matches the reference
+    binary's A11 prior run)."""
+    import textwrap as tw
+
+    (tmp_path / "d.txt").write_text(
+        "\n".join(["12 20"] + [f"{s}^{s.lower()}{i} " + "A" * 20
+                               for s in "ABC" for i in range(4)]) + "\n\n")
+    (tmp_path / "d.imap").write_text(
+        "".join(f"{s.lower()}{i}\t{s}\n" for s in "ABC" for i in range(4)))
+    ctl = tmp_path / "a11.ctl"
+    ctl.write_text(tw.dedent("""\
+        seed = 7
+        seqfile = d.txt
+        Imapfile = d.imap
+        jobname = out
+        speciesdelimitation = 1 0 2
+        speciestree = 1
+        species&tree = 3 A B C
+                       4 4 4
+                       ((A,B),C);
+        usedata = 0
+        nloci = 1
+        thetaprior = gamma 2 200
+        tauprior = gamma 2 100
+        finetune = 1
+        burnin = 500
+        sampfreq = 2
+        nsample = 3000
+    """))
+    from collections import Counter
+
+    from bpp_tpu.io.ctl import parse_ctl
+    from bpp_tpu.loader import load_run
+    from bpp_tpu.summary.mixed_summary import summarize_mixed
+
+    cfg = parse_ctl(str(ctl))
+    run = load_run(cfg)
+    # single-chain occupancy has huge sojourn variance; pool seeds
+    pooled: Counter = Counter()
+    for seed in (7, 77, 777, 7777):
+        eng = Engine(run, seed=seed)
+        log = eng.run_mcmc(progress_every=0)
+        _, nsp = summarize_mixed(log.sptrees, np.stack(log.tau),
+                                 run.stree.names)
+        pooled.update(nsp)
+    total = sum(pooled.values())
+    for k in (1, 2, 3):
+        assert 0.15 < pooled.get(k, 0) / total < 0.55, pooled
