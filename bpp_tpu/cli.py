@@ -22,6 +22,8 @@ def build_argparser() -> argparse.ArgumentParser:
         description="TPU-native Bayesian multispecies-coalescent inference")
     ap.add_argument("--cfile", help="inference control file")
     ap.add_argument("--simulate", help="simulation control file")
+    ap.add_argument("--msci-create", dest="msci_create",
+                    help="MSC-I network definitions file -> extended newick")
     ap.add_argument("--resume", help="checkpoint file (.chk.npz) to resume; "
                     "data files must still be at their original paths")
     ap.add_argument("--seed", type=int, default=None, help="override seed")
@@ -99,7 +101,9 @@ def cmd_run(args) -> int:
         def on_sample(gen, state):
             writer.write_sample(
                 gen, np.asarray(state.sp.theta), np.asarray(state.sp.tau),
-                float(np.asarray(state.logl).sum()))
+                float(np.asarray(state.logl).sum()),
+                phi=None if state.sp.phi is None
+                else np.asarray(state.sp.phi))
 
     chk_path = f"{cfg.jobname}.chk.npz"
 
@@ -119,7 +123,7 @@ def cmd_run(args) -> int:
 
     if args.resume:
         # summaries must cover pre-checkpoint samples: read them back
-        gen, theta, tau, lnl, sptrees = read_mcmc_samples(
+        gen, theta, tau, lnl, sptrees, phi_rs = read_mcmc_samples(
             cfg, run.stree, mcmc_path)
     else:
         gen, theta, tau, lnl, logpr = log.arrays()
@@ -141,7 +145,11 @@ def cmd_run(args) -> int:
         models, nsp = summarize_delimitations(tau, run.stree)
         report = format_a10_summary(models, nsp, len(gen), run.stree)
     else:
-        report = a00_summary(cfg, run.stree, gen, theta, tau, lnl)
+        if args.resume:
+            phi = phi_rs
+        else:
+            phi = np.stack(log.phi) if log.phi else None
+        report = a00_summary(cfg, run.stree, gen, theta, tau, lnl, phi=phi)
     out_path = f"{cfg.jobname}.txt"
     with open(out_path, "w") as fh:
         fh.write(f"bpp_tpu {cfg.method.name} run summary ({len(gen)} "
@@ -165,6 +173,9 @@ def main(argv=None) -> int:
         return cmd_run(args)
     if args.simulate:
         return cmd_simulate(args)
+    if args.msci_create:
+        from .tools.msci_create import cmd_msci_create
+        return cmd_msci_create(args.msci_create)
     build_argparser().print_help()
     return 1
 

@@ -88,12 +88,16 @@ def _p_entries_gtr(t, eigw, eigT, eigTi):
 
 
 def _make_kernel(T: int, N: int, C: int, model: SubstModel, tiny: float):
+    """Kernel body; per-locus parameters arrive as [1, 1, X] SMEM blocks
+    (one locus row each; whole-array SMEM prefetch would blow the 1 MB
+    SMEM budget past a few hundred loci)."""
+
     def kernel(order_ref, left_ref, right_ref, n_seq_ref, age_ref, mu_ref,
                rates_ref, freqs_ref, eigw_ref, eigT_ref, eigTi_ref,
                tips_ref, out_ref, clv, cum):
-        nseq = n_seq_ref[0]
-        mu = mu_ref[0]
-        fr = tuple(freqs_ref[a] for a in range(4))
+        nseq = n_seq_ref[0, 0, 0]
+        mu = mu_ref[0, 0, 0]
+        fr = tuple(freqs_ref[0, 0, a] for a in range(4))
 
         # load tips into scratch: tips_ref block is [1, T, A, S_tile];
         # broadcast over the category axis of the scratch row [C, A, S]
@@ -106,31 +110,31 @@ def _make_kernel(T: int, N: int, C: int, model: SubstModel, tiny: float):
             if model == SubstModel.JC69:
                 return _p_entries_jc69(t_eff)
             if model == SubstModel.GTR:
-                eigw = tuple(eigw_ref[k] for k in range(4))
-                eigT = tuple(tuple(eigT_ref[i, k] for k in range(4))
-                             for i in range(4))
-                eigTi = tuple(tuple(eigTi_ref[k, j] for j in range(4))
-                              for k in range(4))
+                eigw = tuple(eigw_ref[0, 0, k] for k in range(4))
+                eigT = tuple(tuple(eigT_ref[0, 0, i * 4 + k]
+                                   for k in range(4)) for i in range(4))
+                eigTi = tuple(tuple(eigTi_ref[0, 0, k * 4 + j]
+                                    for j in range(4)) for k in range(4))
                 return _p_entries_gtr(t_eff, eigw, eigT, eigTi)
-            k1 = rates_ref[C]       # kappa1/kappa2 appended after rates
-            k2 = rates_ref[C + 1]
+            k1 = rates_ref[0, 0, C]  # kappa1/kappa2 appended after rates
+            k2 = rates_ref[0, 0, C + 1]
             return _p_entries_tn93(t_eff, fr, k1, k2)
 
         for k in range(T - 1):      # static unroll over levels
             @pl.when(k < nseq - 1)
             def _():
-                node = order_ref[k]
-                lc = left_ref[node]
-                rc = right_ref[node]
-                na = age_ref[node]
-                tl = jnp.maximum(na - age_ref[lc], 0.0) * mu
-                tr = jnp.maximum(na - age_ref[rc], 0.0) * mu
+                node = order_ref[0, 0, k]
+                lc = left_ref[0, 0, node]
+                rc = right_ref[0, 0, node]
+                na = age_ref[0, 0, node]
+                tl = jnp.maximum(na - age_ref[0, 0, lc], 0.0) * mu
+                tr = jnp.maximum(na - age_ref[0, 0, rc], 0.0) * mu
 
-                xl = clv[lc]         # [C*A padded? no: (C, A, S)] -> below
+                xl = clv[lc]                              # [C, A, S]
                 xr = clv[rc]
                 ys = []
                 for c in range(C):
-                    rate = rates_ref[c]
+                    rate = rates_ref[0, 0, c]
                     Pl = p_entries(tl * rate)
                     Pr = p_entries(tr * rate)
                     for a in range(4):
@@ -145,14 +149,15 @@ def _make_kernel(T: int, N: int, C: int, model: SubstModel, tiny: float):
                 cum[0] = cum[0] + jnp.log(m[0, 0])
 
         # root = order[nseq - 2] (or tip 0 for single-sequence loci)
-        root = jnp.where(nseq >= 2, order_ref[jnp.maximum(nseq - 2, 0)], 0)
+        root = jnp.where(nseq >= 2,
+                         order_ref[0, 0, jnp.maximum(nseq - 2, 0)], 0)
         slab = clv[root]                                   # [C, A, S]
         acc = jnp.zeros_like(slab[0, 0])
         for c in range(C):
             for a in range(4):
                 acc = acc + fr[a] * slab[c, a]
         acc = acc * (1.0 / C)
-        out_ref[0] = jnp.log(jnp.maximum(acc, tiny)) + cum[0]
+        out_ref[0, 0] = jnp.log(jnp.maximum(acc, tiny)) + cum[0]
 
     return kernel
 
@@ -174,56 +179,40 @@ def site_logl_pallas(order, left, right, n_seq, age, mu, rates_kappa,
     kernel = _make_kernel(T, N, C, model, tiny)
     n_tiles = S // S_TILE
 
-    grid_spec = pl.GridSpec(
+    # per-locus parameter arrays are reshaped [L, 1, X] and fed as
+    # (1, 1, X) SMEM blocks: block dims (1, X) match the trailing array
+    # dims exactly, satisfying the TPU "(8, 128)-divisible or full-dim"
+    # rule, and SMEM holds only one locus row per grid cell (whole-array
+    # scalar prefetch blows the 1 MB SMEM budget past ~500 loci)
+    def smem_spec(x):
+        return pl.BlockSpec((1, 1, x.shape[2]), lambda l, s: (l, 0, 0),
+                            memory_space=pltpu.SMEM)
+
+    def r3(a):
+        return a.reshape(L, 1, -1)
+
+    smem_args = [r3(order.astype(jnp.int32)), r3(left.astype(jnp.int32)),
+                 r3(right.astype(jnp.int32)), r3(n_seq.astype(jnp.int32)),
+                 r3(age), r3(mu), r3(rates_kappa), r3(freqs), r3(eigw),
+                 r3(eigT), r3(eigTi)]
+    in_specs = [smem_spec(a) for a in smem_args] + [
+        pl.BlockSpec((1, T, A, S_TILE), lambda l, s: (l, 0, 0, s)),
+    ]
+
+    import os
+    interpret = os.environ.get("BPP_TPU_PALLAS") == "interpret"
+    out = pl.pallas_call(
+        kernel,
         grid=(L, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, order.shape[1]), lambda l, s: (l, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N), lambda l, s: (l, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N), lambda l, s: (l, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda l, s: (l, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N), lambda l, s: (l, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda l, s: (l, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, C + 2), lambda l, s: (l, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda l, s: (l, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda l, s: (l, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4, 4), lambda l, s: (l, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4, 4), lambda l, s: (l, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, T, A, S_TILE), lambda l, s: (l, 0, 0, s),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, S_TILE), lambda l, s: (l, s),
-                               memory_space=pltpu.VMEM),
-    )
-
-    def squeeze_kernel(order_ref, left_ref, right_ref, n_seq_ref, age_ref,
-                       mu_ref, rates_ref, freqs_ref, eigw_ref, eigT_ref,
-                       eigTi_ref, tips_ref, out_ref, clv, cum):
-        inner = _make_kernel(T, N, C, model, tiny)
-        inner(order_ref.at[0], left_ref.at[0], right_ref.at[0],
-              n_seq_ref.at[0], age_ref.at[0], mu_ref.at[0],
-              rates_ref.at[0], freqs_ref.at[0], eigw_ref.at[0],
-              eigT_ref.at[0], eigTi_ref.at[0],
-              tips_ref, out_ref, clv, cum)
-
-    return pl.pallas_call(
-        squeeze_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((L, S), tips.dtype),
+        in_specs=in_specs,
+        # out is [L, 1, S]: a (1, 1, S_TILE) block satisfies the tiling
+        # rule where a 2-D (1, S_TILE) cannot
+        out_specs=pl.BlockSpec((1, 1, S_TILE), lambda l, s: (l, 0, s)),
+        out_shape=jax.ShapeDtypeStruct((L, 1, S), tips.dtype),
         scratch_shapes=[
             pltpu.VMEM((N, C, 4, S_TILE), tips.dtype),
             pltpu.VMEM((1, S_TILE), tips.dtype),
         ],
-    )(order.astype(jnp.int32), left.astype(jnp.int32),
-      right.astype(jnp.int32), n_seq.reshape(L, 1).astype(jnp.int32),
-      age, mu.reshape(L, 1), rates_kappa, freqs, eigw, eigT, eigTi, tips)
+        interpret=interpret,
+    )(*smem_args, tips)
+    return out.reshape(L, S)

@@ -64,6 +64,10 @@ def init_tau_theta(cfg: BppConfig, st: SpeciesTree, rng: np.random.Generator,
     if active[root]:
         st.tau[root] = tau0
 
+    if st.n_hybrids > 0:
+        _init_tau_network(cfg, st, rng, prop)
+        return
+
     def rec(i: int):
         for ch in (st.left[i], st.right[i]):
             if ch < st.n_tips:
@@ -76,6 +80,81 @@ def init_tau_theta(cfg: BppConfig, st: SpeciesTree, rng: np.random.Generator,
             rec(ch)
 
     rec(root)
+
+
+def _init_tau_network(cfg: BppConfig, st: SpeciesTree,
+                      rng: np.random.Generator, prop: float) -> None:
+    """MSC-I network tau initialization (stree.c:1290-1342 fixpoint).
+
+    Hybridization taus must sit below BOTH parents; tau of a hinner and
+    its mirror are always equal; an htau == 0 annotation ties the
+    parent's tau to the hybrid's.
+    """
+    pending = object()
+    n = st.n_nodes
+    ns = st.n_tips
+    vals = [pending] * n
+    for i in range(ns):
+        vals[i] = 0.0
+    vals[st.root] = st.tau[st.root]
+
+    def frac():
+        return prop + (1 - prop) * (0.2 + 0.1 * rng.random())
+
+    mirror_start = ns + st.n_inner
+    # parents whose tau is tied to a hybridization below (htau == 0)
+    # must not be assigned by the plain parent*frac rule
+    tied = set()
+    for i in range(ns, n):
+        if st.hindex[i] >= 0 and not st.htau[i]:
+            tied.add(int(st.parent[i]))
+    for _ in range(4 * n):          # fixpoint: bounded passes
+        progressed = False
+        for i in range(ns, n):
+            if vals[i] is not pending:
+                continue
+            if st.hindex[i] >= 0 and i < mirror_start:
+                # hinner: needs the effective upper age from both sides
+                mir = st.hybrid[i]
+
+                def upper(side):
+                    p = st.parent[side]
+                    if st.htau[side]:
+                        return vals[p]
+                    # parent tau will be tied to ours: bound by grandparent
+                    gp = st.parent[p]
+                    return vals[gp] if gp >= 0 else vals[p]
+
+                u1, u2 = upper(i), upper(mir)
+                if u1 is pending or u2 is pending:
+                    continue
+                t = min(u1, u2) * frac()
+                vals[i] = vals[mir] = t
+                if not st.htau[i]:
+                    vals[st.parent[i]] = t
+                if not st.htau[mir]:
+                    vals[st.parent[mir]] = t
+                progressed = True
+            elif st.hindex[i] >= 0:
+                continue            # mirror: set with its hinner
+            else:
+                p = st.parent[i]
+                if p == -1 or i in tied or vals[i] is not pending:
+                    continue
+                if vals[p] is pending:
+                    continue
+                vals[i] = vals[p] * frac()
+                progressed = True
+        if all(v is not pending for v in vals):
+            break
+        if not progressed:
+            # a tied-parent chain: some normal node's value is produced
+            # by a hybridization below it; keep iterating only while the
+            # hybrid assignments above can still fire
+            continue
+    if any(v is pending for v in vals):
+        raise ValueError("could not initialize network taus (cyclic ties?)")
+    st.tau[:] = vals
 
 
 def load_run(cfg: BppConfig, pad_loci_to: int | None = None) -> RunData:

@@ -125,6 +125,7 @@ class SampleLog:
     logpr: list = field(default_factory=list)
     sptrees: list = field(default_factory=list)   # (left, right, parent) per
                                                   # sample; A01/A11 only
+    phi: list = field(default_factory=list)       # [H]; MSC-I only
 
     def arrays(self):
         return (np.asarray(self.gen), np.stack(self.theta),
@@ -143,26 +144,56 @@ class Engine:
             raise NotImplementedError(
                 "only speciesmodelprior = 1 (uniform labeled histories) is "
                 "implemented")
+        if run.stree.n_hybrids > 0 and (cfg.est_delimit or cfg.est_stree):
+            # matches the reference: msci is A00-only (method.c guards)
+            raise NotImplementedError(
+                "species delimitation / species-tree search cannot be "
+                "combined with an MSC-I network")
         self.seed = seed if seed is not None else (
             cfg.seed if cfg.seed > 0 else np.random.SeedSequence().entropy % (2**31))
         batch = run.batch
 
         dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
         self.dtype = dtype
+        tip_partials = fe.tip_partials_from_codes(
+            jnp.asarray(batch.tip_codes), dtype=dtype)
         self.ctx = Ctx(
-            tip_partials=fe.tip_partials_from_codes(
-                jnp.asarray(batch.tip_codes), dtype=dtype),
+            tip_partials=tip_partials,
             weights=jnp.asarray(batch.weights, dtype),
             res_map=jnp.asarray(batch.res_map),
             res_count=jnp.asarray(batch.res_count),
             n_seq=jnp.asarray(batch.n_seq),
             tip_pop=jnp.asarray(batch.tip_pop),
             locus_mask=jnp.asarray(batch.locus_mask),
+            tips_am=self._build_tips_am(tip_partials),
         )
         self._logl_fn = make_logl_fn(self.ctx, cfg)
         self._logpr_fn = make_logpr_fn(self.ctx)
         self._step_jit = jax.jit(self._step)
         self._chunk_jit = jax.jit(self._chunk, static_argnums=2)
+
+    def _build_tips_am(self, tip_partials):
+        """A-major, 128-padded tip partials for the Pallas likelihood
+        kernel, or None when the XLA path should be used.
+
+        Pallas runs on the TPU backend with float32 state only (TPU f64
+        is unsupported in Mosaic); BPP_TPU_PALLAS=0 forces XLA off it,
+        =interpret enables the kernel in interpreter mode on CPU (tests).
+        """
+        import os
+        knob = os.environ.get("BPP_TPU_PALLAS", "auto")
+        if knob == "0" or not self.cfg.usedata:
+            return None
+        on_tpu = jax.default_backend() == "tpu"
+        if not (knob == "interpret" or (on_tpu and self.dtype == jnp.float32)):
+            return None
+        L, T, S, A = tip_partials.shape
+        S128 = -(-S // 128) * 128
+        am = jnp.transpose(tip_partials, (0, 1, 3, 2))       # [L, T, A, S]
+        # padding columns behave like all-ambiguous sites (all-ones
+        # partials); they are never gathered by res_map
+        return jnp.pad(am, ((0, 0), (0, 0), (0, 0), (0, S128 - S)),
+                       constant_values=1.0)
 
     # --- state construction ---------------------------------------------------
 
@@ -259,8 +290,20 @@ class Engine:
         state, (p, a) = moves.theta_move(ctx, cfg, state, keys[2])
         stats = stats.at[MV_THETA].add(jnp.stack([p, a]))
 
-        state, (p, a) = moves.tau_move(ctx, cfg, state, keys[3])
-        stats = stats.at[MV_TAU].add(jnp.stack([p, a]))
+        if self.run.stree.n_hybrids > 0:
+            from . import msci_moves
+            from .state import MV_HPATH, MV_PHI
+            state, (p, a) = msci_moves.tau_move_net(ctx, cfg, state, keys[3])
+            stats = stats.at[MV_TAU].add(jnp.stack([p, a]))
+            state, (p, a) = msci_moves.repath_move(
+                ctx, cfg, state, jax.random.fold_in(keys[3], 1))
+            stats = stats.at[MV_HPATH].add(jnp.stack([p, a]))
+            state, (p, a) = msci_moves.phi_gibbs_move(
+                ctx, cfg, state, jax.random.fold_in(keys[3], 2))
+            stats = stats.at[MV_PHI].add(jnp.stack([p, a]))
+        else:
+            state, (p, a) = moves.tau_move(ctx, cfg, state, keys[3])
+            stats = stats.at[MV_TAU].add(jnp.stack([p, a]))
 
         state, (p, a) = moves.mixing_move(ctx, cfg, state, keys[4])
         stats = stats.at[MV_MIX].add(jnp.stack([p, a]))
@@ -402,6 +445,8 @@ class Engine:
                 log.tau.append(np.asarray(state.sp.tau))
                 log.lnL.append(float(np.asarray(state.logl).sum()))
                 log.logpr.append(float(np.asarray(state.logpr).sum()))
+                if state.sp.phi is not None:
+                    log.phi.append(np.asarray(state.sp.phi))
                 if cfg.est_stree:
                     log.sptrees.append((np.asarray(state.sp.left),
                                         np.asarray(state.sp.right),

@@ -25,7 +25,7 @@ from ..config import BppConfig, PriorDist
 from ..trees import coalescent as coalmod
 from ..trees.gtree import (
     BIG_AGE, GTrees, SpeciesArrays, assign_populations, lift_population,
-    mrca_species, topo_scan,
+    lift_population_net, mrca_species, topo_scan,
 )
 from ..core.incremental import ClvCache, stale_walk
 from . import rng
@@ -244,7 +244,7 @@ def spr_sweep(ctx: Ctx, cfg: BppConfig, state: McmcState, key,
         # father's new age (also when no topology change)
         na = write(na, ok, father_s, tnew)
 
-        gtn = GTrees(nl, nr, np_, na)
+        gtn = GTrees(nl, nr, np_, na, state.gt.hpath)
         # stale chains: B = father (new children/age); A = old grandparent
         # (its children changed by the detach), where a detach happened
         activeA = do_topo & has_gp
@@ -282,7 +282,8 @@ def spr_sweep(ctx: Ctx, cfg: BppConfig, state: McmcState, key,
     (left, right, parent, age, cache, logl, logpr, nprop, nacc), _ = \
         jax.lax.scan(step, init, (iters, keys))
     new_state = state._replace(
-        gt=GTrees(left, right, parent, age), logl=logl, logpr=logpr)
+        gt=GTrees(left, right, parent, age, state.gt.hpath), logl=logl,
+        logpr=logpr)
     return new_state, (nprop, nacc), cache
 
 
@@ -481,7 +482,15 @@ def mixing_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     lnc = eps * rng.bactrian(k1, dtype=eps.dtype)
     c = jnp.exp(lnc)
 
-    tau_count = jnp.sum(sp.tau[NS:] > 0) if NS > 1 else jnp.zeros((), jnp.int32)
+    if sp.is_network:
+        # only FREE taus count as dimensions (mirrors and htau==0-tied
+        # parents shadow the hybridization tau; prop_mixing.c tau_count
+        # via prop_tau flags)
+        tau_count = jnp.sum((sp.tau > 0) & sp.tau_free)
+    elif NS > 1:
+        tau_count = jnp.sum(sp.tau[NS:] > 0)
+    else:
+        tau_count = jnp.zeros((), jnp.int32)
     inner_count = _psum_if_sharded(
         jnp.sum(jnp.where(ctx.locus_mask, ctx.n_seq - 1, 0)))
     lnacc = (tau_count + inner_count) * lnc
@@ -494,8 +503,8 @@ def mixing_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     # root-tau prior ratio (prop_mixing.c:520-540); absent when the root
     # is collapsed (A10 one-species state: no tau exists to re-prior)
     if NS > 1:
-        rt_old = sp.tau[H - 1]
-        rt_new = tau_new[H - 1]
+        rt_old = sp.tau[sp.root]
+        rt_new = tau_new[sp.root]
         rts = jnp.maximum(rt_old, 1e-300)
         rtn = jnp.maximum(rt_new, 1e-300)
         if gamma_tau:
@@ -579,7 +588,7 @@ def age_block_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     logl_fn = make_logl_fn(ctx, cfg)
     logpr_fn = make_logpr_fn(ctx)
     eps = state.finetune[FT_GTAGE]
-    msp = mrca_species(gt, sp, ctx.tip_pop)
+    msp = None if sp.is_network else mrca_species(gt, sp, ctx.tip_pop)
     depths = node_depths(gt)
     inner_valid = (nodes_idx >= T) & (nodes_idx < T + ctx.n_seq[:, None] - 1)
 
@@ -596,10 +605,16 @@ def age_block_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
         la = jnp.take_along_axis(age, lc, 1)
         ra = jnp.take_along_axis(age, rc, 1)
-        pop_lc = lift_population(sp, msp[lidx[:, None], lc], la)
-        pop_rc = lift_population(sp, msp[lidx[:, None], rc], ra)
-        mrca_pop = sp.mrca[pop_lc, pop_rc]
-        minage = jnp.maximum(jnp.maximum(la, ra), sp.tau[mrca_pop])
+        if sp.is_network:
+            # no species-MRCA lower bound on a network: an age crossing
+            # below the children's convergence population simply breaks
+            # route consistency and is rejected by the -inf indicator
+            minage = jnp.maximum(la, ra)
+        else:
+            pop_lc = lift_population(sp, msp[lidx[:, None], lc], la)
+            pop_rc = lift_population(sp, msp[lidx[:, None], rc], ra)
+            mrca_pop = sp.mrca[pop_lc, pop_rc]
+            minage = jnp.maximum(jnp.maximum(la, ra), sp.tau[mrca_pop])
         par_s = jnp.maximum(gt.parent, 0)
         maxage = jnp.where(gt.parent >= 0,
                            jnp.take_along_axis(age, par_s, 1), MAXAGE_CAP)
@@ -651,9 +666,14 @@ def spr_round_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     sel, _ = _select_uniform(ksel, cand_mask)
     i = sel                                                       # [L]
 
-    msp = mrca_species(gt0, sp, ctx.tip_pop)
+    from ..trees.gtree import assign_populations, edge_passes
     leaves = leaf_counts(gt0, ctx.n_seq)
-    pops = lift_population(sp, msp, jnp.clip(age, 0.0, BIG_AGE * 0.5))
+    if sp.is_network:
+        pops = assign_populations(gt0, sp, ctx.tip_pop)
+        passes = edge_passes(gt0, sp, pops)                   # [L, N, H]
+    else:
+        msp = mrca_species(gt0, sp, ctx.tip_pop)
+        pops = lift_population(sp, msp, jnp.clip(age, 0.0, BIG_AGE * 0.5))
 
     father = parent[lidx, i]
     is_valid = (father >= 0) & ctx.locus_mask
@@ -663,15 +683,24 @@ def spr_round_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
     cur_pop = pops[lidx, i]
     i_leaves = leaves[lidx, i]
-    cand = sp.pptable[cur_pop] & (glv > i_leaves[:, None])
-    score = jnp.where(cand, depth[None, :], -1)
-    pop_min = jnp.argmax(score, axis=1)
-    minage = jnp.maximum(age[lidx, i], sp.tau[pop_min])
+    if sp.is_network:
+        # minage = pruned node's own age; infeasible reattach heights
+        # reject via tcount == 0 / the route-consistency indicator
+        minage = age[lidx, i]
+    else:
+        cand = sp.pptable[cur_pop] & (glv > i_leaves[:, None])
+        score = jnp.where(cand, depth[None, :], -1)
+        pop_min = jnp.argmax(score, axis=1)
+        minage = jnp.maximum(age[lidx, i], sp.tau[pop_min])
 
     f_age = age[lidx, father_s]
     tnew = rng.reflect(f_age + eps * rng.bactrian(k1, (L,), dtype=eps.dtype),
                        minage, MAXAGE_CAP)
-    pop_target = lift_population(sp, cur_pop, tnew)
+    if sp.is_network:
+        pop_target = lift_population_net(sp, cur_pop, tnew,
+                                         gt0.hpath[lidx, i])
+    else:
+        pop_target = lift_population(sp, cur_pop, tnew)
 
     page = jnp.where(parent >= 0,
                      jnp.take_along_axis(age, jnp.maximum(parent, 0), 1),
@@ -681,7 +710,11 @@ def spr_round_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         axis=1).astype(jnp.int32)
     root_age = age[lidx, order_root]
     spans = (age <= tnew[:, None]) & (tnew[:, None] < page)
-    in_pop = sp.pptable[pops, pop_target[:, None]]
+    if sp.is_network:
+        in_pop = jnp.take_along_axis(
+            passes, pop_target[:, None, None], axis=2)[..., 0]
+    else:
+        in_pop = sp.pptable[pops, pop_target[:, None]]
     tmask = (valid_nodes & spans & in_pop
              & (nodes_idx != i[:, None])
              & (nodes_idx != order_root[:, None]))
@@ -693,7 +726,11 @@ def spr_round_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
     f_pop = pops[lidx, father_s]
     sspans = (age <= f_age[:, None]) & (f_age[:, None] < page)
-    s_in_pop = sp.pptable[pops, f_pop[:, None]]
+    if sp.is_network:
+        s_in_pop = jnp.take_along_axis(
+            passes, f_pop[:, None, None], axis=2)[..., 0]
+    else:
+        s_in_pop = sp.pptable[pops, f_pop[:, None]]
     smask = (valid_nodes & sspans & s_in_pop
              & (nodes_idx != i[:, None]) & (nodes_idx != order_root[:, None])
              & (nodes_idx != sibling[:, None])
@@ -738,7 +775,7 @@ def spr_round_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     # father age update (also for the no-topology-change case)
     na = write(na, ok, father_s, tnew)
 
-    gtn = GTrees(nl, nr, np_, na)
+    gtn = GTrees(nl, nr, np_, na, state.gt.hpath)
     logl_new = logl_fn(gtn, state.subst)
     logpr_new, _, _ = logpr_fn(gtn, sp, state.subst.heredity)
     lnacc = (logl_new - logl) + (logpr_new - logpr) + jnp.log(
@@ -753,5 +790,6 @@ def spr_round_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     logpr = jnp.where(accept, logpr_new, logpr)
 
     new_state = state._replace(
-        gt=GTrees(left, right, parent, age), logl=logl, logpr=logpr)
+        gt=GTrees(left, right, parent, age, state.gt.hpath), logl=logl,
+        logpr=logpr)
     return new_state, (ok.sum(dtype=jnp.int32), accept.sum(dtype=jnp.int32))

@@ -1,0 +1,343 @@
+"""MSC-I (introgression network) moves: phi, network taus, hpath.
+
+Re-derivations of the reference's MSC-I proposal set on the derived
+route representation (gene-node populations are computed from ages +
+per-edge hybridization flags, never book-kept):
+
+  * phi Gibbs     — stree.c:1593 ``propose_phi_gibbs``: the full
+    conditional of phi given the routes is Beta(p + sum_l n_main,
+    q + sum_l n_mirror) because the density's phi terms are exactly
+    seqin_main*log(phi) + seqin_mirror*log(1-phi) per locus
+    (gtree.c:3925-3931); an exact Gibbs draw, always accepted.
+  * network tau slide — propose_tau (stree.c:5512) MSC-I variants
+    (stree.c:5544-5611) without the rubber band: plain symmetric slides
+    with full-density accept; hybridization taus move as one unit
+    (hinner + mirror + htau==0-tied parents).  Gene ages are untouched,
+    so the likelihood is unchanged.
+  * hpath repath  — the MSC-I part of propose_ages (gtree.c:4726-4905):
+    for blocks of independent coalescences, re-pick the node's
+    population uniformly among the candidates compatible with its age
+    (candidate counts cancel since ages are unchanged) and re-sample
+    the three incident edges' hybridization flags phi-weighted and
+    endpoint-conditioned (``sample_hpath`` gtree.c:4225); the Hastings
+    ratio is the reverse/forward path-proposal probability.  Ages and
+    topology are untouched, so the likelihood is unchanged — the move
+    only re-costs the MSC density.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BppConfig, PriorDist
+from ..trees import coalescent as coalmod
+from ..trees.gtree import (
+    SpeciesArrays, assign_populations, node_depths,
+)
+from . import rng
+from .state import Ctx, FT_TAU, McmcState, make_logpr_fn
+
+
+# --------------------------------------------------------------------------
+# phi Gibbs
+# --------------------------------------------------------------------------
+
+
+def phi_gibbs_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
+    """Exact Gibbs update of every hybridization's phi."""
+    gt, sp = state.gt, state.sp
+    HY = sp.n_hybrids
+    pops = assign_populations(gt, sp, ctx.tip_pop)
+    _, _, n_in = coalmod.per_pop_stats(gt, sp, pops, ctx.n_seq)
+    n_in = jnp.where(ctx.locus_mask[:, None], n_in, 0)
+    tot = n_in.sum(0)                                    # [H]
+    p0 = cfg.phiprior.alpha if cfg.phiprior else 1.0
+    q0 = cfg.phiprior.beta if cfg.phiprior else 1.0
+
+    hin = sp.hslot                                       # [HY]
+    mir = sp.hybrid[hin]
+    a = p0 + tot[hin].astype(sp.phi.dtype)
+    b = q0 + tot[mir].astype(sp.phi.dtype)
+    draw = jax.random.beta(key, a, b, dtype=sp.phi.dtype)
+    draw = jnp.clip(draw, 1e-9, 1.0 - 1e-9)
+    phi = sp.phi.at[hin].set(draw).at[mir].set(1.0 - draw)
+    sp_new = sp._replace(phi=phi)
+    # phi enters only the seqin*log(phi) terms; refresh cached logpr
+    logpr_fn = make_logpr_fn(ctx)
+    logpr_new, _, _ = logpr_fn(gt, sp_new, state.subst.heredity)
+    new_state = state._replace(sp=sp_new, logpr=logpr_new)
+    return new_state, (jnp.asarray(HY, jnp.int32), jnp.asarray(HY, jnp.int32))
+
+
+# --------------------------------------------------------------------------
+# network tau slide
+# --------------------------------------------------------------------------
+
+
+def tau_move_net(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
+    """Slide every free tau (normal inners + hybridization units).
+
+    Bounds: [max over non-moving children taus of the moving set,
+    min over non-moving parent taus].  No gene-age rubber band: plain
+    symmetric slide with full-density accept (route-consistency
+    rejections included).  Ages unchanged -> likelihood unchanged.
+    """
+    sp0 = state.sp
+    H = sp0.n_nodes
+    NS = sp0.n_tips
+    n_inner = H - NS - sp0.n_hybrids
+    logpr_fn = make_logpr_fn(ctx)
+    gamma_tau = cfg.tauprior.dist == PriorDist.GAMMA
+    a, b = cfg.tauprior.alpha, cfg.tauprior.beta
+    eps = state.finetune[FT_TAU]
+
+    def tied_group(h):
+        """[H] bool: taus that move together with node h's tau."""
+        grp = jax.nn.one_hot(h, H, dtype=jnp.bool_)
+        is_hin = sp0.hindex[h] >= 0
+        mir = jnp.where(is_hin, sp0.hybrid[h], h)
+        grp = grp | (jax.nn.one_hot(mir, H, dtype=jnp.bool_) & is_hin)
+        for side in (h, mir):
+            par = sp0.parent[side]
+            tie = is_hin & (par >= 0) & ~sp0.tau_free[jnp.maximum(par, 0)]
+            grp = grp | (jax.nn.one_hot(jnp.maximum(par, 0), H,
+                                        dtype=jnp.bool_) & tie)
+        return grp
+
+    def body(off, carry):
+        tau, logpr, kkey, nprop, nacc = carry
+        h = NS + off
+        kkey, k1, k2 = jax.random.split(kkey, 3)
+        free = sp0.tau_free[h]
+        grp = tied_group(h)                              # [H] moving taus
+        told = tau[h]
+
+        lc, rc = sp0.left, sp0.right
+        child_tau = jnp.maximum(
+            jnp.where((lc >= 0) & ~grp[jnp.maximum(lc, 0)],
+                      tau[jnp.maximum(lc, 0)], 0.0),
+            jnp.where((rc >= 0) & ~grp[jnp.maximum(rc, 0)],
+                      tau[jnp.maximum(rc, 0)], 0.0))
+        minage = jnp.max(jnp.where(grp, child_tau, 0.0))
+        par = sp0.parent
+        par_s = jnp.maximum(par, 0)
+        ptau = jnp.where((par >= 0) & ~grp[par_s], tau[par_s], jnp.inf)
+        maxage = jnp.min(jnp.where(grp, ptau, jnp.inf))
+        is_root = sp0.parent[h] < 0
+        maxage = jnp.where(jnp.isinf(maxage), 999.0, maxage)
+
+        tnew = rng.reflect(told + eps * rng.bactrian(k1, dtype=eps.dtype),
+                           minage, maxage)
+        tau_new = jnp.where(grp, tnew, tau)
+        logpr_new, _, _ = logpr_fn(state.gt, sp0._replace(tau=tau_new),
+                                   state.subst.heredity)
+
+        cand = jnp.sum((tau > 0) & sp0.tau_free).astype(tau.dtype)
+        if gamma_tau:
+            root_term = (a - 1.0 - cand + 1.0) * jnp.log(tnew / told) \
+                - b * (tnew - told)
+        else:
+            root_term = (-a - 1.0 - cand + 1.0) * jnp.log(tnew / told) \
+                - b * (1.0 / tnew - 1.0 / told)
+        lnacc = jnp.sum(logpr_new - logpr) \
+            + jnp.where(is_root, root_term, 0.0)
+
+        accept = rng.mh_accept(k2, lnacc) & free & (told > 0)
+        tau = jnp.where(accept, tau_new, tau)
+        logpr = jnp.where(accept, logpr_new, logpr)
+        nprop = nprop + free.astype(jnp.int32)
+        nacc = nacc + accept.astype(jnp.int32)
+        return (tau, logpr, kkey, nprop, nacc)
+
+    init = (sp0.tau, state.logpr, key,
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    tau, logpr, _, nprop, nacc = jax.lax.fori_loop(0, n_inner, body, init)
+    new_state = state._replace(sp=sp0._replace(tau=tau), logpr=logpr)
+    return new_state, (nprop, nacc)
+
+
+# --------------------------------------------------------------------------
+# hpath repath move
+# --------------------------------------------------------------------------
+
+
+def _sample_path(sp: SpeciesArrays, start, end, flags, u01):
+    """Resample edge flags along the walk start -> end (sample_hpath).
+
+    ``start``/``end``: int arrays [...]; ``flags`` int8 [..., HY] are
+    updated along the way.  At a hinner where BOTH sides reach ``end``
+    (network pptable), the main side is taken w.p. phi (contributing
+    log phi to the proposal density); a one-sided reach is forced (no
+    contribution).  ``u01`` are precomputed uniforms [..., HY] — each
+    hybridization slot is crossed at most once per edge, so using one
+    uniform per slot is exact.
+
+    Returns (flags_new, logq, failed).
+    """
+    H = sp.n_nodes
+    logq = jnp.zeros(start.shape, sp.phi.dtype)
+
+    def bodyf(carry, _):
+        p, flags, logq = carry
+        at_end = p == end
+        par = sp.parent[p]
+        par_s = jnp.maximum(par, 0)
+        hidx = sp.hindex[par_s]
+        is_hin = (hidx >= 0) & (par >= 0) & ~at_end
+        hclip = jnp.maximum(hidx, 0)
+        mir = sp.hybrid[par_s]
+        mir_s = jnp.maximum(mir, 0)
+        main_ok = sp.pptable[par_s, end]
+        mir_ok = sp.pptable[mir_s, end] & (mir >= 0)
+        both = is_hin & main_ok & mir_ok
+        u = jnp.take_along_axis(u01, hclip[..., None], axis=-1)[..., 0]
+        phi_m = sp.phi[par_s]
+        take_mirror = jnp.where(both, u >= phi_m, is_hin & ~main_ok)
+        newflag = jnp.where(take_mirror, 1, 0).astype(flags.dtype)
+        write = is_hin[..., None] & (
+            jnp.arange(flags.shape[-1]) == hclip[..., None])
+        flags = jnp.where(write, newflag[..., None], flags)
+        logq = logq + jnp.where(
+            both,
+            jnp.log(jnp.maximum(jnp.where(take_mirror, 1.0 - phi_m, phi_m),
+                                1e-300)),
+            0.0)
+        nxt = jnp.where(is_hin & take_mirror, mir_s, par_s)
+        p = jnp.where(at_end | (par < 0), p, nxt)
+        return (p, flags, logq), None
+
+    (p, flags, logq), _ = jax.lax.scan(
+        bodyf, (start, flags, logq), None, length=H)
+    return flags, logq, p != end
+
+
+def _replay_path(sp: SpeciesArrays, start, end, flags):
+    """Log proposal probability of an EXISTING path start -> end under
+    the phi-weighted scheme (sample_hpath_reverse, gtree.c:4342)."""
+    H = sp.n_nodes
+    logq = jnp.zeros(start.shape, sp.phi.dtype)
+
+    def bodyf(carry, _):
+        p, logq = carry
+        at_end = p == end
+        par = sp.parent[p]
+        par_s = jnp.maximum(par, 0)
+        hidx = sp.hindex[par_s]
+        is_hin = (hidx >= 0) & (par >= 0) & ~at_end
+        hclip = jnp.maximum(hidx, 0)
+        mir = sp.hybrid[par_s]
+        mir_s = jnp.maximum(mir, 0)
+        main_ok = sp.pptable[par_s, end]
+        mir_ok = sp.pptable[mir_s, end] & (mir >= 0)
+        both = is_hin & main_ok & mir_ok
+        flag = jnp.take_along_axis(flags, hclip[..., None], axis=-1)[..., 0]
+        take_mirror = is_hin & (flag == 1)
+        phi_m = sp.phi[par_s]
+        logq = logq + jnp.where(
+            both,
+            jnp.log(jnp.maximum(jnp.where(take_mirror, 1.0 - phi_m, phi_m),
+                                1e-300)),
+            0.0)
+        nxt = jnp.where(take_mirror, mir_s, par_s)
+        p = jnp.where(at_end | (par < 0), p, nxt)
+        return (p, logq), None
+
+    (p, logq), _ = jax.lax.scan(bodyf, (start, logq), None, length=H)
+    return logq, p != end
+
+
+def repath_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
+    """Blocked re-choice of coalescence populations + edge flags.
+
+    Two depth-parity phases: the edges touched by node u are exactly
+    those incident to u, and parity-blocks have disjoint incident edge
+    sets, so block members are independent.  Flags are written via
+    per-row gathers (each gene node's edge has at most one writer: its
+    parent if the parent is in the block, else itself), never scatters.
+    """
+    gt, sp = state.gt, state.sp
+    L, N, T = gt.n_loci, gt.n_nodes, gt.n_tips
+    HY = sp.n_hybrids
+    lidx = jnp.arange(L)[:, None]
+    nodes = jnp.arange(N)[None, :]
+    logpr_fn = make_logpr_fn(ctx)
+    depths = node_depths(gt)
+    inner_valid = (nodes >= T) & (nodes < T + ctx.n_seq[:, None] - 1)
+    tau = sp.tau
+    par_pop_tau = jnp.where(sp.parent >= 0,
+                            tau[jnp.maximum(sp.parent, 0)], jnp.inf)
+
+    hpath = gt.hpath
+    logpr = state.logpr
+    nprop = jnp.zeros((), jnp.int32)
+    nacc = jnp.zeros((), jnp.int32)
+
+    for phase in (0, 1):
+        key, kc, ku, ka = jax.random.split(key, 4)
+        mask = inner_valid & (depths % 2 == phase) & ctx.locus_mask[:, None]
+        gtc = gt._replace(hpath=hpath)
+        pops = assign_populations(gtc, sp, ctx.tip_pop)
+
+        lc = jnp.maximum(gt.left, 0)
+        rc = jnp.maximum(gt.right, 0)
+        pop_lc = pops[lidx, lc]
+        pop_rc = pops[lidx, rc]
+        par_s = jnp.maximum(gt.parent, 0)
+        pop_pu = jnp.where(gt.parent >= 0, pops[lidx, par_s], sp.root)
+        age = gt.age
+
+        # candidate pops for node u at its (unchanged) age: reachable
+        # from both children's pops, time interval contains the age,
+        # and the parent's pop reachable onward (gtree.c:4740-4757)
+        reach_l = sp.pptable[pop_lc]                     # [L, N, H]
+        reach_r = sp.pptable[pop_rc]
+        has_time = (tau <= age[..., None]) & (age[..., None] < par_pop_tau)
+        reach_par = sp.pptable.T[pop_pu]                 # [L,N,H]: pp[x,pu]
+        cand = reach_l & reach_r & has_time & reach_par
+        ccount = cand.sum(-1)
+        logits = jnp.where(cand, 0.0, -1e30)
+        choice = jax.random.categorical(kc, logits, axis=-1).astype(jnp.int32)
+
+        # forward path resampling for the three incident edges of u
+        u01 = jax.random.uniform(ku, (L, N, 3, HY), dtype=sp.phi.dtype)
+        fl_l, ql_f, bad_l = _sample_path(sp, pop_lc, choice,
+                                         hpath[lidx, lc], u01[:, :, 0])
+        fl_r, qr_f, bad_r = _sample_path(sp, pop_rc, choice,
+                                         hpath[lidx, rc], u01[:, :, 1])
+        fl_u, qu_f, bad_u = _sample_path(sp, choice, pop_pu,
+                                         hpath, u01[:, :, 2])
+        # reverse: replay the OLD paths toward the OLD pop
+        old_pop = pops
+        ql_r, _ = _replay_path(sp, pop_lc, old_pop, hpath[lidx, lc])
+        qr_r, _ = _replay_path(sp, pop_rc, old_pop, hpath[lidx, rc])
+        qu_r, _ = _replay_path(sp, old_pop, pop_pu, hpath)
+
+        ok = mask & (ccount > 0) & ~(bad_l | bad_r | bad_u)
+
+        # per-row gather of the (unique) writer's resampled flags:
+        # row r's edge is rewritten by its parent (r as child) when the
+        # parent is an ok block node, else by r itself when ok
+        pr = jnp.maximum(gt.parent, 0)
+        has_pr = gt.parent >= 0
+        pok = ok[lidx, pr] & has_pr
+        r_is_lc = gt.left[lidx, pr] == nodes
+        from_parent = jnp.where(r_is_lc[..., None],
+                                fl_l[lidx, pr], fl_r[lidx, pr])
+        hp_new = jnp.where(pok[..., None], from_parent,
+                           jnp.where(ok[..., None], fl_u, hpath))
+
+        q_fwd = jnp.sum(jnp.where(ok, ql_f + qr_f + qu_f, 0.0), axis=-1)
+        q_rev = jnp.sum(jnp.where(ok, ql_r + qr_r + qu_r, 0.0), axis=-1)
+
+        gtn = gt._replace(hpath=hp_new)
+        logpr_new, _, _ = logpr_fn(gtn, sp, state.subst.heredity)
+        lnacc = (logpr_new - logpr) + (q_rev - q_fwd)
+        accept = rng.mh_accept(ka, lnacc) & ctx.locus_mask & ok.any(1)
+        hpath = jnp.where(accept[:, None, None], hp_new, hpath)
+        logpr = jnp.where(accept, logpr_new, logpr)
+        nprop = nprop + (ctx.locus_mask & ok.any(1)).sum(dtype=jnp.int32)
+        nacc = nacc + accept.sum(dtype=jnp.int32)
+
+    new_state = state._replace(gt=gt._replace(hpath=hpath), logpr=logpr)
+    return new_state, (nprop, nacc)

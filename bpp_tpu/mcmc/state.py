@@ -52,7 +52,8 @@ MV_PHI = 9
 MV_RJ = 10
 MV_SSPR = 11
 MV_SNL = 12
-N_MOVES = 13
+MV_HPATH = 13
+N_MOVES = 14
 
 
 class SubstState(NamedTuple):
@@ -163,13 +164,27 @@ def make_logl_fn(ctx: Ctx, cfg: BppConfig):
 
 
 def make_logpr_fn(ctx: Ctx):
-    """Returns logpr(gt, sp) -> ([L], coal [L,H], T2h [L,H])."""
+    """Returns logpr(gt, sp) -> ([L], coal [L,H], T2h [L,H]).
+
+    For MSC-I networks the density adds the per-hybridization
+    seqin*log(phi) terms (gtree.c:3925-3931) and an -inf validity
+    indicator when a coalescence's two child routes disagree (the
+    reference maintains that invariant structurally; here inconsistent
+    proposals are simply rejected)."""
 
     def logpr_fn(gt: GTrees, sp: SpeciesArrays, heredity):
         pops = assign_populations(gt, sp, ctx.tip_pop)
-        c, t2, _ = coal.per_pop_stats(gt, sp, pops, ctx.n_seq)
+        c, t2, n_in = coal.per_pop_stats(gt, sp, pops, ctx.n_seq)
         contrib = coal.msc_contrib(c, t2, sp.theta, heredity)
-        lp = jnp.where(ctx.locus_mask, contrib.sum(1), 0.0)
+        lp = contrib.sum(1)
+        if sp.is_network:
+            from ..trees.gtree import route_consistent
+            lphi = jnp.where(sp.hindex >= 0,
+                             jnp.log(jnp.maximum(sp.phi, 1e-300)), 0.0)
+            lp = lp + jnp.sum(n_in * lphi[None, :], axis=1)
+            ok = route_consistent(gt, sp, pops, ctx.n_seq)
+            lp = jnp.where(ok, lp, -jnp.inf)
+        lp = jnp.where(ctx.locus_mask, lp, 0.0)
         return lp, c, t2
 
     return logpr_fn

@@ -17,7 +17,8 @@ from .trees.stree import SpeciesTree
 
 
 def bpp_inner_order(st: SpeciesTree) -> list[int]:
-    """Inner nodes in BPP output order: pre-order from the root."""
+    """Non-mirror inner nodes in BPP output order: pre-order from the
+    root (MSC-I hinner nodes are unary: right == -1)."""
     order = []
 
     def rec(i: int):
@@ -25,7 +26,8 @@ def bpp_inner_order(st: SpeciesTree) -> list[int]:
             return
         order.append(i)
         rec(st.left[i])
-        rec(st.right[i])
+        if st.right[i] != -1:
+            rec(st.right[i])
 
     if st.n_tips > 1:
         rec(st.root)
@@ -33,10 +35,16 @@ def bpp_inner_order(st: SpeciesTree) -> list[int]:
 
 
 def node_label(st: SpeciesTree, i: int) -> str:
+    """Reference-style node name: the newick label when one was given,
+    else the comma-join of the child labels (method.c print headers)."""
+    if st.labels is not None and st.labels[i]:
+        return st.labels[i]
     if i < st.n_tips:
         return st.names[i]
-    tips = [t for t in range(st.n_tips) if st.pptable()[t, i]]
-    return ",".join(st.names[t] for t in sorted(tips))
+    parts = [node_label(st, int(st.left[i]))]
+    if st.right[i] != -1:
+        parts.append(node_label(st, int(st.right[i])))
+    return ",".join(parts)
 
 
 class McmcWriter:
@@ -49,9 +57,15 @@ class McmcWriter:
         self.fp = open(path, "a" if append else "w")
         self.inner = bpp_inner_order(st)
         self._anc = st.pptable()
-        # node output order: all nodes with theta (tips then inner pre-order)
-        self.theta_nodes = list(range(st.n_tips)) + self.inner
+        # node output order: all nodes with theta (tips, inner pre-order,
+        # then MSC-I mirror nodes); mirrors carry no tau column (tied)
+        mirrors = list(range(st.n_tips + st.n_inner, st.n_nodes))
+        self.theta_nodes = list(range(st.n_tips)) + self.inner + mirrors
         self.tau_nodes = list(self.inner)
+        # phi columns: one per hybridization, logged as the hinner phi
+        # (method.c:1928-1936 "phi:h<-p:lab<-lab")
+        self.phi_nodes = [i for i in self.inner
+                          if st.hindex is not None and st.hindex[i] >= 0]
         if not append:
             self._write_header()
         else:
@@ -60,21 +74,26 @@ class McmcWriter:
                 cols.append(f"theta:{self._bpp_index(i)}:{self._label(i)}")
             for i in self.tau_nodes:
                 cols.append(f"tau:{self._bpp_index(i)}:{self._label(i)}")
+            for i in self.phi_nodes:
+                p = int(self.st.parent[i])
+                cols.append(f"phi:{self._bpp_index(i)}<-{self._bpp_index(p)}"
+                            f":{self._label(i)}<-{self._label(p)}")
             cols.append("lnL")
             self.columns = cols
 
     def _bpp_index(self, i: int) -> int:
         """1-based output index: tips keep their index; inner nodes are
-        numbered NS+1.. in pre-order."""
-        if i < self.st.n_tips:
+        numbered NS+1.. in pre-order; mirrors follow the inner nodes."""
+        st = self.st
+        if i < st.n_tips:
             return i + 1
-        return self.st.n_tips + 1 + self.inner.index(i)
+        if i >= st.n_tips + st.n_inner:          # mirror
+            return st.n_tips + len(self.inner) + 1 + (
+                i - st.n_tips - st.n_inner)
+        return st.n_tips + 1 + self.inner.index(i)
 
     def _label(self, i: int) -> str:
-        if i < self.st.n_tips:
-            return self.st.names[i]
-        tips = [t for t in range(self.st.n_tips) if self._anc[t, i]]
-        return ",".join(self.st.names[t] for t in sorted(tips))
+        return node_label(self.st, i)
 
     def _write_header(self):
         cols = ["Gen"]
@@ -82,15 +101,20 @@ class McmcWriter:
             cols.append(f"theta:{self._bpp_index(i)}:{self._label(i)}")
         for i in self.tau_nodes:
             cols.append(f"tau:{self._bpp_index(i)}:{self._label(i)}")
+        for i in self.phi_nodes:
+            p = int(self.st.parent[i])
+            cols.append(f"phi:{self._bpp_index(i)}<-{self._bpp_index(p)}"
+                        f":{self._label(i)}<-{self._label(p)}")
         cols.append("lnL")
         self.fp.write("\t".join(cols) + "\n")
         self.columns = cols
 
     def write_sample(self, gen: int, theta: np.ndarray, tau: np.ndarray,
-                     lnl: float):
+                     lnl: float, phi: np.ndarray | None = None):
         vals = [str(gen)]
         vals += [f"{theta[i]:.6f}" for i in self.theta_nodes]
         vals += [f"{tau[i]:.6f}" for i in self.tau_nodes]
+        vals += [f"{phi[i]:.6f}" for i in self.phi_nodes]
         vals.append(f"{lnl:.3f}")
         self.fp.write("\t".join(vals) + "\n")
 
@@ -143,10 +167,10 @@ def read_mcmc_samples(cfg: BppConfig, st: SpeciesTree, path: str):
     """Parse a <jobname>.mcmc.txt back into sample arrays (resume path:
     the summary must cover pre-checkpoint samples too).
 
-    Returns (gen, theta [n,H], tau [n,H], lnl, sptrees) with sptrees a
-    list of (left, right, parent) for A01/A11 else [].
+    Returns (gen, theta [n,H], tau [n,H], lnl, sptrees, phi [n,H]|None)
+    with sptrees a list of (left, right, parent) for A01/A11 else [].
     """
-    H = 2 * st.n_tips - 1
+    H = st.n_nodes
     gen, thetas, taus, lnls, sptrees = [], [], [], [], []
     if cfg.est_stree:
         from .io.newick import parse_newick
@@ -187,11 +211,15 @@ def read_mcmc_samples(cfg: BppConfig, st: SpeciesTree, path: str):
                 sptrees.append((left, right, parent))
         return (np.asarray(gen), np.stack(thetas) if thetas else
                 np.zeros((0, H)), np.stack(taus) if taus else
-                np.zeros((0, H)), np.asarray(lnls), sptrees)
+                np.zeros((0, H)), np.asarray(lnls), sptrees, None)
 
     inner = bpp_inner_order(st)
-    theta_nodes = list(range(st.n_tips)) + inner
+    mirrors = list(range(st.n_tips + st.n_inner, st.n_nodes))
+    theta_nodes = list(range(st.n_tips)) + inner + mirrors
     tau_nodes = list(inner)
+    phi_nodes = [i for i in inner
+                 if st.hindex is not None and st.hindex[i] >= 0]
+    phis = []
     with open(path) as fh:
         header = fh.readline()
         for line in fh:
@@ -207,24 +235,43 @@ def read_mcmc_samples(cfg: BppConfig, st: SpeciesTree, path: str):
             off = len(theta_nodes)
             for k, i in enumerate(tau_nodes):
                 ta[i] = vals[off + k]
+            off += len(tau_nodes)
+            ph = np.zeros(H)
+            for k, i in enumerate(phi_nodes):
+                ph[i] = vals[off + k]
+                m = int(st.hybrid[i])
+                ph[m] = 1.0 - vals[off + k]
             taus.append(ta)
             thetas.append(th)
+            phis.append(ph)
             lnls.append(vals[-1])
     return (np.asarray(gen), np.stack(thetas) if thetas else np.zeros((0, H)),
             np.stack(taus) if taus else np.zeros((0, H)),
-            np.asarray(lnls), sptrees)
+            np.asarray(lnls), sptrees,
+            np.stack(phis) if (phis and phi_nodes) else None)
 
 
-def a00_summary(cfg: BppConfig, st: SpeciesTree, gen, theta, tau, lnl) -> str:
+def a00_summary(cfg: BppConfig, st: SpeciesTree, gen, theta, tau, lnl,
+                phi=None) -> str:
     """Posterior summary text for an A00 run (allfixed.c analog)."""
     inner = bpp_inner_order(st)
     cols: dict[str, np.ndarray] = {}
-    order = list(range(st.n_tips)) + inner
+    mirrors = list(range(st.n_tips + st.n_inner, st.n_nodes))
+    order = list(range(st.n_tips)) + inner + mirrors
     for pos, i in enumerate(order):
-        idx = i + 1 if i < st.n_tips else st.n_tips + 1 + inner.index(i)
+        if i < st.n_tips:
+            idx = i + 1
+        elif i in inner:
+            idx = st.n_tips + 1 + inner.index(i)
+        else:
+            idx = st.n_tips + len(inner) + 1 + mirrors.index(i)
         cols[f"theta:{idx}"] = theta[:, i]
     for i in inner:
         if tau[:, i].max() > 0:
             cols[f"tau:{st.n_tips + 1 + inner.index(i)}"] = tau[:, i]
+    if phi is not None and st.hindex is not None:
+        for i in inner:
+            if st.hindex[i] >= 0:
+                cols[f"phi:{st.n_tips + 1 + inner.index(i)}"] = phi[:, i]
     cols["lnL"] = np.asarray(lnl)
     return format_summary(summary_table(cols))

@@ -184,9 +184,10 @@ def run_simulation(ctl_path: str, seed: int | None = None) -> int:
     tree_fp = open(cfg.treefile, "w") if cfg.treefile else None
 
     for li in range(cfg.n_loci):
-        gl, gr, gp, ga = simulate_gtree_host(
+        gl, gr, gp, ga, _ = simulate_gtree_host(
             rng, tip_species, st.left, st.right, st.parent, st.tau,
-            np.maximum(st.theta, 1e-12))
+            np.maximum(st.theta, 1e-12),
+            hindex=st.hindex, hybrid=st.hybrid, phi=st.phi)
         mu = 1.0
         if cfg.locusrate_alpha > 0:
             mu = rng.gamma(cfg.locusrate_alpha, 1.0 / cfg.locusrate_alpha)

@@ -41,6 +41,8 @@ def per_pop_stats(gt: GTrees, sp: SpeciesArrays, pops, n_seq):
     Returns:
       (coal_count ``[L, H]`` int32, T2h ``[L, H]`` float, n_in ``[L, H]`` int32)
     """
+    from .gtree import edge_passes
+
     L, N = pops.shape
     T = gt.n_tips
     H = sp.n_nodes
@@ -60,9 +62,13 @@ def per_pop_stats(gt: GTrees, sp: SpeciesArrays, pops, n_seq):
         has_par,
         jnp.take_along_axis(gt.age, jnp.maximum(gt.parent, 0), axis=1),
         jnp.inf)
-    # lineage is in h at time tau_h iff h ancestor-of-or-equal pop(u)
+    # lineage is in h at time tau_h iff the edge's route visits h
+    # (ancestry for trees, hpath-dependent walk for MSC-I networks)
     # and age_u <= tau_h < age_parent_u
-    anc = sp.pptable[pops]                                   # [L, N, H]
+    if sp.is_network:
+        anc = edge_passes(gt, sp, pops)                      # [L, N, H]
+    else:
+        anc = sp.pptable[pops]                               # [L, N, H]
     inh = anc & (gt.age[..., None] <= tau) & (tau < page[..., None])
     inh = inh & valid[..., None]
     n_in = inh.sum(axis=1).astype(jnp.int32)                 # [L, H]

@@ -34,6 +34,12 @@ class GTrees(NamedTuple):
     right: jax.Array     # [L, N] int32
     parent: jax.Array    # [L, N] int32, -1 for root & padded
     age: jax.Array       # [L, N] float
+    # MSC-I: per-edge hybridization path flags [L, N, HY] int8
+    # (0 = main/hinner side, 1 = mirror side); the flag of slot k on
+    # node u governs which parent the lineage u -> parent(u) takes when
+    # crossing hybridization k (bpp.h:715-727 gnode hpath).  None for
+    # plain species trees.
+    hpath: jax.Array = None
 
     @property
     def n_loci(self):
@@ -52,9 +58,16 @@ class SpeciesArrays(NamedTuple):
     """Replicated species tree/network state on device.
 
     Mirrors ``stree_t`` essentials: node indexing tips ``0..NS-1``,
-    inner ``NS..2NS-2`` with root last; ``pptable[i, j]`` True iff j is
-    i or an ancestor of i (``src/stree.c:2840``); ``mrca[i, j]`` the
-    species MRCA.
+    inner ``NS..NS+NI-1`` with root last, MSC-I mirror nodes appended
+    after; ``pptable[i, j]`` True iff j is i or an ancestor of i
+    (through EITHER hybridization parent for networks,
+    ``src/stree.c:2840``); ``mrca[i, j]`` the species MRCA.
+
+    ``hslot`` has shape [HY] (hinner index per hybridization slot), so
+    ``n_hybrids`` is shape-static under jit; each hybridization
+    contributes one 1-child inner node (hinner), one extra binary join
+    (the mirror's attachment), and one mirror node, hence
+    ``H = 2 NS - 1 + 3 HY``.
     """
 
     left: jax.Array      # [H] int32
@@ -64,22 +77,58 @@ class SpeciesArrays(NamedTuple):
     theta: jax.Array     # [H] float
     pptable: jax.Array   # [H, H] bool
     mrca: jax.Array      # [H, H] int32
+    # --- MSC-I network fields (all-empty/identity for plain trees) ---
+    hslot: jax.Array = None     # [HY] int32: hinner index per slot
+    hybrid: jax.Array = None    # [H] int32 partner (hinner<->mirror), -1
+    phi: jax.Array = None       # [H] float: phi on hinner, 1-phi mirror
+    hindex: jax.Array = None    # [H] int32 hybridization slot or -1
+    tau_free: jax.Array = None  # [H] bool: node carries its own tau
+                                # parameter (prop_tau analog: inner
+                                # non-mirror, minus htau==0-tied parents,
+                                # hinner counts once for the pair)
 
     @property
     def n_nodes(self):
         return self.left.shape[0]
 
     @property
+    def n_hybrids(self):
+        return 0 if self.hslot is None else self.hslot.shape[0]
+
+    @property
     def n_tips(self):
-        return (self.left.shape[0] + 1) // 2
+        return (self.left.shape[0] + 1 - 3 * self.n_hybrids) // 2
 
     @property
     def root(self):
-        return self.left.shape[0] - 1
+        return self.left.shape[0] - 1 - self.n_hybrids
+
+    @property
+    def is_network(self):
+        return self.n_hybrids > 0
 
 
 def species_arrays(st, dtype=jnp.float64) -> SpeciesArrays:
     """Build device arrays from a host-side SpeciesTree."""
+    kw = {}
+    if st.n_hybrids > 0:
+        hslot = np.full(st.n_hybrids, -1, np.int32)
+        mirror_start = st.n_tips + st.n_inner
+        free = np.zeros(st.n_nodes, bool)
+        free[st.n_tips:mirror_start] = True
+        for i in range(st.n_nodes):
+            if st.hindex[i] >= 0:
+                if i < mirror_start:
+                    hslot[st.hindex[i]] = i
+                else:
+                    free[i] = False               # mirror: tau tied to hinner
+                if not st.htau[i]:
+                    free[st.parent[i]] = False    # tied parent
+        kw = dict(hslot=jnp.asarray(hslot),
+                  hybrid=jnp.asarray(st.hybrid, jnp.int32),
+                  phi=jnp.asarray(st.phi, dtype),
+                  hindex=jnp.asarray(st.hindex, jnp.int32),
+                  tau_free=jnp.asarray(free))
     return SpeciesArrays(
         left=jnp.asarray(st.left, jnp.int32),
         right=jnp.asarray(st.right, jnp.int32),
@@ -88,6 +137,7 @@ def species_arrays(st, dtype=jnp.float64) -> SpeciesArrays:
         theta=jnp.asarray(st.theta, dtype),
         pptable=jnp.asarray(st.pptable()),
         mrca=jnp.asarray(st.mrca_table(), jnp.int32),
+        **kw,
     )
 
 
@@ -230,12 +280,130 @@ def assign_populations(gt: GTrees, sp: SpeciesArrays, tip_pop, order=None):
 
     Tips sit in (a possibly collapsed ancestor of) their sampled
     species; inner nodes in the ancestor of the species-MRCA of their
-    descendants whose tau interval contains their age.
+    descendants whose tau interval contains their age.  For MSC-I
+    networks the route-aware variant is used (hpath flags).
     """
+    if sp.is_network:
+        return assign_populations_net(gt, sp, tip_pop, order=order)
     T = gt.n_tips
     msp = mrca_species(gt, sp, tip_pop, order=order)
     age = jnp.clip(gt.age, 0.0, BIG_AGE * 0.5)  # padded slots -> root pop
     return lift_population(sp, msp, age)
+
+
+# --- MSC-I network routing ------------------------------------------------------
+#
+# A lineage's path upward through the species network depends on its
+# per-edge hybridization flags (gt.hpath): entering a hybridization's
+# child population, the lineage exits through the hinner (flag 0) or
+# the mirror node (flag 1).  Populations of gene nodes, per-population
+# seqin counts, and the MSC-I phi density terms are all derived from
+# these route walks (replaces the reference's seqin_count/hpath
+# bookkeeping, gtree.c increase/decrease_seqin_count).
+
+
+def route_step(sp: SpeciesArrays, p, flags):
+    """One population step up from ``p`` following edge ``flags``.
+
+    ``p``: int array [...]; ``flags``: int8 [..., HY].  Returns the next
+    population (the parent, or the hybridization side chosen by the
+    flag when the parent is a hinner).  At the root returns p.
+    """
+    par = sp.parent[p]
+    par_s = jnp.maximum(par, 0)
+    hidx = sp.hindex[par_s]                       # >= 0 iff par is hinner
+    hclip = jnp.maximum(hidx, 0)
+    flag = jnp.take_along_axis(flags, hclip[..., None], axis=-1)[..., 0]
+    take_mirror = (hidx >= 0) & (flag == 1)
+    nxt = jnp.where(take_mirror, sp.hybrid[par_s], par_s)
+    return jnp.where(par >= 0, nxt, p)
+
+
+def lift_population_net(sp: SpeciesArrays, base, age, flags):
+    """Route-aware pop containing ``age`` starting from pop ``base``."""
+    H = sp.n_nodes
+
+    def body(_, p):
+        has_par = sp.parent[p] >= 0
+        nxt = route_step(sp, p, flags)
+        go = has_par & (sp.tau[nxt] <= age)
+        return jnp.where(go, nxt, p)
+
+    return jax.lax.fori_loop(0, H, body, base)
+
+
+def assign_populations_net(gt: GTrees, sp: SpeciesArrays, tip_pop,
+                           order=None):
+    """Populations of all gene nodes on an MSC-I network: [L, N] int32.
+
+    Inner node u's population = its LEFT child's route evaluated at
+    age[u]; validity (the right child's route converging to the same
+    population) is checked separately by route_consistent().
+    """
+    L, N = gt.left.shape
+    T = gt.n_tips
+    lidx = jnp.arange(L)
+    if order is None:
+        order = inner_order(gt)
+    pops = jnp.zeros((L, N), jnp.int32)
+    pops = pops.at[:, :T].set(tip_pop)
+
+    def step(pops, k):
+        node = order[:, k]
+        lc = gt.left[lidx, node]
+        p = lift_population_net(sp, pops[lidx, lc], gt.age[lidx, node],
+                                gt.hpath[lidx, lc])
+        return pops.at[lidx, node].set(p), None
+
+    pops, _ = jax.lax.scan(step, pops, jnp.arange(T - 1))
+    return pops
+
+
+def route_consistent(gt: GTrees, sp: SpeciesArrays, pops, n_seq,
+                     order=None):
+    """[L] bool: every valid coalescence's RIGHT child route reaches the
+    same population as the left child's (the MSC-I state-validity
+    indicator; the reference maintains this invariant structurally)."""
+    L, N = gt.left.shape
+    T = gt.n_tips
+    lidx = jnp.arange(L)[:, None]
+    nodes = jnp.arange(N)[None, :]
+    is_inner = (nodes >= T) & (nodes < T + n_seq[:, None] - 1)
+    rc = gt.right
+    pr = lift_population_net(sp, pops[lidx, rc], gt.age, gt.hpath[lidx, rc])
+    ok = jnp.where(is_inner, pr == pops, True)
+    return jnp.all(ok, axis=1)
+
+
+def edge_passes(gt: GTrees, sp: SpeciesArrays, pops):
+    """[L, N, H] bool: which populations each edge's route visits.
+
+    The edge of node u spans [age_u, age_parent_u) and starts in
+    pops[u]; it ascends following u's flags until the population
+    containing the parent's age (the root edge ascends to the species
+    root).
+    """
+    L, N = gt.left.shape
+    H = sp.n_nodes
+    lidx = jnp.arange(L)[:, None]
+    has_par = gt.parent >= 0
+    page = jnp.where(
+        has_par,
+        jnp.take_along_axis(gt.age, jnp.maximum(gt.parent, 0), axis=1),
+        jnp.inf)
+
+    mark = jax.nn.one_hot(pops, H, dtype=jnp.bool_)
+
+    def body(carry, _):
+        p, mark = carry
+        nxt = route_step(sp, p, gt.hpath)
+        go = (sp.parent[p] >= 0) & (sp.tau[nxt] < page)
+        p = jnp.where(go, nxt, p)
+        mark = mark | (jax.nn.one_hot(p, H, dtype=jnp.bool_) & go[..., None])
+        return (p, mark), None
+
+    (_, mark), _ = jax.lax.scan(body, (pops, mark), None, length=H)
+    return mark
 
 
 # --- host-side initial simulation from the MSC prior ---------------------------
@@ -246,10 +414,14 @@ def simulate_gtree_host(
     tip_species: np.ndarray,       # [n] species tip index per sequence
     st_left, st_right, st_parent,  # species tree arrays
     tau, theta,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    hindex=None, hybrid=None, phi=None,   # MSC-I network arrays
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
     """Simulate one gene tree from the MSC prior (gtree.c:2242 analog).
 
-    Returns (left, right, parent, age) over ``2n-1`` nodes, tips first.
+    Returns (left, right, parent, age, hpath) over ``2n-1`` nodes, tips
+    first; hpath is None for plain trees, else ``[2n-1, HY]`` int8 with
+    the hybridization side each lineage edge took (sampled ~ phi, which
+    IS the MSC-I prior on paths).
     """
     n = len(tip_species)
     H = len(st_parent)
@@ -258,6 +430,8 @@ def simulate_gtree_host(
     right = np.full(nnodes, 0, np.int32)
     parent = np.full(nnodes, -1, np.int32)
     age = np.zeros(nnodes, np.float64)
+    hy = 0 if hindex is None else int(hindex.max(initial=-1)) + 1
+    hpath = np.zeros((nnodes, hy), np.int8) if hy else None
 
     # lineages per species population
     lineages: dict[int, list[int]] = {h: [] for h in range(H)}
@@ -296,10 +470,24 @@ def simulate_gtree_host(
         t_end = tau[p] if p >= 0 else np.inf
         coalesce_in(h, t_end)
         if p >= 0:
-            lineages[p].extend(lineages[h])
+            if hy and hindex[p] >= 0 and hybrid[p] >= 0:
+                # parent is a hinner: each lineage independently takes
+                # the hinner side w.p. phi or the mirror (gtree_simulate
+                # MSC-I path choice); record the flag on the edge
+                slot = int(hindex[p])
+                mirror = int(hybrid[p])
+                for u in lineages[h]:
+                    if rng.random() < phi[p]:
+                        hpath[u, slot] = 0
+                        lineages[p].append(u)
+                    else:
+                        hpath[u, slot] = 1
+                        lineages[mirror].append(u)
+            else:
+                lineages[p].extend(lineages[h])
             lineages[h] = []
     assert next_node == nnodes, "simulation did not fully coalesce"
-    return left, right, parent, age
+    return left, right, parent, age, hpath
 
 
 def init_gtrees(
@@ -312,17 +500,20 @@ def init_gtrees(
     rng = np.random.default_rng(seed)
     L, T = batch.n_loci, batch.max_tips
     N = 2 * T - 1
+    hy = st.n_hybrids
     left = np.zeros((L, N), np.int32)
     right = np.zeros((L, N), np.int32)
     parent = np.full((L, N), -1, np.int32)
     age = np.full((L, N), BIG_AGE, np.float64)
     age[:, :T] = 0.0
+    hpath = np.zeros((L, N, hy), np.int8) if hy else None
     theta = np.maximum(st.theta, 1e-6)
     for li in range(L):
         n = int(batch.n_seq[li])
         tip_sp = batch.tip_pop[li, :n]
-        gl, gr, gp, ga = simulate_gtree_host(
-            rng, tip_sp, st.left, st.right, st.parent, st.tau, theta)
+        gl, gr, gp, ga, gh = simulate_gtree_host(
+            rng, tip_sp, st.left, st.right, st.parent, st.tau, theta,
+            hindex=st.hindex, hybrid=st.hybrid, phi=st.phi)
         # map local inner ids n..2n-2 to global T..T+n-2
         def gmap(i):
             return i if i < n else i - n + T
@@ -333,6 +524,9 @@ def init_gtrees(
             if i >= n:
                 left[li, gi] = gmap(gl[i])
                 right[li, gi] = gmap(gr[i])
+            if gh is not None:
+                hpath[li, gi] = gh[i]
     return GTrees(
         left=jnp.asarray(left), right=jnp.asarray(right),
-        parent=jnp.asarray(parent), age=jnp.asarray(age, dtype))
+        parent=jnp.asarray(parent), age=jnp.asarray(age, dtype),
+        hpath=None if hpath is None else jnp.asarray(hpath))

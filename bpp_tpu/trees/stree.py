@@ -33,6 +33,24 @@ class SpeciesTree:
     parent: np.ndarray               # [NSt] int32, -1 for root
     tau: np.ndarray                  # [NSt] float64, 0 for tips
     theta: np.ndarray                # [NSt] float64
+    # --- MSC-I network extension (treeparse.c resolve_hybridization) ---
+    # node layout: tips [0, NS), inner [NS, NS+NI) with the ROOT at
+    # NS+NI-1, mirror nodes [NS+NI, NS+NI+HY).  A hybridization is a
+    # pair (hinner, mirror): hinner is an inner node with one child
+    # (right == -1) and parent = first parent; the mirror has no
+    # children and parent = second parent.  A lineage leaving hinner's
+    # child goes to hinner w.p. phi[hinner] or to the mirror w.p.
+    # phi[mirror] = 1 - phi[hinner].
+    hybrid: np.ndarray | None = None   # [NSt] int32 partner index or -1
+    phi: np.ndarray | None = None      # [NSt] float64 (hinner/mirror only)
+    htau: np.ndarray | None = None     # [NSt] int8: 1 = the node's parent
+                                       # has its own tau; 0 = parent tau
+                                       # is tied to this hybrid's tau
+    hindex: np.ndarray | None = None   # [NSt] int32 hybridization slot
+                                       # (same slot on hinner & mirror)
+    labels: list | None = None         # [NSt] newick labels (None where
+                                       # the newick gave no label); used
+                                       # for reference-style output names
 
     @property
     def n_tips(self) -> int:
@@ -43,8 +61,18 @@ class SpeciesTree:
         return len(self.parent)
 
     @property
+    def n_hybrids(self) -> int:
+        if self.hindex is None:
+            return 0
+        return int(self.hindex.max(initial=-1)) + 1
+
+    @property
+    def is_network(self) -> bool:
+        return self.n_hybrids > 0
+
+    @property
     def root(self) -> int:
-        return self.n_nodes - 1
+        return self.n_nodes - 1 - self.n_hybrids
 
     # --- construction --------------------------------------------------------
 
@@ -58,6 +86,15 @@ class SpeciesTree:
     def from_node(cls, root: Node, tip_order: list[str] | None = None
                   ) -> "SpeciesTree":
         leaves = root.leaves()
+        inner_labels = {n.label for n in root.walk()
+                        if n.children and n.label}
+        # hybridization tips: leaves whose label duplicates an inner
+        # node's label (treeparse.c resolve_hybridization); they are the
+        # second-parent attachment of the hybridization, not species
+        htips = [n for n in leaves if n.label in inner_labels]
+        species_leaves = [n for n in leaves if n.label not in inner_labels]
+        if htips:
+            return cls._from_network(root, species_leaves, htips, tip_order)
         labels = [n.label for n in leaves]
         if any(lab is None for lab in labels):
             raise ValueError("species tree has unlabeled tips")
@@ -76,6 +113,10 @@ class SpeciesTree:
 
         next_inner = [ns]
 
+        node_labels: list = [None] * nst
+        for i, lab in enumerate(tip_order):
+            node_labels[i] = lab
+
         def assign(node: Node) -> int:
             if node.is_leaf:
                 return tip_id[node.label]
@@ -87,6 +128,7 @@ class SpeciesTree:
             next_inner[0] += 1
             left[idx], right[idx] = li, ri
             parent[li] = parent[ri] = idx
+            node_labels[idx] = node.label
             return idx
 
         ridx = assign(root)
@@ -94,7 +136,135 @@ class SpeciesTree:
         # post-order always finishes at nst-1
         assert ridx == nst - 1
         return cls(names=list(tip_order), left=left, right=right,
-                   parent=parent, tau=tau, theta=np.zeros(nst))
+                   parent=parent, tau=tau, theta=np.zeros(nst),
+                   labels=node_labels)
+
+    @classmethod
+    def _from_network(cls, root: Node, species_leaves, htips, tip_order
+                      ) -> "SpeciesTree":
+        """MSC-I network: resolve duplicate-label hybridizations into
+        (hinner, mirror) node pairs (treeparse.c:1118
+        resolve_hybridization + annotate_hybridization:1053)."""
+        labels = [n.label for n in species_leaves]
+        if tip_order is None:
+            tip_order = labels
+        if sorted(tip_order) != sorted(labels):
+            raise ValueError(
+                f"species&tree names {tip_order} do not match newick "
+                f"species tips {labels}")
+        ns = len(labels)
+        hy = len(htips)
+        # inner nodes of the resolved network: every parsed inner node
+        # (hinner keeps its single child); htips are removed
+        inner_nodes = [n for n in root.walk() if n.children]
+        ni = len(inner_nodes)
+        nst = ns + ni + hy
+        left = np.full(nst, -1, np.int32)
+        right = np.full(nst, -1, np.int32)
+        parent = np.full(nst, -1, np.int32)
+        tau = np.zeros(nst)
+        hybrid = np.full(nst, -1, np.int32)
+        phi = np.zeros(nst)
+        htau = np.ones(nst, np.int8)
+        hindex = np.full(nst, -1, np.int32)
+        tip_id = {lab: i for i, lab in enumerate(tip_order)}
+        hinner_by_label = {}
+        next_inner = [ns]
+        node_idx: dict[int, int] = {}
+        htip_slot: dict[int, tuple] = {}
+        node_labels: list = [None] * nst
+        for i, lab in enumerate(tip_order):
+            node_labels[i] = lab
+
+        def assign(node: Node) -> int:
+            if node.is_leaf:
+                if node.label in tip_id and node.label not in hinner_by_label:
+                    i = tip_id[node.label]
+                    node_idx[id(node)] = i
+                    return i
+                return -2          # hybridization tip: resolved later
+            ch = [assign(c) for c in node.children]
+            if len(ch) > 2 or len(ch) < 1:
+                raise ValueError("species network nodes must have 1-2 children")
+            idx = next_inner[0]
+            next_inner[0] += 1
+            node_idx[id(node)] = idx
+            node_labels[idx] = node.label
+            for k, ci in enumerate(ch):
+                if ci >= 0:
+                    (left if k == 0 else right)[idx] = ci
+                    parent[ci] = idx
+                else:
+                    # hybridization tip: record its newick slot so the
+                    # mirror lands there (preserves reference child
+                    # order in output labels)
+                    htip_slot[id(node.children[k])] = (idx, k)
+            if len(ch) == 1:
+                # unary hinner keeps its child in the left slot
+                pass
+            if node.label and node.children and len(node.children) == 1:
+                hinner_by_label[node.label] = idx
+            return idx
+
+        # pre-scan: register hinner labels so duplicate tips resolve
+        for n in root.walk():
+            if n.children and n.label and len(n.children) == 1:
+                hinner_by_label[n.label] = None
+        ridx = assign(root)
+        assert ridx == ns + ni - 1, (ridx, ns, ni)
+
+        def getf(node: Node, key: str, default=None):
+            v = node.attributes.get(key)
+            return v if v is not None else default
+
+        # create mirrors
+        for k, htip_node in enumerate(htips):
+            lab = htip_node.label
+            hin = hinner_by_label.get(lab)
+            if hin is None:
+                raise ValueError(f"hybridization label {lab!r} has no inner node")
+            mir = ns + ni + k
+            # attach mirror under htip's parent, in htip's newick slot
+            pidx, slot = htip_slot[id(htip_node)]
+            (left if slot == 0 else right)[pidx] = mir
+            parent[mir] = pidx
+            hybrid[hin] = mir
+            hybrid[mir] = hin
+            hindex[hin] = hindex[mir] = k
+            node_labels[mir] = lab
+            # annotations: hinner occurrence -> hinner; htip -> mirror
+            p1 = getf(htip_node, "phi")
+            # find the hinner Node to read its attributes
+            hin_node = next(n for n in root.walk()
+                            if n.children and n.label == lab)
+            p0 = getf(hin_node, "phi")
+            if p0 is not None and p1 is not None:
+                if abs(float(p0) + float(p1) - 1.0) > 1e-9:
+                    raise ValueError(f"phi annotations for {lab!r} do not sum to 1")
+            if p0 is None and p1 is not None:
+                p0 = 1.0 - float(p1)
+            if p0 is None:
+                p0 = 0.5           # inference default; estimated anyway
+            phi[hin] = float(p0)
+            phi[mir] = 1.0 - float(p0)
+            tp0 = getf(hin_node, "tau-parent")
+            tp1 = getf(htip_node, "tau-parent")
+            if parent[hin] == parent[mir]:
+                # parallel edges: parent must keep its tau
+                if (tp0 and tp0.lower() != "yes") or (tp1 and tp1.lower() != "yes"):
+                    raise ValueError(
+                        f"parallel-edge hybridization {lab!r} requires "
+                        "tau-parent = yes on both edges")
+            if tp0 is not None:
+                htau[hin] = 1 if tp0.lower() in ("yes", "1", "true") else 0
+            if tp1 is not None:
+                htau[mir] = 1 if tp1.lower() in ("yes", "1", "true") else 0
+
+        st = cls(names=list(tip_order), left=left, right=right,
+                 parent=parent, tau=tau, theta=np.zeros(nst),
+                 hybrid=hybrid, phi=phi, htau=htau, hindex=hindex,
+                 labels=node_labels)
+        return st
 
     @classmethod
     def single_population(cls, name: str) -> "SpeciesTree":
@@ -107,15 +277,42 @@ class SpeciesTree:
     # --- derived tables ------------------------------------------------------
 
     def pptable(self) -> np.ndarray:
-        """anc[i, j] = True iff j is i or an ancestor of i (stree.c:2840)."""
+        """anc[i, j] = True iff j is i or an ancestor of i (stree.c:2840).
+
+        For MSC-I networks, ancestry is reachability through EITHER
+        parent of a hybridization: a lineage below hinner's child can
+        exit through hinner (first parent) or its mirror (second
+        parent), so both parents' ancestor sets are inherited.
+        """
         n = self.n_nodes
         anc = np.zeros((n, n), dtype=bool)
-        for i in range(n):
-            j = i
-            while j != -1:
-                anc[i, j] = True
-                j = self.parent[j]
+        np.fill_diagonal(anc, True)
+        # fixpoint closure: anc(i) |= anc(parent(i)); and when walking
+        # INTO a hinner, also anc(mirror) (a lineage entering the
+        # hybridization may take either side)
+        changed = True
+        while changed:
+            changed = False
+            for i in range(n):
+                p = self.parent[i]
+                if p == -1:
+                    continue
+                new = anc[i] | anc[p]
+                if self.hybrid is not None and self.hybrid[p] != -1:
+                    # p is one side of a hybridization reached from
+                    # below: the other side is reachable too
+                    new = new | anc[self.hybrid[p]]
+                if (new != anc[i]).any():
+                    anc[i] = new
+                    changed = True
         return anc
+
+    def is_mirror(self, i: int) -> bool:
+        return i >= self.n_tips + self.n_inner
+
+    @property
+    def n_inner(self) -> int:
+        return self.n_nodes - self.n_tips - self.n_hybrids
 
     def mrca_table(self) -> np.ndarray:
         n = self.n_nodes

@@ -94,7 +94,8 @@ def test_frogs_moves_mix(frogs_engine):
     eng = frogs_engine
     state = eng.init_state()
     key = jax.random.PRNGKey(5)
-    tot = np.zeros((13, 2))
+    from bpp_tpu.mcmc.state import N_MOVES
+    tot = np.zeros((N_MOVES, 2))
     for it in range(30):
         key, sub = jax.random.split(key)
         state, stats = eng.step(state, sub)
