@@ -30,19 +30,22 @@ def main():
     state = eng.init_state()
     key = jax.random.PRNGKey(0)
 
+    # chunked dispatch: n iterations per device call (lax.scan megastep),
+    # amortizing the host<->device round trip that otherwise dominates
+    chunk = 250
     # warmup/compile
-    state, _ = eng.step(state, key)
+    state, _ = eng.chunk_step(state, key, chunk)
     jax.block_until_ready(state.logl)
 
-    n_iter = 40
+    n_chunks = 4
     t0 = time.perf_counter()
-    for _ in range(n_iter):
+    for _ in range(n_chunks):
         key, sub = jax.random.split(key)
-        state, _ = eng.step(state, sub)
+        state, _ = eng.chunk_step(state, sub, chunk)
     jax.block_until_ready(state.logl)
     dt = time.perf_counter() - t0
 
-    ips = n_iter / dt
+    ips = n_chunks * chunk / dt
     print(json.dumps({
         "metric": "mcmc_iterations_per_sec_yu2001",
         "value": round(ips, 3),

@@ -24,6 +24,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--simulate", help="simulation control file")
     ap.add_argument("--msci-create", dest="msci_create",
                     help="MSC-I network definitions file -> extended newick")
+    ap.add_argument("--bfdriver", help="control file: emit K power-posterior "
+                    "ctl files + betaweights.csv for marginal-likelihood "
+                    "estimation (bfdriver.c:1161)")
+    ap.add_argument("--points", type=int, default=8,
+                    help="Gauss-Legendre points for --bfdriver (even)")
     ap.add_argument("--resume", help="checkpoint file (.chk.npz) to resume; "
                     "data files must still be at their original paths")
     ap.add_argument("--seed", type=int, default=None, help="override seed")
@@ -176,6 +181,9 @@ def main(argv=None) -> int:
     if args.msci_create:
         from .tools.msci_create import cmd_msci_create
         return cmd_msci_create(args.msci_create)
+    if args.bfdriver:
+        from .tools.bfdriver import cmd_bfdriver
+        return cmd_bfdriver(args.bfdriver, args.points)
     build_argparser().print_help()
     return 1
 

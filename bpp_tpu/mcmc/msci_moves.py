@@ -9,11 +9,10 @@ per-edge hybridization flags, never book-kept):
     q + sum_l n_mirror) because the density's phi terms are exactly
     seqin_main*log(phi) + seqin_mirror*log(1-phi) per locus
     (gtree.c:3925-3931); an exact Gibbs draw, always accepted.
-  * network tau slide — propose_tau (stree.c:5512) MSC-I variants
-    (stree.c:5544-5611) without the rubber band: plain symmetric slides
-    with full-density accept; hybridization taus move as one unit
-    (hinner + mirror + htau==0-tied parents).  Gene ages are untouched,
-    so the likelihood is unchanged.
+  * network tau rubber band — propose_tau (stree.c:5512) MSC-I
+    variants (stree.c:5544-5611): hybridization taus move as one unit
+    (hinner + mirror + htau==0-tied parents) and gene-node ages in the
+    affected populations rubber-band along (stree.c:4413-4422).
   * hpath repath  — the MSC-I part of propose_ages (gtree.c:4726-4905):
     for blocks of independent coalescences, re-pick the node's
     population uniformly among the candidates compatible with its age
@@ -36,7 +35,8 @@ from ..trees.gtree import (
     SpeciesArrays, assign_populations, node_depths,
 )
 from . import rng
-from .state import Ctx, FT_TAU, McmcState, make_logpr_fn
+from .moves import _psum_if_sharded
+from .state import Ctx, FT_TAU, McmcState, make_logl_fn, make_logpr_fn
 
 
 # --------------------------------------------------------------------------
@@ -76,21 +76,31 @@ def phi_gibbs_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
 
 def tau_move_net(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
-    """Slide every free tau (normal inners + hybridization units).
+    """Rubber-band slide of every free tau (normal inners +
+    hybridization tied units), the MSC-I variant of ``propose_tau``
+    (stree.c:5512, MSC-I bounds :5544-5611, gene-age scaling
+    :4413-4422).
 
-    Bounds: [max over non-moving children taus of the moving set,
-    min over non-moving parent taus].  No gene-age rubber band: plain
-    symmetric slide with full-density accept (route-consistency
-    rejections included).  Ages unchanged -> likelihood unchanged.
+    Bounds: [max over non-moving children taus of the moving set, min
+    over non-moving parent taus].  Gene-node ages in the affected
+    populations (the tied group and its child populations — the
+    general form of the reference's per-model H1/H2/H3 sets,
+    stree.c:5718-5830) inside (minage, maxage) are rubber-banded with
+    the standard min/max factors, with the count_above*log(maxf) +
+    count_below*log(minf) Jacobian.
     """
     sp0 = state.sp
     H = sp0.n_nodes
     NS = sp0.n_tips
+    T = state.gt.n_tips
+    N = state.gt.n_nodes
     n_inner = H - NS - sp0.n_hybrids
+    logl_fn = make_logl_fn(ctx, cfg)
     logpr_fn = make_logpr_fn(ctx)
     gamma_tau = cfg.tauprior.dist == PriorDist.GAMMA
     a, b = cfg.tauprior.alpha, cfg.tauprior.beta
     eps = state.finetune[FT_TAU]
+    nodes_idx = jnp.arange(N)[None, :]
 
     def tied_group(h):
         """[H] bool: taus that move together with node h's tau."""
@@ -106,7 +116,7 @@ def tau_move_net(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         return grp
 
     def body(off, carry):
-        tau, logpr, kkey, nprop, nacc = carry
+        age, tau, logl, logpr, kkey, nprop, nacc = carry
         h = NS + off
         kkey, k1, k2 = jax.random.split(kkey, 3)
         free = sp0.tau_free[h]
@@ -129,10 +139,36 @@ def tau_move_net(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
         tnew = rng.reflect(told + eps * rng.bactrian(k1, dtype=eps.dtype),
                            minage, maxage)
+        dt = tnew - told
         tau_new = jnp.where(grp, tnew, tau)
-        logpr_new, _, _ = logpr_fn(state.gt, sp0._replace(tau=tau_new),
-                                   state.subst.heredity)
+        sp_cur = sp0._replace(tau=tau)
+        sp_new = sp0._replace(tau=tau_new)
 
+        # affected populations: the tied group and its children
+        aff = grp | jnp.where(sp0.parent >= 0, grp[par_s], False)
+        gtc = state.gt._replace(age=age)
+        pops = assign_populations(gtc, sp_cur, ctx.tip_pop)
+        is_inner = (nodes_idx >= T) & (nodes_idx < T + ctx.n_seq[:, None] - 1)
+        in_aff = aff[pops]
+        window = (age > minage) & (age < maxage)
+        cond = is_inner & in_aff & window & ctx.locus_mask[:, None]
+        above = cond & (age >= told)
+        below = cond & (age < told)
+        # delta-form rubber band (avoids float32 cancellation at the
+        # 999 maxage cap, cf. tau_move)
+        age_new = jnp.where(
+            above, age + dt * (maxage - age) / (maxage - told),
+            jnp.where(below, age + dt * (age - minage) / (told - minage),
+                      age))
+        ca = _psum_if_sharded(above.sum())
+        cb = _psum_if_sharded(below.sum())
+
+        gtn = state.gt._replace(age=age_new)
+        logl_new = logl_fn(gtn, state.subst)
+        logpr_new, _, _ = logpr_fn(gtn, sp_new, state.subst.heredity)
+
+        ln_maxf = jnp.log1p(dt / (told - maxage))
+        ln_minf = jnp.log1p(dt / (told - minage))
         cand = jnp.sum((tau > 0) & sp0.tau_free).astype(tau.dtype)
         if gamma_tau:
             root_term = (a - 1.0 - cand + 1.0) * jnp.log(tnew / told) \
@@ -140,20 +176,27 @@ def tau_move_net(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         else:
             root_term = (-a - 1.0 - cand + 1.0) * jnp.log(tnew / told) \
                 - b * (1.0 / tnew - 1.0 / told)
-        lnacc = jnp.sum(logpr_new - logpr) \
-            + jnp.where(is_root, root_term, 0.0)
+        lnacc = (ca * ln_maxf + cb * ln_minf
+                 + _psum_if_sharded(jnp.sum(logl_new - logl))
+                 + _psum_if_sharded(jnp.sum(logpr_new - logpr))
+                 + jnp.where(is_root, root_term, 0.0))
 
         accept = rng.mh_accept(k2, lnacc) & free & (told > 0)
+        age = jnp.where(accept, age_new, age)
         tau = jnp.where(accept, tau_new, tau)
+        logl = jnp.where(accept, logl_new, logl)
         logpr = jnp.where(accept, logpr_new, logpr)
         nprop = nprop + free.astype(jnp.int32)
         nacc = nacc + accept.astype(jnp.int32)
-        return (tau, logpr, kkey, nprop, nacc)
+        return (age, tau, logl, logpr, kkey, nprop, nacc)
 
-    init = (sp0.tau, state.logpr, key,
+    init = (state.gt.age, sp0.tau, state.logl, state.logpr, key,
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    tau, logpr, _, nprop, nacc = jax.lax.fori_loop(0, n_inner, body, init)
-    new_state = state._replace(sp=sp0._replace(tau=tau), logpr=logpr)
+    age, tau, logl, logpr, _, nprop, nacc = jax.lax.fori_loop(
+        0, n_inner, body, init)
+    new_state = state._replace(
+        gt=state.gt._replace(age=age), sp=sp0._replace(tau=tau),
+        logl=logl, logpr=logpr)
     return new_state, (nprop, nacc)
 
 

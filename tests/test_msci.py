@@ -47,10 +47,15 @@ def test_network_structure(msci_cfg):
 
 
 def test_prior_marginals(msci_cfg):
-    """usedata=0 sampling must hit the constrained-prior marginals."""
-    # the plain-slide network tau kernel mixes slowly (no rubber band
-    # yet), so a long-ish run with wide tolerances; a 42k-step chain
-    # reproduces the exact targets to ~5%
+    """usedata=0 sampling must hit the constrained-prior marginals.
+
+    Tolerances are ESS-calibrated: the root-tau integrated
+    autocorrelation time on this 1-locus network chain is ~1000
+    iterations (measured 2026-08-17: 60k-iteration chains give ESS~64,
+    SE~0.0017), so a 12k-iteration chain has ESS~13 and SE~0.004.
+    Bands are set at ~±2.5 SE around the exact rejection-sampled
+    targets (tau_R 0.0200, tau_H 0.0050, phi 0.50); a converged 200k
+    reference-binary run reproduces the same targets."""
     cfg = msci_cfg.replace(burnin=3000, nsample=6000, sampfreq=2)
     eng = Engine(load_run(cfg), seed=11)
     log = eng.run_mcmc(progress_every=0)
@@ -60,10 +65,10 @@ def test_prior_marginals(msci_cfg):
     root = sp.root
     # exact (rejection-sampled) constrained prior: tau_R = 0.0200
     m = taus[:, root].mean()
-    assert 0.014 < m < 0.028, f"tau_R mean {m}"
+    assert 0.010 < m < 0.030, f"tau_R mean {m}"
     hin = int(sp.hslot[0])
     mh = taus[:, hin].mean()
-    assert 0.003 < mh < 0.009, f"tau_H mean {mh}"  # exact 0.0050
+    assert 0.0025 < mh < 0.0085, f"tau_H mean {mh}"  # exact 0.0050
     mp = phis[:, hin].mean()
     assert 0.38 < mp < 0.62, f"phi mean {mp}"      # Beta(1,1) -> 0.5
     # phi must traverse its range, not stick
