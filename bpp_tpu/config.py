@@ -46,6 +46,7 @@ class Clock(Enum):
     GLOBAL = 1
     IID = 2
     CORRELATED = 3
+    SIMPLE = 4
 
 
 @dataclass(frozen=True)
@@ -87,9 +88,12 @@ class Finetune:
     alpha: float = 0.1
     migrates: float = 0.2
     mig_ages: float = 0.3
-    branchrate: float = 0.5
-    mui: float = 0.2
-    mubar: float = 0.2
+    # relaxed-clock / hierarchical-rate steps (bpp.c:527-545 defaults)
+    mui: float = 0.1
+    nui: float = 0.1
+    mubar: float = 0.1
+    nubar: float = 0.1
+    branchrate: float = 0.1
 
 
 @dataclass(frozen=True)
@@ -151,6 +155,16 @@ class BppConfig:
 
     # rate variation across loci / clock
     clock: Clock = Clock.GLOBAL
+    # relaxed-clock hyperpriors (cfile.c parse_clock: clock = 2/3
+    # a_vbar b_vbar a_vi [prior [dist]]); nubar ~ Gamma(a_vbar, b_vbar),
+    # nu_i ~ Gamma(a_vi, a_vi/nubar) (hierarchical) or Gamma-Dirichlet
+    clock_vbar_a: float = 0.0
+    clock_vbar_b: float = 0.0
+    clock_vi_alpha: float = 0.0
+    clock_rate_prior: int = 1           # branch-rate dist given (mu_i, nu_i):
+                                        # 0 lognormal, 1 gamma (bpp.h:262-264;
+                                        # bpp.c:616 default GAMMA)
+    clock_alpha: float = 0.0            # clock = 4 (SIMPLE): brate ~ G(a, a)
     locusrate_prior: int = 0            # 0 GammaDir, 1 hierarchical, 2 none,
                                         # 3 Dir (bpp.h:255-260)
     est_locusrate: int = 0              # 0 off, 1 estimate, 2 from file, 3 only hered

@@ -37,6 +37,41 @@ def _rootdot(clv, freqs, cw):
 from ..trees.gtree import BIG_AGE, GTrees, inner_order, root_index  # noqa: F401
 
 
+def relaxed_branch_lengths(gt: GTrees, sp, pops, brate):
+    """Per-node branch lengths under a relaxed clock ``[L, N]``.
+
+    The gene-tree edge of node u spans times [age_u, age_parent_u) and
+    ascends from population pops[u]; its expected-substitutions length
+    is the rate-weighted sum of its overlap with every population it
+    crosses (src/locus.c:1151 update_branchlength_relaxed_clock, but as
+    one masked tensor contraction instead of a pointer walk):
+
+      len_u = sum_h visits[u, h] * brate[l, h]
+              * max(0, min(t_parent, tau_top(h)) - max(t_u, tau_h))
+
+    For plain trees ``visits = pptable[pops]`` (ancestor-or-self mask);
+    populations above the parent's population contribute 0 via the
+    clamp.  For MSC-I networks the hpath-routed ``edge_passes`` mask is
+    used.  Zero-duration populations (htau==0 hybridization segments,
+    locus.c:1139 skip) contribute 0 automatically.
+    """
+    tau = sp.tau
+    par = sp.parent
+    partau = jnp.where(par >= 0, tau[jnp.maximum(par, 0)], BIG_AGE)
+    safe_parent = jnp.maximum(gt.parent, 0)
+    page = jnp.take_along_axis(gt.age, safe_parent, axis=1)      # [L, N]
+    if sp.is_network:
+        from ..trees.gtree import edge_passes
+        visits = edge_passes(gt, sp, pops)                       # [L, N, H]
+    else:
+        visits = sp.pptable[pops]                                # [L, N, H]
+    lo = jnp.maximum(gt.age[..., None], tau[None, None, :])
+    hi = jnp.minimum(page[..., None], partau[None, None, :])
+    seg = jnp.maximum(hi - lo, 0.0)
+    blen = jnp.sum(jnp.where(visits, seg, 0.0) * brate[:, None, :], axis=-1)
+    return jnp.where(gt.parent >= 0, blen, 0.0)
+
+
 def branch_lengths(gt: GTrees, rate):
     """Per-node branch length to parent, scaled by per-locus rate ``[L]``.
 

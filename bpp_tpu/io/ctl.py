@@ -80,7 +80,7 @@ _FT_KEYS = {
     "gage": "gtage", "gspr": "gtspr", "tau": "tau", "mix": "mix",
     "lrht": "locusrate", "phis": "phi", "pi": "freqs", "qmat": "qrates",
     "alfa": "alpha", "mubr": "mubar", "mu_i": "mui", "brte": "branchrate",
-    "theta": "theta", "nubr": "mubar", "nu_i": "mui",
+    "theta": "theta", "nubr": "nubar", "nu_i": "nui",
 }
 
 
@@ -293,7 +293,30 @@ def _build_config(kw: dict) -> BppConfig:  # noqa: C901
 
     v = pop("clock")
     if v is not None:
-        c["clock"] = Clock(int(v.split()[0]))
+        # clock = 1 | 4 alpha | 2/3 a_vbar b_vbar a_vi [prior [dist]]
+        # (cfile.c:814 parse_clock)
+        toks = v.split()
+        c["clock"] = Clock(int(toks[0]))
+        nums = [float(t) for t in toks[1:] if _is_number(t)]
+        words = [t.lower() for t in toks[1:] if not _is_number(t)]
+        if c["clock"] == Clock.SIMPLE:
+            if nums:
+                c["clock_alpha"] = nums[0]
+        elif c["clock"] in (Clock.IID, Clock.CORRELATED):
+            if len(nums) < 3:
+                raise ValueError(
+                    "clock = 2/3 requires 'a_vbar b_vbar a_vi'")
+            c["clock_vbar_a"], c["clock_vbar_b"] = nums[0], nums[1]
+            c["clock_vi_alpha"] = nums[2]
+            prior_names = {"gamma-dirichlet": 0, "gdir": 0, "dir": 3,
+                           "hierarchical": 1, "iid": 1, "none": 2}
+            dist_names = {"ln": 0, "lognormal": 0, "g": 1, "gamma": 1}
+            # shared opt_locusrate_prior: 'locusrate' takes precedence
+            # (the reference fatals on mismatch, cfile.c:891-911)
+            if words and "locusrate_prior" not in c:
+                c["locusrate_prior"] = prior_names.get(words[0], 0)
+            if len(words) > 1:
+                c["clock_rate_prior"] = dist_names.get(words[1], 1)
 
     v = pop("locusrate")
     if v is not None:

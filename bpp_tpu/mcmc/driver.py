@@ -24,10 +24,12 @@ from ..trees import coalescent as coalmod
 from ..trees.gtree import GTrees, init_gtrees, species_arrays
 from . import moves, subst_moves
 from .state import (
-    Ctx, FT_ALPHA, FT_FREQS, FT_GTAGE, FT_GTSPR, FT_LRHT, FT_MIX, FT_QRATES,
-    FT_TAU, FT_THETA, MV_ALPHA, MV_FREQS, MV_GTAGE, MV_GTSPR, MV_LRHT,
-    MV_MIX, MV_QRATES, MV_RJ, MV_SSPR, MV_TAU, MV_THETA, N_MOVES, McmcState,
-    SubstState, finetune_array, make_logl_fn, make_logpr_fn, refresh_eigen,
+    Ctx, FT_ALPHA, FT_BRATE, FT_FREQS, FT_GTAGE, FT_GTSPR, FT_LRHT, FT_MIX,
+    FT_MUBAR, FT_MUI, FT_NUBAR, FT_NUI, FT_QRATES, FT_TAU, FT_THETA,
+    MV_ALPHA, MV_BRATE, MV_FREQS, MV_GTAGE, MV_GTSPR, MV_LRHT, MV_MIX,
+    MV_MUBAR, MV_MUI, MV_NUBAR, MV_NUI, MV_QRATES, MV_RJ, MV_SSPR, MV_TAU,
+    MV_THETA, N_MOVES, McmcState, SubstState, finetune_array, make_logl_fn,
+    make_logpr_fn, refresh_eigen,
 )
 
 PJ_OPTIMUM = 0.30     # method.c:45 target pjump
@@ -99,6 +101,11 @@ MOVE_TO_FT = {
     MV_FREQS: FT_FREQS,
     MV_QRATES: FT_QRATES,
     MV_ALPHA: FT_ALPHA,
+    MV_MUI: FT_MUI,
+    MV_NUI: FT_NUI,
+    MV_MUBAR: FT_MUBAR,
+    MV_NUBAR: FT_NUBAR,
+    MV_BRATE: FT_BRATE,
 }
 
 
@@ -149,6 +156,20 @@ class Engine:
             raise NotImplementedError(
                 "species delimitation / species-tree search cannot be "
                 "combined with an MSC-I network")
+        from ..config import Clock
+        if cfg.clock != Clock.GLOBAL:
+            if run.stree.n_hybrids > 0:
+                raise NotImplementedError(
+                    "relaxed clocks on MSC-I networks not yet supported")
+            if cfg.est_delimit or cfg.est_stree:
+                raise NotImplementedError(
+                    "relaxed clocks currently require a fixed species tree "
+                    "(A00)")
+        if (cfg.est_locusrate == 1 and cfg.locusrate_prior == 3
+                and cfg.clock != Clock.GLOBAL):
+            raise NotImplementedError(
+                "locusrate Dir prior with a relaxed clock: use the "
+                "Gamma-Dirichlet or hierarchical prior instead")
         self.seed = seed if seed is not None else (
             cfg.seed if cfg.seed > 0 else np.random.SeedSequence().entropy % (2**31))
         batch = run.batch
@@ -248,11 +269,27 @@ class Engine:
         )
         subst = subst_moves._derive_kappas(subst, cfg.model)
         subst = refresh_eigen(subst, cfg.model)
-        logl = self._logl_fn(gt, subst)
+        from ..config import Clock
+        clock = None
+        if cfg.clock != Clock.GLOBAL or (
+                cfg.est_locusrate == 1 and cfg.locusrate_prior in (0, 1)):
+            from . import clock_moves
+            if cfg.clock != Clock.GLOBAL and cfg.est_locusrate == 1 and \
+                    cfg.locusrate_prior == 1:
+                # hierarchical start: mu_i jittered around mubar
+                # (method.c:4212-4214)
+                mubar0 = (cfg.locusrate_mubar_a / cfg.locusrate_mubar_b
+                          if cfg.locusrate_mubar_b > 0
+                          else cfg.locusrate_mubar)
+                subst = subst._replace(mu=jnp.asarray(
+                    mubar0 * (0.9 + 0.2 * rng.random(L)), self.dtype))
+            clock = clock_moves.init_clock_state(
+                cfg, sp, subst.mu, rng, L, self.dtype)
+        logl = self._logl_fn(gt, subst, sp, clock)
         logpr, _, _ = self._logpr_fn(gt, sp, subst.heredity)
         return McmcState(
             gt=gt, sp=sp, subst=subst, logl=logl, logpr=logpr,
-            finetune=finetune_array(cfg, self.dtype))
+            finetune=finetune_array(cfg, self.dtype), clock=clock)
 
     # --- one iteration --------------------------------------------------------
 
@@ -308,8 +345,11 @@ class Engine:
         state, (p, a) = moves.mixing_move(ctx, cfg, state, keys[4])
         stats = stats.at[MV_MIX].add(jnp.stack([p, a]))
 
-        # moves #8/#11-13 (method.c:5616-5736); inclusion is static per cfg
-        if cfg.est_locusrate == 1 and cfg.locusrate_prior != 2:
+        # moves #8/#11-13 (method.c:5616-5736); inclusion is static per cfg.
+        # Dir prior (3) uses the pairwise-compensating Dirichlet move
+        # (prop_locusrate_and_heredity); GammaDir (0) / hierarchical (1)
+        # use the mu_i log-slide (prop_locusrate_mui, method.c:5745)
+        if cfg.est_locusrate == 1 and cfg.locusrate_prior == 3:
             state, (p, a) = subst_moves.locusrate_move(ctx, cfg, state, keys[5])
             stats = stats.at[MV_LRHT].add(jnp.stack([p, a]))
         if cfg.est_heredity == 1:
@@ -326,6 +366,35 @@ class Engine:
         if cfg.alphaprior is not None:
             state, (p, a) = subst_moves.alpha_move(ctx, cfg, state, keys[7])
             stats = stats.at[MV_ALPHA].add(jnp.stack([p, a]))
+
+        # moves #8 (hierarchical/GammaDir mu_i) and #14 (relaxed-clock
+        # nu_i / nubar / branch rates), method.c:5745-5835 order
+        from ..config import Clock
+        if cfg.est_locusrate == 1 and cfg.locusrate_prior in (0, 1):
+            from . import clock_moves
+            kmu = jax.random.fold_in(keys[5], 7)
+            state, (p, a) = clock_moves.mui_move(ctx, cfg, state, kmu)
+            stats = stats.at[MV_MUI].add(jnp.stack([p, a]))
+            if cfg.locusrate_prior == 1 and cfg.locusrate_mubar_est:
+                state, (p, a) = clock_moves.mubar_move(
+                    ctx, cfg, state, jax.random.fold_in(kmu, 1))
+                stats = stats.at[MV_MUBAR].add(jnp.stack([p, a]))
+        if cfg.clock != Clock.GLOBAL:
+            from . import clock_moves
+            kck = jax.random.fold_in(keys[5], 8)
+            if cfg.clock != Clock.SIMPLE:
+                state, (p, a) = clock_moves.nui_move(ctx, cfg, state, kck)
+                stats = stats.at[MV_NUI].add(jnp.stack([p, a]))
+                if cfg.locusrate_prior == 1:
+                    state, (p, a) = clock_moves.nubar_move(
+                        ctx, cfg, state, jax.random.fold_in(kck, 1))
+                    stats = stats.at[MV_NUBAR].add(jnp.stack([p, a]))
+                state, (p, a) = clock_moves.brate_move(
+                    ctx, cfg, state, jax.random.fold_in(kck, 2))
+            else:
+                state, (p, a) = clock_moves.brate_simple_move(
+                    ctx, cfg, state, jax.random.fold_in(kck, 2))
+            stats = stats.at[MV_BRATE].add(jnp.stack([p, a]))
 
         # float32 tie repair (see trees.gtree.detie_ages): the rubber-band
         # maps can collapse parent-child age gaps to exact ties; bump by

@@ -380,9 +380,16 @@ def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     a, b = cfg.tauprior.alpha, cfg.tauprior.beta
     eps = state.finetune[FT_TAU]
     nodes_idx = jnp.arange(N)[None, :]
+    # correlated-LN branch-rate prior depends on the taus (branch
+    # midpoints): include its delta like stree.c:4763-4768
+    from ..config import Clock
+    corr_ln = (state.clock is not None and cfg.clock == Clock.CORRELATED
+               and cfg.clock_rate_prior == 0)
+    lnrates0 = (state.clock.lnrates if state.clock is not None
+                else jnp.zeros_like(state.logl))
 
     def body(h_off, carry):
-        age, tau, logl, logpr, kkey, nprop, nacc = carry
+        age, tau, logl, logpr, lnrates, kkey, nprop, nacc = carry
         h = NS + h_off
         kkey, k1, k2 = jax.random.split(kkey, 3)
         told = tau[h]
@@ -422,7 +429,7 @@ def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         cb = _psum_if_sharded(below.sum())
 
         gtn = state.gt._replace(age=age_new)
-        logl_new = logl_fn(gtn, state.subst)
+        logl_new = logl_fn(gtn, state.subst, sp_new, state.clock)
         logpr_new, _, _ = logpr_fn(gtn, sp_new, state.subst.heredity)
 
         ln_maxf = jnp.log1p(dt / (told - maxage))   # = log(maxf), stable
@@ -440,22 +447,33 @@ def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
                 - b * (1.0 / tnew - 1.0 / told)
         lnacc = lnacc + jnp.where(is_root, root_term, 0.0)
 
+        if corr_ln:
+            from .clock_moves import lnprior_rates
+            lnr_new = lnprior_rates(cfg, sp_new, state.subst.mu, state.clock)
+            lnacc = lnacc + _psum_if_sharded(jnp.sum(lnr_new - lnrates))
+        else:
+            lnr_new = lnrates
+
         accept = rng.mh_accept(k2, lnacc) & active
         age = jnp.where(accept, age_new, age)
         tau = jnp.where(accept, tau_new, tau)
         logl = jnp.where(accept, logl_new, logl)
         logpr = jnp.where(accept, logpr_new, logpr)
+        lnrates = jnp.where(accept, lnr_new, lnrates)
         nprop = nprop + active.astype(jnp.int32)
         nacc = nacc + accept.astype(jnp.int32)
-        return (age, tau, logl, logpr, kkey, nprop, nacc)
+        return (age, tau, logl, logpr, lnrates, kkey, nprop, nacc)
 
-    init = (state.gt.age, sp0.tau, state.logl, state.logpr, key,
+    init = (state.gt.age, sp0.tau, state.logl, state.logpr, lnrates0, key,
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    age, tau, logl, logpr, _, nprop, nacc = jax.lax.fori_loop(
+    age, tau, logl, logpr, lnrates, _, nprop, nacc = jax.lax.fori_loop(
         0, NS - 1, body, init)
     new_state = state._replace(
         gt=state.gt._replace(age=age), sp=sp0._replace(tau=tau),
         logl=logl, logpr=logpr)
+    if corr_ln:
+        new_state = new_state._replace(
+            clock=state.clock._replace(lnrates=lnrates))
     return new_state, (nprop, nacc)
 
 
@@ -543,16 +561,26 @@ def mixing_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
     gtn = gt._replace(age=age_new)
     spn = sp._replace(tau=tau_new, theta=th_new)
-    logl_new = logl_fn(gtn, state.subst)
+    logl_new = logl_fn(gtn, state.subst, spn, state.clock)
     logpr_new, _, _ = logpr_fn(gtn, spn, state.subst.heredity)
     lnacc = lnacc + _psum_if_sharded(jnp.sum(logl_new - state.logl)) \
         + _psum_if_sharded(jnp.sum(logpr_new - state.logpr))
 
+    # correlated-LN branch-rate prior depends on the scaled taus
+    # (prop_mixing.c:189-194)
+    from ..config import Clock
+    cand = state._replace(gt=gtn, sp=spn, logl=logl_new, logpr=logpr_new)
+    if (state.clock is not None and cfg.clock == Clock.CORRELATED
+            and cfg.clock_rate_prior == 0):
+        from .clock_moves import lnprior_rates
+        lnr_new = lnprior_rates(cfg, spn, state.subst.mu, state.clock)
+        lnacc = lnacc + _psum_if_sharded(
+            jnp.sum(lnr_new - state.clock.lnrates))
+        cand = cand._replace(clock=state.clock._replace(lnrates=lnr_new))
+
     accept = rng.mh_accept(k3, lnacc)
     new_state = jax.tree.map(
-        lambda n, o: jnp.where(accept, n, o),
-        state._replace(gt=gtn, sp=spn, logl=logl_new, logpr=logpr_new),
-        state)
+        lambda n, o: jnp.where(accept, n, o), cand, state)
     return new_state, (jnp.ones((), jnp.int32), accept.astype(jnp.int32))
 
 
@@ -624,7 +652,7 @@ def age_block_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
                            minage, maxage)
         age_new = jnp.where(mask, tnew, age)
         gtn = gt._replace(age=age_new)
-        logl_new = logl_fn(gtn, state.subst)
+        logl_new = logl_fn(gtn, state.subst, sp, state.clock)
         logpr_new, _, _ = logpr_fn(gtn, sp, state.subst.heredity)
         lnacc = (logl_new - logl) + (logpr_new - logpr)
         accept = rng.mh_accept(k2, lnacc) & ctx.locus_mask & mask.any(1)
@@ -776,7 +804,7 @@ def spr_round_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     na = write(na, ok, father_s, tnew)
 
     gtn = GTrees(nl, nr, np_, na, state.gt.hpath)
-    logl_new = logl_fn(gtn, state.subst)
+    logl_new = logl_fn(gtn, state.subst, sp, state.clock)
     logpr_new, _, _ = logpr_fn(gtn, sp, state.subst.heredity)
     lnacc = (logl_new - logl) + (logpr_new - logpr) + jnp.log(
         jnp.maximum(tcount, 1) / jnp.maximum(scount, 1))

@@ -164,7 +164,7 @@ def tau_move_net(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         cb = _psum_if_sharded(below.sum())
 
         gtn = state.gt._replace(age=age_new)
-        logl_new = logl_fn(gtn, state.subst)
+        logl_new = logl_fn(gtn, state.subst, sp_new, state.clock)
         logpr_new, _, _ = logpr_fn(gtn, sp_new, state.subst.heredity)
 
         ln_maxf = jnp.log1p(dt / (told - maxage))

@@ -242,7 +242,7 @@ def rj_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key, root_age0,
 
     sp_new = sp._replace(tau=tau2, theta=theta2)
     gt_new = state.gt._replace(age=age_new)
-    logl_new = logl_fn(gt_new, state.subst)
+    logl_new = logl_fn(gt_new, state.subst, sp_new, state.clock)
     logpr_new, _, _ = logpr_fn(gt_new, sp_new, state.subst.heredity)
 
     lnacc = lnacc + jnp.sum(jnp.where(

@@ -36,7 +36,12 @@ FT_PHI = 6
 FT_FREQS = 7
 FT_QRATES = 8
 FT_ALPHA = 9
-N_FINETUNE = 10
+FT_MUI = 10
+FT_NUI = 11
+FT_MUBAR = 12
+FT_NUBAR = 13
+FT_BRATE = 14
+N_FINETUNE = 15
 
 # move-statistics slots (proposed, accepted) per move family
 MV_GTAGE = 0
@@ -53,7 +58,12 @@ MV_RJ = 10
 MV_SSPR = 11
 MV_SNL = 12
 MV_HPATH = 13
-N_MOVES = 14
+MV_MUI = 14
+MV_NUI = 15
+MV_MUBAR = 16
+MV_NUBAR = 17
+MV_BRATE = 18
+N_MOVES = 19
 
 
 class SubstState(NamedTuple):
@@ -83,6 +93,24 @@ def refresh_eigen(subst: SubstState, model: SubstModel) -> SubstState:
     return subst._replace(eigw=w, eigT=T, eigTi=Tinv)
 
 
+class ClockState(NamedTuple):
+    """Relaxed-clock state (clock = 2 IID / 3 CORR / 4 SIMPLE).
+
+    ``brate[l, h]`` is the substitution rate of species-tree branch h at
+    locus l (``snode->brate[msa_index]``); for the SIMPLE clock the
+    leading axis is 1 (one shared rate per branch, scaled by mu_i,
+    locus.c:1142).  ``nu`` is the per-locus rate variance nu_i,
+    ``nubar``/``mubar`` the hierarchical means, ``lnrates`` the cached
+    per-locus branch-rate prior (gtree->lnprior_rates).
+    """
+
+    brate: jax.Array     # [L, H] (or [1, H] for SIMPLE)
+    nu: jax.Array        # [L]
+    mubar: jax.Array     # [] hierarchical locus-rate mean
+    nubar: jax.Array     # [] hierarchical rate-variance mean
+    lnrates: jax.Array   # [L] cached lnprior_rates
+
+
 class McmcState(NamedTuple):
     gt: GTrees
     sp: SpeciesArrays
@@ -90,6 +118,7 @@ class McmcState(NamedTuple):
     logl: jax.Array      # [L] cached log-likelihood
     logpr: jax.Array     # [L] cached MSC log-density (theta-estimated path)
     finetune: jax.Array  # [N_FINETUNE]
+    clock: ClockState | None = None
 
 
 class Ctx(NamedTuple):
@@ -107,9 +136,11 @@ class Ctx(NamedTuple):
     tips_am: jax.Array | None = None
 
 
-def compute_pmats(gt: GTrees, subst: SubstState, model: SubstModel):
+def compute_pmats(gt: GTrees, subst: SubstState, model: SubstModel,
+                  blen=None):
     """Transition matrices for every (node, category): [L, N, C, A, A]."""
-    blen = fe.branch_lengths(gt, subst.mu)                  # [L, N]
+    if blen is None:
+        blen = fe.branch_lengths(gt, subst.mu)              # [L, N]
     t_eff = blen[:, :, None] * subst.rates[:, None, :]      # [L, N, C]
     if model == SubstModel.JC69:
         return pm.pmatrix_jc69(t_eff)
@@ -126,15 +157,41 @@ def compute_pmats(gt: GTrees, subst: SubstState, model: SubstModel):
 
 
 def make_logl_fn(ctx: Ctx, cfg: BppConfig):
-    """Returns logl(gt, subst) -> [L]; bfbeta scales like the power
-    posterior (locus.c:2630 opt_bfbeta * logl)."""
+    """Returns logl(gt, subst, sp=None, clock=None) -> [L]; bfbeta
+    scales like the power posterior (locus.c:2630 opt_bfbeta * logl).
+
+    Under a relaxed clock (cfg.clock != GLOBAL) ``sp`` and ``clock``
+    are REQUIRED — branch lengths depend on the species-tree taus and
+    per-branch rates, so every move that changes gene ages, taus or
+    rates must pass its candidate sp/clock."""
+    from ..config import Clock
     usedata = cfg.usedata
     model = cfg.model
     bfbeta = cfg.bfbeta
+    relaxed = cfg.clock != Clock.GLOBAL
 
-    def logl_fn(gt: GTrees, subst: SubstState):
+    def logl_fn(gt: GTrees, subst: SubstState, sp=None, clock=None):
         if not usedata:
             return jnp.zeros(ctx.weights.shape[0], ctx.weights.dtype)
+        if relaxed:
+            if sp is None or clock is None:
+                raise ValueError(
+                    "relaxed clock: logl_fn requires (sp, clock)")
+            brate = clock.brate
+            if cfg.clock == Clock.SIMPLE:
+                brate = brate * subst.mu[:, None]     # locus.c:1142
+            pops = assign_populations(gt, sp, ctx.tip_pop)
+            blen = fe.relaxed_branch_lengths(gt, sp, pops, brate)
+            pmats = compute_pmats(gt, subst, model, blen=blen)
+            cw = jnp.full((subst.rates.shape[1],),
+                          1.0 / subst.rates.shape[1], ctx.weights.dtype)
+            ll = fe.loglikelihood(gt, ctx.tip_partials, ctx.weights,
+                                  ctx.n_seq, pmats, subst.freqs, cw,
+                                  res_map=ctx.res_map,
+                                  res_count=ctx.res_count)
+            if bfbeta != 1.0:
+                ll = ll * bfbeta
+            return jnp.where(ctx.locus_mask, ll, 0.0)
         if ctx.tips_am is not None:
             from ..core.pallas_fels import site_logl_pallas
             from ..trees.gtree import inner_order
@@ -203,4 +260,9 @@ def finetune_array(cfg: BppConfig, dtype=jnp.float64) -> jax.Array:
     vals[FT_FREQS] = ft.freqs
     vals[FT_QRATES] = ft.qrates
     vals[FT_ALPHA] = ft.alpha
+    vals[FT_MUI] = ft.mui
+    vals[FT_NUI] = ft.nui
+    vals[FT_MUBAR] = ft.mubar
+    vals[FT_NUBAR] = ft.nubar
+    vals[FT_BRATE] = ft.branchrate
     return jnp.asarray(vals, dtype)

@@ -300,7 +300,7 @@ def species_spr_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     gt_new = gt._replace(left=gl, right=gr, parent=gp)
 
     # --- full re-evaluation --------------------------------------------------
-    logl_new = logl_fn(gt_new, state.subst)
+    logl_new = logl_fn(gt_new, state.subst, sp_new, state.clock)
     logpr_new, _, _ = logpr_fn(gt_new, sp_new, state.subst.heredity)
 
     # --- reverse species-level weights ---------------------------------------

@@ -84,7 +84,7 @@ def freqs_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     fnew = fnew.at[lidx, k].set(s - y * s)
 
     subst_new = refresh_eigen(subst._replace(freqs=fnew), cfg.model)
-    logl_new = make_logl_fn(ctx, cfg)(state.gt, subst_new)
+    logl_new = make_logl_fn(ctx, cfg)(state.gt, subst_new, state.sp, state.clock)
     lnacc = logl_new - state.logl         # uniform Dirichlet prior, symmetric
     accept = rng.mh_accept(ka, lnacc) & ctx.locus_mask
     L_ = accept.shape[0]
@@ -122,7 +122,7 @@ def qrates_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
         subst_new = refresh_eigen(
             _derive_kappas(subst._replace(qrates=qnew), cfg.model), cfg.model)
-        logl_new = logl_fn(state.gt, subst_new)
+        logl_new = logl_fn(state.gt, subst_new, state.sp, state.clock)
         aj, ar = GTR_DIR_ALPHA[j], GTR_DIR_ALPHA[ref]
         lnacc = (new_lg - old_lg) + (logl_new - logl) \
             + (aj - 1.0) * (new_lg - old_lg) \
@@ -153,7 +153,7 @@ def alpha_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
     subst_new = state.subst._replace(alpha=alpha_new,
                                      rates=rates_new.astype(alpha.dtype))
-    logl_new = make_logl_fn(ctx, cfg)(state.gt, subst_new)
+    logl_new = make_logl_fn(ctx, cfg)(state.gt, subst_new, state.sp, state.clock)
     lnacc = (loga_new - loga) + (logl_new - state.logl) \
         + (a0 - 1.0) * (loga_new - loga) - b0 * (alpha_new - alpha)
     accept = rng.mh_accept(ka, lnacc) & ctx.locus_mask
@@ -167,7 +167,7 @@ def alpha_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
 def _mu_logl(ctx, cfg, state, mu_new):
     subst_new = state.subst._replace(mu=mu_new)
-    return subst_new, make_logl_fn(ctx, cfg)(state.gt, subst_new)
+    return subst_new, make_logl_fn(ctx, cfg)(state.gt, subst_new, state.sp, state.clock)
 
 
 def locusrate_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
