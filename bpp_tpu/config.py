@@ -30,7 +30,10 @@ class PriorDist(Enum):
 
 
 class SubstModel(Enum):
-    """Substitution models (subset of src/bpp.h model constants)."""
+    """Substitution models (src/bpp.h:213-247 model constants).
+
+    0-7 are nucleotide models; 9-27 the empirical amino-acid models
+    (fixed exchangeabilities+frequencies, no free parameters)."""
 
     JC69 = 0
     K80 = 1
@@ -40,6 +43,33 @@ class SubstModel(Enum):
     TN93 = 5
     F84 = 6
     GTR = 7
+    DAYHOFF = 9
+    LG = 10
+    DCMUT = 11
+    JTT = 12
+    MTREV = 13
+    WAG = 14
+    RTREV = 15
+    CPREV = 16
+    VT = 17
+    BLOSUM62 = 18
+    MTMAM = 19
+    MTART = 20
+    MTZOA = 21
+    PMB = 22
+    HIVB = 23
+    HIVW = 24
+    JTTDCMUT = 25
+    FLU = 26
+    STMTREV = 27
+
+    @property
+    def is_aa(self) -> bool:
+        return self.value >= 9
+
+    @property
+    def n_states(self) -> int:
+        return 20 if self.is_aa else 4
 
 
 class Clock(Enum):

@@ -26,6 +26,10 @@ import jax.numpy as jnp
 
 def _pclv(P, x):
     """parent partial: sum_b P[l,c,a,b] * x[l,s,c,b] -> [L,S,C,A]."""
+    if P.shape[-1] >= 20:
+        # 20-state (AA): wide enough for the MXU; HIGHEST keeps fp32
+        return jnp.einsum("lcab,lscb->lsca", P, x,
+                          precision=jax.lax.Precision.HIGHEST)
     return jnp.sum(P[:, None] * x[:, :, :, None, :], axis=-1)
 
 
@@ -86,9 +90,10 @@ def branch_lengths(gt: GTrees, rate):
     return blen * rate[:, None]
 
 
-def tip_partials_from_codes(codes, dtype=jnp.float32):
-    """Expand ambiguity masks ``[L, T, S]`` to 0/1 partials ``[L, T, S, 4]``."""
-    bits = jnp.arange(4, dtype=jnp.uint8)
+def tip_partials_from_codes(codes, dtype=jnp.float32, n_states=4):
+    """Expand ambiguity masks ``[L, T, S]`` to 0/1 partials
+    ``[L, T, S, A]`` (A = 4 nucleotide / 20 amino-acid states)."""
+    bits = jnp.arange(n_states, dtype=codes.dtype)
     return ((codes[..., None] >> bits) & 1).astype(dtype)
 
 

@@ -128,3 +128,49 @@ def pmatrix_eigen(t, eigvals, T, Tinv):
     S = T.shape[-1]
     P = P + jnp.eye(S, dtype=P.dtype)
     return P
+
+
+# --- empirical amino-acid models (locus.c:985-1110 model table) --------------
+
+import functools
+
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def aa_eigen(model_name: str):
+    """Constant eigensystem of an empirical AA model (float64 numpy).
+
+    Returns (w, T, Tinv, freqs) with Q = T diag(w) Tinv, mean rate 1.
+    Symmetrized decomposition as in pll_update_eigen
+    (core_pmatrix.c:239): B = D^1/2 Q D^-1/2 is symmetric for a
+    reversible Q, so eigh is exact and stable.
+    """
+    from .aa_matrices import AA_MODELS, aa_qmatrix
+
+    rates, freqs = AA_MODELS[model_name]
+    Q = aa_qmatrix(rates, freqs)
+    sq = np.sqrt(freqs)
+    B = sq[:, None] * Q / sq[None, :]
+    w, V = np.linalg.eigh((B + B.T) / 2.0)
+    T = V / sq[:, None]
+    Tinv = V.T * sq[None, :]
+    return w, T, Tinv, freqs
+
+
+def pmatrix_aa(t_eff, model_name: str):
+    """P(t) for an empirical AA model: ``t_eff [...]`` -> ``[..., 20, 20]``.
+
+    20-wide contraction runs as one fp32 matmul on the MXU
+    (precision=HIGHEST keeps the f32x3 path, not bf16).
+    """
+    dtype = t_eff.dtype
+    w, T, Tinv, _ = aa_eigen(model_name)
+    wj = jnp.asarray(w, dtype)
+    Tj = jnp.asarray(T, dtype)
+    Tij = jnp.asarray(Tinv, dtype)
+    em1 = jnp.expm1(t_eff[..., None] * wj)               # [..., A]
+    tmp = Tj * em1[..., None, :]                         # [..., A(a), A(j)]
+    P = jnp.einsum("...aj,jk->...ak", tmp, Tij,
+                   precision=jax.lax.Precision.HIGHEST)
+    return P + jnp.eye(20, dtype=dtype)

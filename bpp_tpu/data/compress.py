@@ -47,7 +47,7 @@ def compress_patterns(
         idx = idx[order]
         counts = counts[order]
     patterns = work[:, idx]
-    return patterns.astype(np.uint8), counts.astype(np.int32)
+    return patterns.astype(codes.dtype), counts.astype(np.int32)
 
 
 _SINGLE = np.zeros(256, dtype=bool)

@@ -63,11 +63,17 @@ def process_locus(
     cleandata: bool = False,
     jc69_fold: bool = False,
     phase: tuple[int, ...] = (),
+    aa: bool = False,
 ) -> ProcessedLocus:
-    codes = np.stack([maps.encode_nt(s) for s in aln.sequences])
+    if aa:
+        codes = np.stack([maps.encode_aa(s) for s in aln.sequences])
+        full = np.uint32((1 << maps.AA_STATES) - 1)
+    else:
+        codes = np.stack([maps.encode_nt(s) for s in aln.sequences])
+        full = np.uint8(0b1111)
 
     # remove sequences that are entirely missing data (method.c:3387)
-    missing = (maps.NT_PARTIALS[codes].sum(-1) == 4).all(axis=1)
+    missing = (codes == full).all(axis=1)
     keep = ~missing
     codes = codes[keep]
     labels = [lab for lab, k in zip(aln.labels, keep) if k]
@@ -76,8 +82,9 @@ def process_locus(
         raise ValueError(f"locus {aln.index}: all sequences are missing data")
 
     if cleandata:
-        # drop any column containing an ambiguity (msa.c:229)
-        unamb = np.isin(codes, (1, 2, 4, 8)).all(axis=0)
+        # drop any column containing an ambiguity (msa.c:229):
+        # keep only single-bit masks
+        unamb = ((codes & (codes - 1)) == 0).all(axis=0)
         if not unamb.any():
             raise ValueError(f"locus {aln.index}: all sites ambiguous")
         codes = codes[:, unamb]
@@ -105,6 +112,10 @@ def process_locus(
 
     diploid = np.zeros(codes.shape[0], bool)
     if phase and any(phase):
+        if aa:
+            raise NotImplementedError(
+                "unphased-diploid resolution applies to nucleotide data "
+                "only")
         for i, spi in enumerate(tip_species):
             if phase[spi]:
                 diploid[i] = True

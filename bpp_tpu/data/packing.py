@@ -80,7 +80,12 @@ def pack_loci(
     W = _round_up(max(p.n_wpatterns for p in loci), site_block)
     R = max(p.max_res for p in loci)
 
-    tip_codes = np.full((L, T, S), 15, dtype=np.uint8)
+    # padding cells are all-ambiguous (all-ones masks); the code dtype
+    # follows the data (uint8 4-bit nt masks / uint32 20-bit aa masks)
+    code_dtype = loci[0].codes.dtype
+    pad = np.array(15 if code_dtype == np.uint8 else (1 << 20) - 1,
+                   dtype=code_dtype)
+    tip_codes = np.full((L, T, S), pad, dtype=code_dtype)
     weights = np.zeros((L, W), dtype=np.float64)
     res_map = np.zeros((L, W, R), dtype=np.int32)
     res_count = np.ones((L, W), dtype=np.int32)

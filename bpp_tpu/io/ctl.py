@@ -33,8 +33,10 @@ def _floats(s: str) -> list[float]:
 def _parse_prior(value: str, default_dist: PriorDist) -> tuple[Prior, bool]:
     """Parse 'gamma a b', 'invgamma a b [e]', 'beta p q min max' or 'a b [e]'.
 
-    Returns (prior, integrated) where integrated reflects a trailing 'e'
-    (theta integrated out analytically; cfile.c:1497-1539).
+    Returns (prior, integrated) where integrated reflects a trailing
+    'int' token (theta integrated out analytically); a trailing 'e'/'E'
+    means estimate (the default).  cfile.c:453 get_e: 'int' -> 0,
+    'e' -> 1, absent -> 1.
     """
     toks = value.split()
     dist = default_dist
@@ -50,8 +52,10 @@ def _parse_prior(value: str, default_dist: PriorDist) -> tuple[Prior, bool]:
             raise ValueError(f"unknown prior distribution {toks[0]!r}")
         toks = toks[1:]
     integrated = False
-    if toks and toks[-1].lower() == "e":
+    if toks and toks[-1].lower() == "int":
         integrated = True
+        toks = toks[:-1]
+    elif toks and toks[-1].lower() == "e":
         toks = toks[:-1]
     nums = [float(t) for t in toks]
     if dist == PriorDist.BETA:

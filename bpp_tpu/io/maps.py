@@ -61,7 +61,14 @@ for _c, _m in _AA_CODES.items():
     AA_MAP[ord(_c)] = _m
     AA_MAP[ord(_c.lower())] = _m
 
-AA_PARTIALS = np.zeros((len(_AA_CODES), AA_STATES), dtype=np.float64)
+def encode_aa(seq: str) -> np.ndarray:
+    """Encode an amino-acid string to uint32 20-bit ambiguity masks."""
+    arr = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    codes = AA_MAP[arr]
+    if (codes == 0).any():
+        bad = sorted({chr(c) for c in arr[codes == 0]})
+        raise ValueError(f"invalid amino-acid character(s): {bad!r}")
+    return codes
 
 
 def encode_nt(seq: str) -> np.ndarray:

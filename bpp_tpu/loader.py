@@ -172,7 +172,8 @@ def load_run(cfg: BppConfig, pad_loci_to: int | None = None) -> RunData:
     jc69_fold = cfg.model == SubstModel.JC69
     loci = [
         process_locus(a, imap, species_index, cleandata=cfg.cleandata,
-                      jc69_fold=jc69_fold, phase=cfg.phase)
+                      jc69_fold=jc69_fold, phase=cfg.phase,
+                      aa=cfg.model.is_aa)
         for a in alns
     ]
     batch = pack_loci(loci, site_block=cfg.site_block, pad_loci_to=pad_loci_to)

@@ -170,6 +170,21 @@ class Engine:
             raise NotImplementedError(
                 "locusrate Dir prior with a relaxed clock: use the "
                 "Gamma-Dirichlet or hierarchical prior instead")
+        if cfg.theta_integrated:
+            from ..config import PriorDist
+            if cfg.thetaprior.dist != PriorDist.INVGAMMA:
+                raise ValueError(
+                    "theta integration ('e' flag) requires an inverse-"
+                    "gamma thetaprior (the conjugate form the analytic "
+                    "marginalization uses)")
+            if cfg.est_delimit:
+                raise NotImplementedError(
+                    "rjMCMC delimitation with integrated-out thetas is "
+                    "not yet supported; drop the 'e' flag")
+            if run.stree.n_hybrids > 0:
+                raise NotImplementedError(
+                    "MSC-I networks with integrated-out thetas are not "
+                    "yet supported; drop the 'e' flag")
         self.seed = seed if seed is not None else (
             cfg.seed if cfg.seed > 0 else np.random.SeedSequence().entropy % (2**31))
         batch = run.batch
@@ -177,7 +192,8 @@ class Engine:
         dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
         self.dtype = dtype
         tip_partials = fe.tip_partials_from_codes(
-            jnp.asarray(batch.tip_codes), dtype=dtype)
+            jnp.asarray(batch.tip_codes), dtype=dtype,
+            n_states=cfg.model.n_states)
         self.ctx = Ctx(
             tip_partials=tip_partials,
             weights=jnp.asarray(batch.weights, dtype),
@@ -203,7 +219,7 @@ class Engine:
         """
         import os
         knob = os.environ.get("BPP_TPU_PALLAS", "auto")
-        if knob == "0" or not self.cfg.usedata:
+        if knob == "0" or not self.cfg.usedata or self.cfg.model.is_aa:
             return None
         on_tpu = jax.default_backend() == "tpu"
         if not (knob == "interpret" or (on_tpu and self.dtype == jnp.float32)):
@@ -234,8 +250,12 @@ class Engine:
         sp = species_arrays(run.stree, dtype=self.dtype)
         L = run.batch.n_loci
         C = cfg.gamma_cats
-        # near-uniform random starting freqs/qrates (locus.c:961-975)
-        if cfg.model in subst_moves.FREQS_MODELS:
+        # near-uniform random starting freqs/qrates (locus.c:961-975);
+        # AA models use their fixed empirical frequencies (locus.c:985)
+        if cfg.model.is_aa:
+            from ..core.pmatrix import aa_eigen
+            freqs = np.tile(aa_eigen(cfg.model.name)[3], (L, 1))
+        elif cfg.model in subst_moves.FREQS_MODELS:
             f = 0.8 + 0.4 * rng.random((L, 4))
             freqs = f / f.sum(1, keepdims=True)
         else:
@@ -286,10 +306,15 @@ class Engine:
             clock = clock_moves.init_clock_state(
                 cfg, sp, subst.mu, rng, L, self.dtype)
         logl = self._logl_fn(gt, subst, sp, clock)
-        logpr, _, _ = self._logpr_fn(gt, sp, subst.heredity)
+        logpr, c0, t20 = self._logpr_fn(gt, sp, subst.heredity)
+        coal = t2h = None
+        if cfg.theta_integrated:
+            coal, t2h = c0, t20
+            logpr = jnp.zeros_like(logpr)     # per-locus cache unused
         return McmcState(
             gt=gt, sp=sp, subst=subst, logl=logl, logpr=logpr,
-            finetune=finetune_array(cfg, self.dtype), clock=clock)
+            finetune=finetune_array(cfg, self.dtype), clock=clock,
+            coal=coal, t2h=t2h)
 
     # --- one iteration --------------------------------------------------------
 
@@ -324,8 +349,9 @@ class Engine:
                 ctx, cfg, state, jax.random.fold_in(keys[1], r))
             stats = stats.at[MV_GTSPR].add(jnp.stack([p, a]))
 
-        state, (p, a) = moves.theta_move(ctx, cfg, state, keys[2])
-        stats = stats.at[MV_THETA].add(jnp.stack([p, a]))
+        if not cfg.theta_integrated:
+            state, (p, a) = moves.theta_move(ctx, cfg, state, keys[2])
+            stats = stats.at[MV_THETA].add(jnp.stack([p, a]))
 
         if self.run.stree.n_hybrids > 0:
             from . import msci_moves

@@ -303,7 +303,8 @@ def theta_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     logpr_fn = make_logpr_fn(ctx)
     _, c, t2 = logpr_fn(state.gt, sp, state.subst.heredity)
     mask_l = ctx.locus_mask[:, None]
-    ksum = _psum_if_sharded(jnp.sum(jnp.where(mask_l, c, 0), axis=0))
+    ksum = _psum_if_sharded(
+        jnp.sum(jnp.where(mask_l, c, 0), axis=0)).astype(t2.dtype)
     csum = _psum_if_sharded(jnp.sum(
         jnp.where(mask_l, t2 / state.subst.heredity[:, None], 0.0), axis=0))
 
@@ -387,9 +388,19 @@ def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
                and cfg.clock_rate_prior == 0)
     lnrates0 = (state.clock.lnrates if state.clock is not None
                 else jnp.zeros_like(state.logl))
+    integ = cfg.theta_integrated
+    if integ:
+        from . import notheta
+        coal0, t20 = state.coal, state.t2h
+        lpg0 = notheta.total_integrated(cfg, coal0, t20,
+                                        state.subst.heredity, ctx.locus_mask)
+    else:
+        coal0 = t20 = jnp.zeros((), state.logl.dtype)
+        lpg0 = jnp.zeros((), state.logl.dtype)
 
     def body(h_off, carry):
-        age, tau, logl, logpr, lnrates, kkey, nprop, nacc = carry
+        age, tau, logl, logpr, lnrates, coal_c, t2_c, lpg, kkey, nprop, \
+            nacc = carry
         h = NS + h_off
         kkey, k1, k2 = jax.random.split(kkey, 3)
         told = tau[h]
@@ -430,13 +441,19 @@ def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
         gtn = state.gt._replace(age=age_new)
         logl_new = logl_fn(gtn, state.subst, sp_new, state.clock)
-        logpr_new, _, _ = logpr_fn(gtn, sp_new, state.subst.heredity)
+        logpr_new, c_new, t2_new = logpr_fn(gtn, sp_new, state.subst.heredity)
+        if integ:
+            lpg_new = notheta.total_integrated(
+                cfg, c_new, t2_new, state.subst.heredity, ctx.locus_mask)
+            dpr = lpg_new - lpg
+        else:
+            lpg_new = lpg
+            dpr = _psum_if_sharded(jnp.sum(logpr_new - logpr))
 
         ln_maxf = jnp.log1p(dt / (told - maxage))   # = log(maxf), stable
         ln_minf = jnp.log1p(dt / (told - minage))   # = log(minf), stable
         lnacc = (ca * ln_maxf + cb * ln_minf
-                 + _psum_if_sharded(jnp.sum(logl_new - logl))
-                 + _psum_if_sharded(jnp.sum(logpr_new - logpr)))
+                 + _psum_if_sharded(jnp.sum(logl_new - logl)) + dpr)
         is_root = ph < 0
         cand = jnp.sum(tau[NS:] > 0).astype(tau.dtype)
         if gamma_tau:
@@ -460,17 +477,25 @@ def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         logl = jnp.where(accept, logl_new, logl)
         logpr = jnp.where(accept, logpr_new, logpr)
         lnrates = jnp.where(accept, lnr_new, lnrates)
+        if integ:
+            coal_c = jnp.where(accept, c_new, coal_c)
+            t2_c = jnp.where(accept, t2_new, t2_c)
+            lpg = jnp.where(accept, lpg_new, lpg)
         nprop = nprop + active.astype(jnp.int32)
         nacc = nacc + accept.astype(jnp.int32)
-        return (age, tau, logl, logpr, lnrates, kkey, nprop, nacc)
+        return (age, tau, logl, logpr, lnrates, coal_c, t2_c, lpg, kkey,
+                nprop, nacc)
 
-    init = (state.gt.age, sp0.tau, state.logl, state.logpr, lnrates0, key,
+    init = (state.gt.age, sp0.tau, state.logl, state.logpr, lnrates0,
+            coal0, t20, lpg0, key,
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    age, tau, logl, logpr, lnrates, _, nprop, nacc = jax.lax.fori_loop(
-        0, NS - 1, body, init)
+    age, tau, logl, logpr, lnrates, coal_c, t2_c, _, _, nprop, nacc = \
+        jax.lax.fori_loop(0, NS - 1, body, init)
     new_state = state._replace(
         gt=state.gt._replace(age=age), sp=sp0._replace(tau=tau),
         logl=logl, logpr=logpr)
+    if integ:
+        new_state = new_state._replace(coal=coal_c, t2h=t2_c)
     if corr_ln:
         new_state = new_state._replace(
             clock=state.clock._replace(lnrates=lnrates))
@@ -532,44 +557,60 @@ def mixing_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
                 - tb * (1.0 / rtn - 1.0 / rts)
         lnacc = lnacc + jnp.where(rt_old > 0, root_term, 0.0)
 
-    # Gibbs-style theta refresh at the scaled waiting times
-    _, cc, t2 = logpr_fn(gt, sp, state.subst.heredity)
-    mask_l = ctx.locus_mask[:, None]
-    ksum = _psum_if_sharded(jnp.sum(jnp.where(mask_l, cc, 0), axis=0))
-    csum = _psum_if_sharded(jnp.sum(
-        jnp.where(mask_l, t2 / state.subst.heredity[:, None], 0.0), axis=0))
-    cstar = csum * c
-    if gamma_prior:
-        a1, b1 = gamma_conditional_approx(a, b, ksum, cstar, True)
-        a1o, b1o = gamma_conditional_approx(a, b, ksum, csum, True)
+    if cfg.theta_integrated:
+        # no thetas to refresh (prop_mixing.c:339 gated on opt_est_theta)
+        th_new = sp.theta
     else:
-        a1, b1 = a + ksum, b + cstar
-        a1o, b1o = a + ksum, b + csum
-    th_new = b1 / jax.random.gamma(k2, a1, dtype=a1.dtype)
-    th_old = sp.theta
-    # proposal ratio (InvG pdfs) + prior ratio
-    lnacc = lnacc + jnp.sum(
-        rng.log_pdf_invgamma(th_old, a1o, b1o)
-        - rng.log_pdf_invgamma(th_new, a1, b1))
-    if gamma_prior:
+        # Gibbs-style theta refresh at the scaled waiting times
+        _, cc, t2 = logpr_fn(gt, sp, state.subst.heredity)
+        mask_l = ctx.locus_mask[:, None]
+        ksum = _psum_if_sharded(
+            jnp.sum(jnp.where(mask_l, cc, 0), axis=0)).astype(t2.dtype)
+        csum = _psum_if_sharded(jnp.sum(
+            jnp.where(mask_l, t2 / state.subst.heredity[:, None], 0.0),
+            axis=0))
+        cstar = csum * c
+        if gamma_prior:
+            a1, b1 = gamma_conditional_approx(a, b, ksum, cstar, True)
+            a1o, b1o = gamma_conditional_approx(a, b, ksum, csum, True)
+        else:
+            a1, b1 = a + ksum, b + cstar
+            a1o, b1o = a + ksum, b + csum
+        th_new = b1 / jax.random.gamma(k2, a1, dtype=a1.dtype)
+        th_old = sp.theta
+        # proposal ratio (InvG pdfs) + prior ratio
         lnacc = lnacc + jnp.sum(
-            (a - 1.0) * jnp.log(th_new / th_old) - b * (th_new - th_old))
-    else:
-        lnacc = lnacc + jnp.sum(
-            (-a - 1.0) * jnp.log(th_new / th_old)
-            - b * (1.0 / th_new - 1.0 / th_old))
+            rng.log_pdf_invgamma(th_old, a1o, b1o)
+            - rng.log_pdf_invgamma(th_new, a1, b1))
+        if gamma_prior:
+            lnacc = lnacc + jnp.sum(
+                (a - 1.0) * jnp.log(th_new / th_old) - b * (th_new - th_old))
+        else:
+            lnacc = lnacc + jnp.sum(
+                (-a - 1.0) * jnp.log(th_new / th_old)
+                - b * (1.0 / th_new - 1.0 / th_old))
 
     gtn = gt._replace(age=age_new)
     spn = sp._replace(tau=tau_new, theta=th_new)
     logl_new = logl_fn(gtn, state.subst, spn, state.clock)
-    logpr_new, _, _ = logpr_fn(gtn, spn, state.subst.heredity)
-    lnacc = lnacc + _psum_if_sharded(jnp.sum(logl_new - state.logl)) \
-        + _psum_if_sharded(jnp.sum(logpr_new - state.logpr))
+    logpr_new, c_new, t2_new = logpr_fn(gtn, spn, state.subst.heredity)
+    lnacc = lnacc + _psum_if_sharded(jnp.sum(logl_new - state.logl))
+    if cfg.theta_integrated:
+        from . import notheta
+        lnacc = lnacc + (
+            notheta.total_integrated(cfg, c_new, t2_new,
+                                     state.subst.heredity, ctx.locus_mask)
+            - notheta.total_integrated(cfg, state.coal, state.t2h,
+                                       state.subst.heredity, ctx.locus_mask))
+    else:
+        lnacc = lnacc + _psum_if_sharded(jnp.sum(logpr_new - state.logpr))
 
     # correlated-LN branch-rate prior depends on the scaled taus
     # (prop_mixing.c:189-194)
     from ..config import Clock
     cand = state._replace(gt=gtn, sp=spn, logl=logl_new, logpr=logpr_new)
+    if cfg.theta_integrated:
+        cand = cand._replace(coal=c_new, t2h=t2_new, logpr=state.logpr)
     if (state.clock is not None and cfg.clock == Clock.CORRELATED
             and cfg.clock_rate_prior == 0):
         from .clock_moves import lnprior_rates
@@ -622,6 +663,9 @@ def age_block_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
     age = gt.age
     logl, logpr = state.logl, state.logpr
+    integ = cfg.theta_integrated
+    coal_c, t2_c = state.coal, state.t2h
+    hered = state.subst.heredity
     nprop = jnp.zeros((), jnp.int32)
     nacc = jnp.zeros((), jnp.int32)
     lc = jnp.maximum(gt.left, 0)
@@ -653,17 +697,28 @@ def age_block_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         age_new = jnp.where(mask, tnew, age)
         gtn = gt._replace(age=age_new)
         logl_new = logl_fn(gtn, state.subst, sp, state.clock)
-        logpr_new, _, _ = logpr_fn(gtn, sp, state.subst.heredity)
-        lnacc = (logl_new - logl) + (logpr_new - logpr)
-        accept = rng.mh_accept(k2, lnacc) & ctx.locus_mask & mask.any(1)
+        logpr_new, c_new, t2_new = logpr_fn(gtn, sp, hered)
+        amask = ctx.locus_mask & mask.any(1)
+        if integ:
+            from . import notheta
+            accept = notheta.scan_accept(
+                k2, cfg, logl_new - logl, coal_c, t2_c, hered,
+                c_new, t2_new, hered, amask, ctx.locus_mask)
+            coal_c = jnp.where(accept[:, None], c_new, coal_c)
+            t2_c = jnp.where(accept[:, None], t2_new, t2_c)
+        else:
+            lnacc = (logl_new - logl) + (logpr_new - logpr)
+            accept = rng.mh_accept(k2, lnacc) & amask
+            logpr = jnp.where(accept, logpr_new, logpr)
         age = jnp.where(accept[:, None], age_new, age)
         logl = jnp.where(accept, logl_new, logl)
-        logpr = jnp.where(accept, logpr_new, logpr)
-        nprop = nprop + (ctx.locus_mask & mask.any(1)).sum(dtype=jnp.int32)
+        nprop = nprop + amask.sum(dtype=jnp.int32)
         nacc = nacc + accept.sum(dtype=jnp.int32)
 
     new_state = state._replace(gt=gt._replace(age=age), logl=logl,
                                logpr=logpr)
+    if integ:
+        new_state = new_state._replace(coal=coal_c, t2h=t2_c)
     return new_state, (nprop, nacc)
 
 
@@ -805,19 +860,30 @@ def spr_round_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
     gtn = GTrees(nl, nr, np_, na, state.gt.hpath)
     logl_new = logl_fn(gtn, state.subst, sp, state.clock)
-    logpr_new, _, _ = logpr_fn(gtn, sp, state.subst.heredity)
-    lnacc = (logl_new - logl) + (logpr_new - logpr) + jnp.log(
-        jnp.maximum(tcount, 1) / jnp.maximum(scount, 1))
-    accept = rng.mh_accept(k3, lnacc) & ok
+    logpr_new, c_new, t2_new = logpr_fn(gtn, sp, state.subst.heredity)
+    dprop = jnp.log(jnp.maximum(tcount, 1) / jnp.maximum(scount, 1))
+    new_state = state
+    if cfg.theta_integrated:
+        from . import notheta
+        hered = state.subst.heredity
+        accept = notheta.scan_accept(
+            k3, cfg, (logl_new - logl) + dprop, state.coal, state.t2h,
+            hered, c_new, t2_new, hered, ok, ctx.locus_mask)
+        new_state = new_state._replace(
+            coal=jnp.where(accept[:, None], c_new, state.coal),
+            t2h=jnp.where(accept[:, None], t2_new, state.t2h))
+    else:
+        lnacc = (logl_new - logl) + (logpr_new - logpr) + dprop
+        accept = rng.mh_accept(k3, lnacc) & ok
+        logpr = jnp.where(accept, logpr_new, logpr)
     am = accept[:, None]
     left = jnp.where(am, nl, left)
     right = jnp.where(am, nr, right)
     parent = jnp.where(am, np_, parent)
     age = jnp.where(am, na, age)
     logl = jnp.where(accept, logl_new, logl)
-    logpr = jnp.where(accept, logpr_new, logpr)
 
-    new_state = state._replace(
+    new_state = new_state._replace(
         gt=GTrees(left, right, parent, age, state.gt.hpath), logl=logl,
         logpr=logpr)
     return new_state, (ok.sum(dtype=jnp.int32), accept.sum(dtype=jnp.int32))

@@ -119,6 +119,11 @@ class McmcState(NamedTuple):
     logpr: jax.Array     # [L] cached MSC log-density (theta-estimated path)
     finetune: jax.Array  # [N_FINETUNE]
     clock: ClockState | None = None
+    # theta-integrated-out caches (None on the theta-estimated path):
+    # per-locus coalescent counts / waiting-time sums per population
+    # (the tensors behind notheta_logpr, see mcmc.notheta)
+    coal: jax.Array | None = None    # [L, H] int32
+    t2h: jax.Array | None = None     # [L, H]
 
 
 class Ctx(NamedTuple):
@@ -153,6 +158,8 @@ def compute_pmats(gt: GTrees, subst: SubstState, model: SubstModel,
         return pm.pmatrix_eigen(
             t_eff, subst.eigw[:, None, None, :],
             subst.eigT[:, None, None, :, :], subst.eigTi[:, None, None, :, :])
+    if model.is_aa:
+        return pm.pmatrix_aa(t_eff, model.name)
     raise NotImplementedError(model)
 
 

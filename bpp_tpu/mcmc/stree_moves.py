@@ -301,7 +301,7 @@ def species_spr_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
     # --- full re-evaluation --------------------------------------------------
     logl_new = logl_fn(gt_new, state.subst, sp_new, state.clock)
-    logpr_new, _, _ = logpr_fn(gt_new, sp_new, state.subst.heredity)
+    logpr_new, c_new, t2_new = logpr_fn(gt_new, sp_new, state.subst.heredity)
 
     # --- reverse species-level weights ---------------------------------------
     npartau = jnp.where(nparent >= 0, sp_new.tau[jnp.maximum(nparent, 0)],
@@ -337,12 +337,21 @@ def species_spr_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     # collapsed): the categorical picked garbage; reject outright
     bad_any = (badmask & ctx.locus_mask).any() \
         | ~feas_y.any() | ~cand.any()
+    if cfg.theta_integrated:
+        from . import notheta
+        dpr = (notheta.total_integrated(cfg, c_new, t2_new,
+                                        state.subst.heredity, ctx.locus_mask)
+               - notheta.total_integrated(cfg, state.coal, state.t2h,
+                                          state.subst.heredity,
+                                          ctx.locus_mask))
+    else:
+        dpr = jnp.sum(jnp.where(ctx.locus_mask,
+                                logpr_new - state.logpr, 0.0))
     lnacc = (logp_y_rev - logp_y + logp_b_rev - logp_c
              + jnp.sum(jnp.where(ctx.locus_mask, lnhr, 0.0))
              + jnp.sum(jnp.where(ctx.locus_mask,
-                                 (logl_new - state.logl)
-                                 + (logpr_new - state.logpr), 0.0))
-             + prior_ratio)
+                                 logl_new - state.logl, 0.0))
+             + dpr + prior_ratio)
     lnacc = jnp.where(bad_any, -jnp.inf, lnacc)
     accept = rng.mh_accept(k_acc, lnacc)
 
@@ -353,4 +362,8 @@ def species_spr_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         gt=pick(gt_new, gt), sp=pick(sp_new, sp),
         logl=jnp.where(accept, logl_new, state.logl),
         logpr=jnp.where(accept, logpr_new, state.logpr))
+    if cfg.theta_integrated:
+        new_state = new_state._replace(
+            coal=jnp.where(accept, c_new, state.coal),
+            t2h=jnp.where(accept, t2_new, state.t2h))
     return new_state, (jnp.ones((), jnp.int32), accept.astype(jnp.int32))

@@ -255,11 +255,22 @@ def heredity_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     h_new = jnp.abs(h + eps * rng.bactrian(ks, (L,), dtype=eps.dtype))
     h_new = jnp.maximum(h_new, 1e-300)
 
+    h_new = jnp.where(ctx.locus_mask, h_new, h)
+    dprior = (cfg.heredity_alpha - 1.0) * jnp.log(h_new / h) \
+        - cfg.heredity_beta * (h_new - h)
+    if cfg.theta_integrated:
+        # gt unchanged: only the heredity scaling of C_h moves
+        from . import notheta
+        accept = notheta.scan_accept(
+            ka, cfg, dprior, state.coal, state.t2h, h,
+            state.coal, state.t2h, h_new, ctx.locus_mask, ctx.locus_mask)
+        h = jnp.where(accept, h_new, h)
+        return (state._replace(subst=state.subst._replace(heredity=h)),
+                (ctx.locus_mask.sum(dtype=jnp.int32),
+                 accept.sum(dtype=jnp.int32)))
     logpr_fn = make_logpr_fn(ctx)
-    logpr_new, _, _ = logpr_fn(state.gt, state.sp,
-                               jnp.where(ctx.locus_mask, h_new, h))
-    lnacc = (cfg.heredity_alpha - 1.0) * jnp.log(h_new / h) \
-        - cfg.heredity_beta * (h_new - h) + (logpr_new - state.logpr)
+    logpr_new, _, _ = logpr_fn(state.gt, state.sp, h_new)
+    lnacc = dprior + (logpr_new - state.logpr)
     accept = rng.mh_accept(ka, lnacc) & ctx.locus_mask
     h = jnp.where(accept, h_new, h)
     logpr = jnp.where(accept, logpr_new, state.logpr)

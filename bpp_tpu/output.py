@@ -61,6 +61,9 @@ class McmcWriter:
         # then MSC-I mirror nodes); mirrors carry no tau column (tied)
         mirrors = list(range(st.n_tips + st.n_inner, st.n_nodes))
         self.theta_nodes = list(range(st.n_tips)) + self.inner + mirrors
+        if cfg.theta_integrated:
+            # 'e' flag: thetas are marginalized out, no columns exist
+            self.theta_nodes = []
         self.tau_nodes = list(self.inner)
         # phi columns: one per hybridization, logged as the hinner phi
         # (method.c:1928-1936 "phi:h<-p:lab<-lab")
@@ -216,6 +219,8 @@ def read_mcmc_samples(cfg: BppConfig, st: SpeciesTree, path: str):
     inner = bpp_inner_order(st)
     mirrors = list(range(st.n_tips + st.n_inner, st.n_nodes))
     theta_nodes = list(range(st.n_tips)) + inner + mirrors
+    if cfg.theta_integrated:
+        theta_nodes = []
     tau_nodes = list(inner)
     phi_nodes = [i for i in inner
                  if st.hindex is not None and st.hindex[i] >= 0]
@@ -257,7 +262,8 @@ def a00_summary(cfg: BppConfig, st: SpeciesTree, gen, theta, tau, lnl,
     inner = bpp_inner_order(st)
     cols: dict[str, np.ndarray] = {}
     mirrors = list(range(st.n_tips + st.n_inner, st.n_nodes))
-    order = list(range(st.n_tips)) + inner + mirrors
+    order = ([] if cfg.theta_integrated
+             else list(range(st.n_tips)) + inner + mirrors)
     for pos, i in enumerate(order):
         if i < st.n_tips:
             idx = i + 1
