@@ -127,6 +127,22 @@ class Finetune:
 
 
 @dataclass(frozen=True)
+class MigSpec:
+    """One allowed migration route (cfile.c:2289 parse_migration line:
+    ``source target [alpha beta [am [pseudo_a pseudo_b]]]`` or
+    ``source target am``).  Names may be tip or ancestral-population
+    labels.  alpha/beta default to the ``wprior`` Gamma when 0."""
+
+    source: str
+    target: str
+    alpha: float = 0.0
+    beta: float = 0.0
+    am: float = 0.0          # >0: per-locus variable rates Mi ~ G(am, am/M)
+    pseudo_a: float = 0.0    # pseudo-prior (geneflow rjMCMC)
+    pseudo_b: float = 0.0
+
+
+@dataclass(frozen=True)
 class SpeciesTreeSpec:
     """The species&tree block (cfile.c:3322)."""
 
@@ -208,6 +224,7 @@ class BppConfig:
 
     # migration / introgression
     migration: bool = False
+    mig_specs: tuple = ()               # tuple[MigSpec, ...] routes
     geneflow: bool = False
     migprior: Prior | None = None
     wprior: Prior | None = None

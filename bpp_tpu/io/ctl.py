@@ -192,6 +192,29 @@ def parse_ctl_lines(lines: list[str]) -> BppConfig:  # noqa: C901
                         break
                 newick = " ".join(chunks)
             kw["species"] = SpeciesTreeSpec(count, names, maxseqs, newick)
+        elif key == "migration":
+            # cfile.c:2289: 'migration = K' then K route lines
+            count = int(value.split()[0])
+            specs = []
+            for _ in range(count):
+                line, i = next_content_line(i)
+                toks = line.replace(",", " ").split()
+                src, dst = toks[0], toks[1]
+                nums = [float(t) for t in toks[2:]]
+                s = {"source": src, "target": dst}
+                if len(nums) == 1:
+                    s["am"] = nums[0]
+                elif len(nums) >= 2:
+                    s["alpha"], s["beta"] = nums[0], nums[1]
+                if len(nums) in (3, 5):
+                    s["am"] = nums[2]
+                if len(nums) == 4:
+                    s["pseudo_a"], s["pseudo_b"] = nums[2], nums[3]
+                elif len(nums) == 5:
+                    s["pseudo_a"], s["pseudo_b"] = nums[3], nums[4]
+                from ..config import MigSpec
+                specs.append(MigSpec(**s))
+            kw["__migration__"] = tuple(specs)
         else:
             kw[key] = value
 
@@ -390,6 +413,11 @@ def _build_config(kw: dict) -> BppConfig:  # noqa: C901
     v = pop("geneflow")
     if v is not None:
         c["geneflow"] = bool(int(v.split()[0]))
+
+    v = pop("__migration__")
+    if v is not None:
+        c["mig_specs"] = v
+        c["migration"] = len(v) > 0
 
     v = pop("migprior")
     if v is not None:

@@ -1,0 +1,137 @@
+"""MSC-M (isolation-with-migration) density and state tests.
+
+Hand-computed oracle on a 2-species IM scenario (reference density:
+gtree_update_logprob_contrib_mig, gtree.c:3459-3675):
+
+  species A, B, root R; tau_R = 0.1; one locus with a in A, b in B.
+  One migration event on a's edge at t_m = 0.04 (backward jump A->B,
+  i.e. a forward-time migrant B->A via route k = B->A), coalescence of
+  (a, b) at t_r = 0.08 in B.
+
+  logPG = log M - M*0.04 + log(2/theta_B) - 0.08/theta_B
+  (W_{B->A} = int n_A(x) 1[B alive] dx = 0.04;
+   C2_B = 2*1*(0.08-0.04) = 0.08)
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from bpp_tpu.trees.gtree import BIG_AGE, GTrees
+from bpp_tpu.trees import migration as mg
+
+
+def _two_species_setup(theta=0.01, tau_r=0.1):
+    from bpp_tpu.trees.stree import SpeciesTree
+    from bpp_tpu.trees.gtree import species_arrays
+
+    st = SpeciesTree.from_newick("(A, B);", tip_order=["A", "B"])
+    st.tau[:] = [0.0, 0.0, tau_r]
+    st.theta[:] = theta
+    sp = species_arrays(st, dtype=jnp.float64)
+    return st, sp
+
+
+def _gtree_one_locus(t_r=0.08):
+    # tips 0 (a in A), 1 (b in B); inner 2 = root at t_r
+    left = jnp.asarray([[-1, -1, 0]], jnp.int32)
+    right = jnp.asarray([[-1, -1, 1]], jnp.int32)
+    parent = jnp.asarray([[2, 2, -1]], jnp.int32)
+    age = jnp.asarray([[0.0, 0.0, t_r]], jnp.float64)
+    return GTrees(left, right, parent, age, None)
+
+
+def test_density_hand_oracle():
+    theta, tau_r, t_m, t_r, M = 0.01, 0.1, 0.04, 0.08, 1.7
+    st, sp = _two_species_setup(theta, tau_r)
+    gt = _gtree_one_locus(t_r)
+    n_seq = jnp.asarray([2])
+    tip_pop = jnp.asarray([[0, 1]], jnp.int32)
+
+    # route k: forward B->A  (si=1, ti=0)
+    si, ti = np.asarray([1]), np.asarray([0])
+    mig = mg.empty_mig_state(1, 4, 1, [M], jnp.float64)
+    # backward jump A->B on edge of tip 0 at t_m
+    mig = mig._replace(
+        time=mig.time.at[0, 0].set(t_m),
+        node=mig.node.at[0, 0].set(0),
+        src=mig.src.at[0, 0].set(0),
+        dst=mig.dst.at[0, 0].set(1))
+
+    pops = mg.assign_populations_mig(gt, sp, tip_pop, mig, n_seq)
+    assert int(pops[0, 2]) == 1          # coalescence in B
+    ok = mg.route_consistent_mig(gt, sp, mig, pops, n_seq)
+    assert bool(ok[0])
+
+    coal, C2, W, mc, n_in = mg.mig_stats(gt, sp, pops, mig, si, ti, n_seq)
+    np.testing.assert_array_equal(np.asarray(coal[0]), [0, 1, 0])
+    np.testing.assert_allclose(np.asarray(C2[0]), [0.0, 0.08, 0.0],
+                               atol=1e-12)
+    np.testing.assert_allclose(float(W[0, 0]), 0.04, atol=1e-12)
+    assert int(mc[0, 0]) == 1
+
+    hered = jnp.ones(1, jnp.float64)
+    lp = mg.msc_logprob_mig(coal, C2, W, mc, sp.theta, hered, mig.M)
+    want = (np.log(M) - M * 0.04
+            + np.log(2.0 / theta) - 0.08 / theta)
+    np.testing.assert_allclose(float(lp[0]), want, rtol=1e-12)
+
+
+def test_density_no_events_matches_plain_msc():
+    """With zero migration events, pop terms must equal the plain MSC
+    density; the migration part reduces to -M*W."""
+    from bpp_tpu.trees import coalescent as coalmod
+    from bpp_tpu.trees.gtree import assign_populations
+
+    theta, tau_r, t_r, M = 0.02, 0.1, 0.15, 0.9
+    st, sp = _two_species_setup(theta, tau_r)
+    gt = _gtree_one_locus(t_r)       # coalescence in root pop
+    n_seq = jnp.asarray([2])
+    tip_pop = jnp.asarray([[0, 1]], jnp.int32)
+    si, ti = np.asarray([1]), np.asarray([0])
+    mig = mg.empty_mig_state(1, 4, 1, [M], jnp.float64)
+
+    pops = mg.assign_populations_mig(gt, sp, tip_pop, mig, n_seq)
+    pops_plain = assign_populations(gt, sp, tip_pop)
+    np.testing.assert_array_equal(np.asarray(pops), np.asarray(pops_plain))
+
+    coal, C2, W, mc, _ = mg.mig_stats(gt, sp, pops, mig, si, ti, n_seq)
+    c_p, t2_p, _ = coalmod.per_pop_stats(gt, sp, pops_plain, n_seq)
+    np.testing.assert_array_equal(np.asarray(coal), np.asarray(c_p))
+    np.testing.assert_allclose(np.asarray(C2), np.asarray(t2_p), atol=1e-12)
+    # a's edge is in A over [0, tau_r) while B alive: W = tau_r
+    np.testing.assert_allclose(float(W[0, 0]), tau_r, atol=1e-12)
+    assert int(mc[0, 0]) == 0
+
+    hered = jnp.ones(1, jnp.float64)
+    lp = mg.msc_logprob_mig(coal, C2, W, mc, sp.theta, hered, mig.M)
+    lp_plain = coalmod.msc_logprob(gt, sp, pops_plain, n_seq, hered)
+    np.testing.assert_allclose(float(lp[0]),
+                               float(lp_plain[0]) - M * tau_r, rtol=1e-12)
+
+
+def test_ctl_migration_block():
+    from bpp_tpu.io.ctl import parse_ctl_lines
+
+    ctl = """
+seed = 1
+seqfile = x
+species&tree = 2 A B
+                2 2
+               (A, B);
+migration = 2
+  A B
+  B A 2.0 5.0
+wprior = 3 1.5
+usedata = 0
+"""
+    cfg = parse_ctl_lines(ctl.strip().splitlines())
+    assert cfg.migration and len(cfg.mig_specs) == 2
+    assert cfg.mig_specs[0].source == "A" and cfg.mig_specs[0].alpha == 0.0
+    assert cfg.mig_specs[1].alpha == 2.0 and cfg.mig_specs[1].beta == 5.0
+
+    from bpp_tpu.loader import build_species_tree
+    st = build_species_tree(cfg)
+    routes = mg.build_routes(cfg, st)
+    assert routes.n_routes == 2
+    assert routes.alpha[0] == 3.0 and routes.beta[0] == 1.5   # wprior default
+    assert routes.index[routes.si[1], routes.ti[1]] == 1
