@@ -108,7 +108,9 @@ def cmd_run(args) -> int:
                 gen, np.asarray(state.sp.theta), np.asarray(state.sp.tau),
                 float(np.asarray(state.logl).sum()),
                 phi=None if state.sp.phi is None
-                else np.asarray(state.sp.phi))
+                else np.asarray(state.sp.phi),
+                migM=None if state.mig is None
+                else np.asarray(state.mig.M))
 
     chk_path = f"{cfg.jobname}.chk.npz"
 
@@ -152,9 +154,12 @@ def cmd_run(args) -> int:
     else:
         if args.resume:
             phi = phi_rs
+            migM = None
         else:
             phi = np.stack(log.phi) if log.phi else None
-        report = a00_summary(cfg, run.stree, gen, theta, tau, lnl, phi=phi)
+            migM = np.stack(log.migM) if log.migM else None
+        report = a00_summary(cfg, run.stree, gen, theta, tau, lnl, phi=phi,
+                             migM=migM)
     out_path = f"{cfg.jobname}.txt"
     with open(out_path, "w") as fh:
         fh.write(f"bpp_tpu {cfg.method.name} run summary ({len(gen)} "

@@ -91,7 +91,10 @@ def _root_age_scale(cfg: BppConfig, run: RunData) -> float:
     # plain python float: np scalars are strongly typed and would promote
     # the whole rubber-band to float64 under x64
     return float(md)
+from .state import FT_MIG_AGES, MV_MIG_AGES  # noqa: E402
+
 MOVE_TO_FT = {
+    MV_MIG_AGES: FT_MIG_AGES,
     MV_GTAGE: FT_GTAGE,
     MV_GTSPR: FT_GTSPR,
     MV_THETA: FT_THETA,
@@ -133,6 +136,7 @@ class SampleLog:
     sptrees: list = field(default_factory=list)   # (left, right, parent) per
                                                   # sample; A01/A11 only
     phi: list = field(default_factory=list)       # [H]; MSC-I only
+    migM: list = field(default_factory=list)      # [K]; MSC-M only
 
     def arrays(self):
         return (np.asarray(self.gen), np.stack(self.theta),
@@ -170,6 +174,45 @@ class Engine:
             raise NotImplementedError(
                 "locusrate Dir prior with a relaxed clock: use the "
                 "Gamma-Dirichlet or hierarchical prior instead")
+        self.routes = None
+        if cfg.migration:
+            from ..trees import migration as mgmod
+            if cfg.est_stree or cfg.est_delimit:
+                raise NotImplementedError(
+                    "migration currently requires a fixed species tree "
+                    "(A00)")
+            if run.stree.n_hybrids > 0:
+                raise NotImplementedError(
+                    "MSC-I networks cannot be combined with MSC-M "
+                    "migration (reference: assert in stree.c:7452)")
+            from ..config import Clock
+            if cfg.clock != Clock.GLOBAL:
+                raise NotImplementedError(
+                    "relaxed clocks with migration not yet supported")
+            if cfg.theta_integrated:
+                raise NotImplementedError(
+                    "thetas cannot be integrated out under migration "
+                    "(gtree.c:9271 fatal)")
+            if cfg.est_heredity == 1:
+                raise NotImplementedError(
+                    "heredity estimation with migration not yet supported")
+            self.routes = mgmod.build_routes(cfg, run.stree)
+            if (self.routes.am > 0).any():
+                raise NotImplementedError(
+                    "per-locus variable migration rates (am) not yet "
+                    "supported")
+            root = run.stree.root
+            if (self.routes.si == root).any() or \
+                    (self.routes.ti == root).any():
+                raise ValueError("migration to/from the root population "
+                                 "is impossible (no contemporaries)")
+            anc = run.stree.pptable()
+            for k in range(self.routes.n_routes):
+                s, t = int(self.routes.si[k]), int(self.routes.ti[k])
+                if anc[s, t] or anc[t, s]:
+                    raise ValueError(
+                        "migration route between ancestor and descendant "
+                        "populations: they never coexist")
         if cfg.theta_integrated:
             from ..config import PriorDist
             if cfg.thetaprior.dist != PriorDist.INVGAMMA:
@@ -306,6 +349,22 @@ class Engine:
             clock = clock_moves.init_clock_state(
                 cfg, sp, subst.mu, rng, L, self.dtype)
         logl = self._logl_fn(gt, subst, sp, clock)
+        mig = None
+        if cfg.migration:
+            # start event-free (a valid support point; the sim-SPR move
+            # introduces events) with rates at their prior means
+            from ..trees import migration as mgmod
+            from .mig_moves import make_logpr_fn_mig
+            ME = max(16, 2 * run.batch.max_tips)
+            M0 = self.routes.alpha / self.routes.beta
+            mig = mgmod.empty_mig_state(L, ME, self.routes.n_routes, M0,
+                                        self.dtype)
+            logpr, *_ = make_logpr_fn_mig(self.ctx, self.routes)(
+                gt, sp, mig, subst.heredity)
+            return McmcState(
+                gt=gt, sp=sp, subst=subst, logl=logl, logpr=logpr,
+                finetune=finetune_array(cfg, self.dtype), clock=clock,
+                mig=mig)
         logpr, c0, t20 = self._logpr_fn(gt, sp, subst.heredity)
         coal = t2h = None
         if cfg.theta_integrated:
@@ -322,6 +381,8 @@ class Engine:
         cfg, ctx = self.cfg, self.ctx
         stats = jnp.zeros((N_MOVES, 2), jnp.int32)
         keys = jax.random.split(key, 10)
+        if cfg.migration:
+            return self._step_mig(state, keys, stats)
 
         # move #0a: rjMCMC split/join (A10/A11; method.c:5420-5435)
         if cfg.est_delimit:
@@ -428,6 +489,60 @@ class Engine:
         from ..trees.gtree import detie_ages
         state = state._replace(gt=detie_ages(state.gt, ctx.n_seq))
 
+        return state, stats
+
+    def _step_mig(self, state: McmcState, keys, stats):
+        """MSC-M move schedule (method.c order with migration variants)."""
+        from . import mig_moves, subst_moves
+        from .state import MV_MIG_AGES, MV_MIGRATES
+        cfg, ctx, routes = self.cfg, self.ctx, self.routes
+
+        state, (p, a) = mig_moves.age_block_mig(ctx, cfg, routes, state,
+                                                keys[0])
+        stats = stats.at[MV_GTAGE].add(jnp.stack([p, a]))
+
+        state, (p, a) = mig_moves.migevent_age_move(
+            ctx, cfg, routes, state, jax.random.fold_in(keys[0], 1))
+        stats = stats.at[MV_MIG_AGES].add(jnp.stack([p, a]))
+
+        for r in range(3):
+            state, (p, a) = mig_moves.spr_sim_move(
+                ctx, cfg, routes, state, jax.random.fold_in(keys[1], r))
+            stats = stats.at[MV_GTSPR].add(jnp.stack([p, a]))
+
+        state, (p, a) = mig_moves.theta_move_mig(ctx, cfg, routes, state,
+                                                 keys[2])
+        stats = stats.at[MV_THETA].add(jnp.stack([p, a]))
+
+        state, (p, a) = mig_moves.tau_move_mig(ctx, cfg, routes, state,
+                                               keys[3])
+        stats = stats.at[MV_TAU].add(jnp.stack([p, a]))
+
+        state, (p, a) = mig_moves.migrate_move(
+            ctx, cfg, routes, state, jax.random.fold_in(keys[3], 1))
+        stats = stats.at[MV_MIGRATES].add(jnp.stack([p, a]))
+
+        state, (p, a) = mig_moves.mixing_mig(ctx, cfg, routes, state,
+                                             keys[4])
+        stats = stats.at[MV_MIX].add(jnp.stack([p, a]))
+
+        if cfg.model in subst_moves.FREQS_MODELS:
+            state, (p, a) = subst_moves.freqs_move(ctx, cfg, state, keys[6])
+            stats = stats.at[MV_FREQS].add(jnp.stack([p, a]))
+        if cfg.model in subst_moves.QRATES_COUNT:
+            state, (p, a) = subst_moves.qrates_move(
+                ctx, cfg, state, jax.random.fold_in(keys[6], 1))
+            stats = stats.at[MV_QRATES].add(jnp.stack([p, a]))
+        if cfg.alphaprior is not None:
+            state, (p, a) = subst_moves.alpha_move(ctx, cfg, state, keys[7])
+            stats = stats.at[MV_ALPHA].add(jnp.stack([p, a]))
+        if cfg.est_locusrate == 1 and cfg.locusrate_prior == 3:
+            state, (p, a) = subst_moves.locusrate_move(ctx, cfg, state,
+                                                       keys[5])
+            stats = stats.at[MV_LRHT].add(jnp.stack([p, a]))
+
+        from ..trees.gtree import detie_ages
+        state = state._replace(gt=detie_ages(state.gt, ctx.n_seq))
         return state, stats
 
     def step(self, state: McmcState, key):
@@ -542,6 +657,8 @@ class Engine:
                 log.logpr.append(float(np.asarray(state.logpr).sum()))
                 if state.sp.phi is not None:
                     log.phi.append(np.asarray(state.sp.phi))
+                if state.mig is not None:
+                    log.migM.append(np.asarray(state.mig.M))
                 if cfg.est_stree:
                     log.sptrees.append((np.asarray(state.sp.left),
                                         np.asarray(state.sp.right),

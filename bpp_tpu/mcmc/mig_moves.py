@@ -1,0 +1,631 @@
+"""MSC-M (isolation-with-migration) MCMC moves, batched over loci.
+
+Reference counterparts (SURVEY.md section 2.3):
+  * theta Gibbs/slide under migration     stree.c:3464 propose_theta_gibbs_im
+  * migration-rate W Gibbs / slide        stree.c:11627 migrate_gibbs,
+                                          11938 prop_migrates
+  * migration-event age slide             gtree.c:5766 propose_migevent_ages
+  * gene-node ages with event clamps      gtree.c:4585 (opt_migration paths)
+  * simulation-based SPR                  gtree.c:9090 propose_spr_sim +
+                                          8742 simulate_coalescent_mig
+  * tau under migration                   stree.c:6725 propose_tau_mig
+  * mixing incl. event times              prop_mixing.c:275
+
+Design notes.  The likelihood never depends on migration events under
+the global clock (branch lengths are age differences), so event-only
+moves accept on the density delta alone.  The sim-SPR proposal draws
+the pruned lineage's path from the structured-coalescent prior
+conditional on the rest of the gene tree, so its acceptance is the
+likelihood ratio only (prior and proposal cancel; gtree.c:9368).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BppConfig, PriorDist
+from ..trees import migration as mg
+from ..trees.gtree import BIG_AGE, GTrees, lift_population
+from . import rng
+from .gibbs import gamma_conditional_approx
+from .state import (
+    Ctx, FT_GTAGE, FT_MIG_AGES, FT_MIX, FT_TAU, McmcState, make_logl_fn,
+)
+from .moves import MAXAGE_CAP, _psum_if_sharded, _select_uniform
+
+_INF = jnp.inf
+
+
+def make_logpr_fn_mig(ctx: Ctx, routes: mg.MigRoutes):
+    """Returns logpr(gt, sp, mig, heredity) ->
+    (lp [L], coal [L,H], C2 [L,H], W [L,K], mc [L,K], pops [L,N])."""
+    si, ti = routes.si, routes.ti
+
+    def fn(gt: GTrees, sp, mig: mg.MigState, heredity):
+        pops = mg.assign_populations_mig(gt, sp, ctx.tip_pop, mig, ctx.n_seq)
+        coal, C2, W, mc, _ = mg.mig_stats(gt, sp, pops, mig, si, ti,
+                                          ctx.n_seq)
+        lp = mg.msc_logprob_mig(coal, C2, W, mc, sp.theta, heredity, mig.M)
+        ok = mg.route_consistent_mig(gt, sp, mig, pops, ctx.n_seq)
+        lp = jnp.where(ok & ctx.locus_mask, lp, jnp.where(
+            ctx.locus_mask, -_INF, 0.0))
+        return lp, coal, C2, W, mc, pops
+
+    return fn
+
+
+# --------------------------------------------------------------------------
+# theta under migration: same conjugacy, stats from the migration sweep
+# --------------------------------------------------------------------------
+
+
+def theta_move_mig(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
+    sp = state.sp
+    H = sp.n_nodes
+    logpr_fn = make_logpr_fn_mig(ctx, routes)
+    _, c, t2, _, _, _ = logpr_fn(state.gt, sp, state.mig,
+                                 state.subst.heredity)
+    mask_l = ctx.locus_mask[:, None]
+    ksum = _psum_if_sharded(
+        jnp.sum(jnp.where(mask_l, c, 0), axis=0)).astype(t2.dtype)
+    csum = _psum_if_sharded(jnp.sum(
+        jnp.where(mask_l, t2 / state.subst.heredity[:, None], 0.0), axis=0))
+
+    a, b = cfg.thetaprior.alpha, cfg.thetaprior.beta
+    gamma_prior = cfg.thetaprior.dist == PriorDist.GAMMA
+    k_gb, k_acc = jax.random.split(key)
+    theta = sp.theta
+    if gamma_prior:
+        a1, b1 = gamma_conditional_approx(a, b, ksum, csum, True)
+    else:
+        a1, b1 = a + ksum, b + csum
+    th_new = b1 / jax.random.gamma(k_gb, a1, dtype=a1.dtype)
+    dlogpr = ksum * jnp.log(theta / th_new) + csum * (1.0 / theta
+                                                      - 1.0 / th_new)
+    if gamma_prior:
+        prior_r = (a - 1.0) * jnp.log(th_new / theta) - b * (th_new - theta)
+        prop_r = (-a1 - 1.0) * jnp.log(theta / th_new) \
+            - b1 * (1.0 / theta - 1.0 / th_new)
+        lnacc = dlogpr + prior_r + prop_r
+        accept = rng.mh_accept(k_acc, lnacc)
+    else:
+        accept = jnp.ones((H,), bool)
+    th_fin = jnp.where(accept, th_new, theta)
+    new_sp = sp._replace(theta=th_fin)
+    logpr, *_ = logpr_fn(state.gt, new_sp, state.mig, state.subst.heredity)
+    return (state._replace(sp=new_sp, logpr=logpr),
+            (jnp.asarray(H, jnp.int32), accept.sum().astype(jnp.int32)))
+
+
+# --------------------------------------------------------------------------
+# migration rates: conjugate Gibbs (stree.c:11627)
+# --------------------------------------------------------------------------
+
+
+def migrate_move(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
+    """M_k | rest ~ Gamma(alpha + sum_l mc_lk, beta + sum_l W_lk)."""
+    logpr_fn = make_logpr_fn_mig(ctx, routes)
+    _, _, _, W, mc, _ = logpr_fn(state.gt, state.sp, state.mig,
+                                 state.subst.heredity)
+    mask_l = ctx.locus_mask[:, None]
+    csum = _psum_if_sharded(jnp.sum(jnp.where(mask_l, mc, 0), axis=0))
+    wsum = _psum_if_sharded(jnp.sum(jnp.where(mask_l, W, 0.0), axis=0))
+    a1 = jnp.asarray(routes.alpha, W.dtype) + csum
+    b1 = jnp.asarray(routes.beta, W.dtype) + wsum
+    M_new = jax.random.gamma(key, a1, dtype=W.dtype) / b1
+    M_new = jnp.maximum(M_new, 1e-30)
+    mig_new = state.mig._replace(M=M_new)
+    logpr, *_ = logpr_fn(state.gt, state.sp, mig_new, state.subst.heredity)
+    K = M_new.shape[0]
+    return (state._replace(mig=mig_new, logpr=logpr),
+            (jnp.asarray(K, jnp.int32), jnp.asarray(K, jnp.int32)))
+
+
+# --------------------------------------------------------------------------
+# migration-event age slide (gtree.c:5766)
+# --------------------------------------------------------------------------
+
+
+def migevent_age_move(ctx: Ctx, cfg: BppConfig, routes, state: McmcState,
+                      key):
+    """Sweep event slots; each live event slides within the window
+    bounded by its edge span, neighboring events on the same edge, and
+    both populations' lifetimes.  Likelihood is unchanged."""
+    gt, sp, mig = state.gt, state.sp, state.mig
+    L, ME = mig.time.shape
+    logpr_fn = make_logpr_fn_mig(ctx, routes)
+    eps = state.finetune[FT_MIG_AGES]
+    lidx = jnp.arange(L)
+    tau = sp.tau
+    partau = jnp.where(sp.parent >= 0, tau[jnp.maximum(sp.parent, 0)],
+                       MAXAGE_CAP)
+
+    def body(m, carry):
+        mig, logpr, kkey, nprop, nacc = carry
+        kkey, k1, k2 = jax.random.split(kkey, 3)
+        live = mig.node[:, m] >= 0
+        nd = jnp.maximum(mig.node[:, m], 0)
+        t = mig.time[:, m]
+        e_lo = gt.age[lidx, nd]
+        par = gt.parent[lidx, nd]
+        e_hi = jnp.where(par >= 0, gt.age[lidx, jnp.maximum(par, 0)],
+                         MAXAGE_CAP)
+        same = (mig.node == mig.node[:, m][:, None]) & (mig.node >= 0)
+        below = same & (mig.time < t[:, None])
+        above = same & (mig.time > t[:, None])
+        prev = jnp.max(jnp.where(below, mig.time, -_INF), axis=1)
+        nxt = jnp.min(jnp.where(above, mig.time, _INF), axis=1)
+        s, d = mig.src[:, m], mig.dst[:, m]
+        lo = jnp.maximum(jnp.maximum(e_lo, prev),
+                         jnp.maximum(tau[s], tau[d]))
+        hi = jnp.minimum(jnp.minimum(e_hi, nxt),
+                         jnp.minimum(partau[s], partau[d]))
+        ok = live & (hi > lo) & ctx.locus_mask
+        tnew = rng.reflect(t + eps * rng.bactrian(k1, (L,), dtype=eps.dtype),
+                           lo, jnp.maximum(hi, lo + 1e-300))
+        tnew = jnp.where(ok, tnew, t)
+        mign = mig._replace(time=mig.time.at[:, m].set(tnew))
+        logpr_new, *_ = logpr_fn(gt, sp, mign, state.subst.heredity)
+        accept = rng.mh_accept(k2, logpr_new - logpr) & ok
+        mig = mig._replace(
+            time=jnp.where(accept[:, None], mign.time, mig.time))
+        logpr = jnp.where(accept, logpr_new, logpr)
+        nprop = nprop + ok.sum(dtype=jnp.int32)
+        nacc = nacc + accept.sum(dtype=jnp.int32)
+        return (mig, logpr, kkey, nprop, nacc)
+
+    init = (mig, state.logpr, key,
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    mig, logpr, _, nprop, nacc = jax.lax.fori_loop(0, ME, body, init)
+    return state._replace(mig=mig, logpr=logpr), (nprop, nacc)
+
+
+# --------------------------------------------------------------------------
+# gene-node age phases with migration-event clamps
+# --------------------------------------------------------------------------
+
+
+def age_block_mig(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
+    from ..trees.gtree import node_depths
+
+    gt, sp, mig = state.gt, state.sp, state.mig
+    L, N, T = gt.n_loci, gt.n_nodes, gt.n_tips
+    lidx = jnp.arange(L)
+    nodes_idx = jnp.arange(N)[None, :]
+    logl_fn = make_logl_fn(ctx, cfg)
+    logpr_fn = make_logpr_fn_mig(ctx, routes)
+    eps = state.finetune[FT_GTAGE]
+    depths = node_depths(gt)
+    inner_valid = (nodes_idx >= T) & (nodes_idx < T + ctx.n_seq[:, None] - 1)
+    lc = jnp.maximum(gt.left, 0)
+    rc = jnp.maximum(gt.right, 0)
+
+    age = gt.age
+    logl, logpr = state.logl, state.logpr
+    nprop = jnp.zeros((), jnp.int32)
+    nacc = jnp.zeros((), jnp.int32)
+
+    live = mig.node >= 0
+    # last event time per edge [L, N] (-inf if none) and its dst pop
+    on = live[:, None, :] & (mig.node[:, None, :] == nodes_idx[:, :, None])
+    ev_t = jnp.where(on, mig.time[:, None, :], -_INF)
+    last_t = jnp.max(ev_t, axis=2)                         # [L, N]
+    last_i = jnp.argmax(ev_t, axis=2)
+    has_ev = last_t > -_INF
+    last_dst = jnp.where(has_ev,
+                         jnp.take_along_axis(mig.dst, last_i, 1), 0)
+    first_t = jnp.min(jnp.where(on, mig.time[:, None, :], _INF), axis=2)
+
+    pops0 = mg.assign_populations_mig(gt, sp, ctx.tip_pop, mig, ctx.n_seq)
+    base_pop = jnp.where(has_ev, last_dst, pops0)          # pop after last ev
+
+    for phase in (0, 1):
+        key, k1, k2 = jax.random.split(key, 3)
+        mask = inner_valid & (depths % 2 == phase) & ctx.locus_mask[:, None]
+
+        la = jnp.take_along_axis(age, lc, 1)
+        ra = jnp.take_along_axis(age, rc, 1)
+        # lower clamps: child ages, last events on child edges, and the
+        # species-MRCA of the post-event base populations
+        ev_l = jnp.take_along_axis(last_t, lc, 1)
+        ev_r = jnp.take_along_axis(last_t, rc, 1)
+        bl = jnp.take_along_axis(base_pop, lc, 1)
+        br = jnp.take_along_axis(base_pop, rc, 1)
+        low_ev = jnp.maximum(jnp.maximum(la, ra),
+                             jnp.maximum(ev_l, ev_r))
+        pl = lift_population(sp, bl, jnp.maximum(low_ev, 0.0))
+        pr = lift_population(sp, br, jnp.maximum(low_ev, 0.0))
+        mrca_pop = sp.mrca[pl, pr]
+        minage = jnp.maximum(low_ev, sp.tau[mrca_pop])
+        # upper clamps: parent age and first event on the own edge
+        par_s = jnp.maximum(gt.parent, 0)
+        maxage = jnp.where(gt.parent >= 0,
+                           jnp.take_along_axis(age, par_s, 1), MAXAGE_CAP)
+        maxage = jnp.minimum(maxage, first_t)
+
+        tnew = rng.reflect(
+            age + eps * rng.bactrian(k1, (L, N), dtype=eps.dtype),
+            minage, jnp.maximum(maxage, minage + 1e-300))
+        mask_ok = mask & (maxage > minage)
+        age_new = jnp.where(mask_ok, tnew, age)
+        gtn = gt._replace(age=age_new)
+        logl_new = logl_fn(gtn, state.subst, sp, state.clock)
+        logpr_new, *_ = logpr_fn(gtn, sp, mig, state.subst.heredity)
+        lnacc = (logl_new - logl) + (logpr_new - logpr)
+        amask = ctx.locus_mask & mask_ok.any(1)
+        accept = rng.mh_accept(k2, lnacc) & amask
+        age = jnp.where(accept[:, None], age_new, age)
+        logl = jnp.where(accept, logl_new, logl)
+        logpr = jnp.where(accept, logpr_new, logpr)
+        nprop = nprop + amask.sum(dtype=jnp.int32)
+        nacc = nacc + accept.sum(dtype=jnp.int32)
+
+    return (state._replace(gt=gt._replace(age=age), logl=logl, logpr=logpr),
+            (nprop, nacc))
+
+
+# --------------------------------------------------------------------------
+# tau slide under migration (validity enforced by the density indicator)
+# --------------------------------------------------------------------------
+
+
+def tau_move_mig(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
+    """Plain Metropolis slide of each inner tau in [max child tau,
+    parent tau].  Gene ages and events are untouched: the likelihood is
+    invariant and infeasible configurations (a coalescence or event
+    stranded outside its population) reject via the density indicator.
+    Simpler than the reference's IM rubberband (stree.c:6568) but exact.
+    """
+    sp0 = state.sp
+    NS = sp0.n_tips
+    if NS == 1:
+        return state, (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    logpr_fn = make_logpr_fn_mig(ctx, routes)
+    gamma_tau = cfg.tauprior.dist == PriorDist.GAMMA
+    a, b = cfg.tauprior.alpha, cfg.tauprior.beta
+    eps = state.finetune[FT_TAU]
+
+    def body(h_off, carry):
+        tau, logpr, kkey, nprop, nacc = carry
+        h = NS + h_off
+        kkey, k1, k2 = jax.random.split(kkey, 3)
+        told = tau[h]
+        active = told > 0.0
+        minage = jnp.maximum(tau[sp0.left[h]], tau[sp0.right[h]])
+        ph = sp0.parent[h]
+        maxage = jnp.where(ph >= 0, tau[jnp.maximum(ph, 0)], MAXAGE_CAP)
+        tnew = rng.reflect(told + eps * rng.bactrian(k1, dtype=eps.dtype),
+                           minage, maxage)
+        tau_new = tau.at[h].set(tnew)
+        sp_new = sp0._replace(tau=tau_new)
+        logpr_new, *_ = logpr_fn(state.gt, sp_new, state.mig,
+                                 state.subst.heredity)
+        lnacc = _psum_if_sharded(jnp.sum(logpr_new - logpr))
+        is_root = ph < 0
+        cand = jnp.sum(tau[NS:] > 0).astype(tau.dtype)
+        if gamma_tau:
+            root_term = (a - 1.0 - cand + 1.0) * jnp.log(tnew / told) \
+                - b * (tnew - told)
+        else:
+            root_term = (-a - 1.0 - cand + 1.0) * jnp.log(tnew / told) \
+                - b * (1.0 / tnew - 1.0 / told)
+        lnacc = lnacc + jnp.where(is_root, root_term, 0.0)
+        accept = rng.mh_accept(k2, lnacc) & active
+        tau = jnp.where(accept, tau_new, tau)
+        logpr = jnp.where(accept, logpr_new, logpr)
+        return (tau, logpr, kkey, nprop + active.astype(jnp.int32),
+                nacc + accept.astype(jnp.int32))
+
+    init = (sp0.tau, state.logpr, key,
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    tau, logpr, _, nprop, nacc = jax.lax.fori_loop(0, NS - 1, body, init)
+    return (state._replace(sp=sp0._replace(tau=tau), logpr=logpr),
+            (nprop, nacc))
+
+
+# --------------------------------------------------------------------------
+# mixing with event times (prop_mixing.c:275, migration Jacobian :319-327)
+# --------------------------------------------------------------------------
+
+
+def mixing_mig(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
+    gt, sp, mig = state.gt, state.sp, state.mig
+    L, N, T = gt.n_loci, gt.n_nodes, gt.n_tips
+    NS = sp.n_tips
+    logl_fn = make_logl_fn(ctx, cfg)
+    logpr_fn = make_logpr_fn_mig(ctx, routes)
+    nodes_idx = jnp.arange(N)[None, :]
+    ta, tb = cfg.tauprior.alpha, cfg.tauprior.beta
+    gamma_tau = cfg.tauprior.dist == PriorDist.GAMMA
+    eps = state.finetune[FT_MIX]
+
+    k1, k3 = jax.random.split(key)
+    lnc = eps * rng.bactrian(k1, dtype=eps.dtype)
+    c = jnp.exp(lnc)
+
+    tau_count = jnp.sum(sp.tau[NS:] > 0)
+    inner_count = _psum_if_sharded(
+        jnp.sum(jnp.where(ctx.locus_mask, ctx.n_seq - 1, 0)))
+    ev_count = _psum_if_sharded(jnp.sum(
+        jnp.where(ctx.locus_mask[:, None], (mig.node >= 0), False)))
+    lnacc = (tau_count + inner_count + ev_count) * lnc
+
+    is_inner = (nodes_idx >= T) & (nodes_idx < T + ctx.n_seq[:, None] - 1)
+    age_new = jnp.where(is_inner, gt.age * c, gt.age)
+    tau_new = jnp.where(sp.tau > 0, sp.tau * c, sp.tau)
+    time_new = jnp.where(mig.node >= 0, mig.time * c, mig.time)
+
+    rt_old = sp.tau[sp.root]
+    rt_new = tau_new[sp.root]
+    if gamma_tau:
+        root_term = (ta - 1.0 - tau_count + 1.0) * lnc - tb * (rt_new - rt_old)
+    else:
+        root_term = (-ta - 1.0 - tau_count + 1.0) * lnc \
+            - tb * (1.0 / jnp.maximum(rt_new, 1e-300)
+                    - 1.0 / jnp.maximum(rt_old, 1e-300))
+    lnacc = lnacc + jnp.where(rt_old > 0, root_term, 0.0)
+
+    gtn = gt._replace(age=age_new)
+    mign = mig._replace(time=time_new)
+    spn = sp._replace(tau=tau_new)
+    logl_new = logl_fn(gtn, state.subst, spn, state.clock)
+    logpr_new, *_ = logpr_fn(gtn, spn, mign, state.subst.heredity)
+    lnacc = lnacc + _psum_if_sharded(jnp.sum(logl_new - state.logl)) \
+        + _psum_if_sharded(jnp.sum(logpr_new - state.logpr))
+
+    accept = rng.mh_accept(k3, lnacc)
+    cand = state._replace(gt=gtn, sp=spn, mig=mign, logl=logl_new,
+                          logpr=logpr_new)
+    new_state = jax.tree.map(lambda n, o: jnp.where(accept, n, o), cand,
+                             state)
+    return new_state, (jnp.ones((), jnp.int32), accept.astype(jnp.int32))
+
+
+# --------------------------------------------------------------------------
+# simulation-based SPR (gtree.c:9090 propose_spr_sim +
+# 8742 simulate_coalescent_mig): prune one lineage per locus, discard
+# its migration events, resimulate its path under the structured
+# coalescent conditional on the rest of the gene tree, reattach to a
+# uniformly-chosen contemporary lineage.  The proposal density equals
+# the MSC-M prior of the resimulated path, so lnacceptance = dlogl.
+# --------------------------------------------------------------------------
+
+
+def spr_sim_move(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key,
+                 max_steps: int | None = None):
+    gt0, sp, mig0 = state.gt, state.sp, state.mig
+    L, N, T = gt0.n_loci, gt0.n_nodes, gt0.n_tips
+    H = sp.n_nodes
+    ME = mig0.cap
+    E = N + ME
+    K = mig0.M.shape[0]
+    dtype = gt0.age.dtype
+    lidx = jnp.arange(L)
+    nodes_idx = jnp.arange(N)[None, :]
+    logl_fn = make_logl_fn(ctx, cfg)
+    logpr_fn = make_logpr_fn_mig(ctx, routes)
+    si = jnp.asarray(routes.si)
+    ti = jnp.asarray(routes.ti)
+    tau = sp.tau
+    partau_f = jnp.where(sp.parent >= 0, tau[jnp.maximum(sp.parent, 0)],
+                         jnp.asarray(mg._FINITE_BIG, dtype))
+    if max_steps is None:
+        max_steps = 2 * E + 2 * H + 2 * K + 8
+
+    # --- select pruned node per locus --------------------------------------
+    ksel, ksim, ktgt, kacc = jax.random.split(key, 4)
+    valid_nodes = (nodes_idx < ctx.n_seq[:, None]) | (
+        (nodes_idx >= T) & (nodes_idx < T + ctx.n_seq[:, None] - 1))
+    cand_mask = valid_nodes & (gt0.parent >= 0)
+    i, _ = _select_uniform(ksel, cand_mask)
+    is_valid = (gt0.parent[lidx, i] >= 0) & ctx.locus_mask
+
+    father = jnp.maximum(gt0.parent[lidx, i], 0)
+    fleft = gt0.left[lidx, father]
+    sibling = jnp.where(fleft == i, gt0.right[lidx, father], fleft)
+    grandpa = gt0.parent[lidx, father]
+    has_gp = grandpa >= 0
+    gp_s = jnp.maximum(grandpa, 0)
+
+    # --- prune -------------------------------------------------------------
+    def write(arr, row_ok, col, val):
+        col_s = jnp.where(row_ok, col, 0)
+        old = arr[lidx, col_s]
+        return arr.at[lidx, col_s].set(jnp.where(row_ok, val, old))
+
+    pl, pr, pp = gt0.left, gt0.right, gt0.parent
+    repl_l = is_valid & has_gp & (pl[lidx, gp_s] == father)
+    repl_r = is_valid & has_gp & (pr[lidx, gp_s] == father)
+    pl = write(pl, repl_l, gp_s, sibling)
+    pr = write(pr, repl_r, gp_s, sibling)
+    pp = write(pp, is_valid, sibling, grandpa)     # -1 when father was root
+    pp = write(pp, is_valid, father, jnp.full((L,), -1, pp.dtype))
+    gt_p = GTrees(pl, pr, pp, gt0.age, gt0.hpath)
+
+    # events: father's edge -> sibling; pruned edge i -> deleted
+    on_father = (mig0.node == father[:, None]) & is_valid[:, None]
+    on_i = (mig0.node == i[:, None]) & is_valid[:, None]
+    node_p = jnp.where(on_father, sibling[:, None], mig0.node)
+    node_p = jnp.where(on_i, -1, node_p)
+    time_p = jnp.where(on_i, BIG_AGE, mig0.time)
+    mig_p = mig0._replace(node=node_p, time=time_p)
+
+    # start population of the pruned lineage: node i's own population
+    pops_p = mg.assign_populations_mig(gt_p, sp, ctx.tip_pop, mig_p,
+                                       ctx.n_seq)
+    start_pop = pops_p[lidx, i]
+    t0 = gt0.age[lidx, i]
+
+    # --- rest-of-tree sub-edges (exclude i's and father's edges) -----------
+    excl = jnp.stack([i, father], axis=1)
+    t_lo, t_hi, pop_lo, live_e = mg._subedges(
+        gt_p, mig_p, pops_p, ctx.n_seq, exclude=excl, include_root_edge=True)
+    anc_e = sp.pptable[pop_lo]                              # [L, E, H]
+    heredity = state.subst.heredity
+
+    route_M = mig0.M                                        # [K]
+
+    def n_and_bounds(t, p):
+        """lineages in pop p at t, and next boundary time (> t)."""
+        ph = jnp.take_along_axis(anc_e, p[:, None, None], 2)[..., 0]
+        lo = jnp.maximum(t_lo, tau[p][:, None])
+        hi = jnp.minimum(t_hi, partau_f[p][:, None])
+        inside = ph & live_e & (lo <= t[:, None]) & (t[:, None] < hi)
+        n = inside.sum(axis=1)
+        pts = jnp.concatenate([lo, hi], axis=1)             # [L, 2E]
+        pm = jnp.concatenate([ph & live_e] * 2, axis=1)
+        pts = jnp.where(pm & (pts > t[:, None]), pts, mg._FINITE_BIG)
+        nb = jnp.min(pts, axis=1)
+        nb = jnp.minimum(nb, partau_f[p])
+        # donor lifetimes change the migration rate
+        don = (ti[None, :] == p[:, None])                   # [L, K]
+        dpts = jnp.stack([jnp.broadcast_to(tau[si], don.shape),
+                          jnp.broadcast_to(partau_f[si], don.shape)], 2)
+        dpts = jnp.where(don[..., None] & (dpts > t[:, None, None]),
+                         dpts, mg._FINITE_BIG)
+        nb = jnp.minimum(nb, jnp.min(dpts, axis=(1, 2)))
+        return n, nb
+
+    def mrsum_of(t, p):
+        alive = (tau[si] <= t[:, None]) & (t[:, None] < partau_f[si])
+        ok = (ti[None, :] == p[:, None]) & alive
+        return jnp.sum(jnp.where(ok, route_M[None, :], 0.0), axis=1), ok
+
+    CAP_NEW = ME
+
+    def sim_cond(carry):
+        t, p, kk, done, fail, nt, ns, nd, nn, steps = carry
+        return (steps < max_steps) & jnp.any(~done & ~fail & is_valid)
+
+    def sim_body(carry):
+        t, p, kk, done, fail, nt, ns, nd, nn, steps = carry
+        kk, k1, k2, k3 = jax.random.split(kk, 4)
+        act = ~done & ~fail & is_valid
+        n, nb = n_and_bounds(t, p)
+        mrs, route_ok = mrsum_of(t, p)
+        th = jnp.maximum(tau.dtype.type(0.0) + sp.theta[p] * heredity,
+                         1e-300)
+        crate = 2.0 * n.astype(dtype) / th
+        rate = crate + mrs
+        delta = jnp.where(rate > 0,
+                          jax.random.exponential(k1, (L,), dtype) / rate,
+                          jnp.asarray(jnp.inf, dtype))
+        t_ev = t + delta
+        hit = t_ev < nb
+        # coalescence vs migration
+        u = jax.random.uniform(k2, (L,), dtype) * rate
+        is_coal = hit & (u >= mrs)
+        is_mig = hit & (u < mrs)
+        # pick donor route: categorical over route_ok weights
+        w = jnp.where(route_ok, route_M[None, :], 0.0)
+        cum = jnp.cumsum(w, axis=1)
+        r = jax.random.uniform(k3, (L,), dtype) * jnp.maximum(
+            cum[:, -1], 1e-300)
+        kpick = jnp.argmax(cum > r[:, None], axis=1)
+        dpick = si[kpick]
+        # record migration event
+        can_rec = is_mig & act & (nn < CAP_NEW)
+        overflow = is_mig & act & (nn >= CAP_NEW)
+        slot = jnp.minimum(nn, CAP_NEW - 1)
+        nt = nt.at[lidx, slot].set(jnp.where(can_rec, t_ev, nt[lidx, slot]))
+        ns = ns.at[lidx, slot].set(
+            jnp.where(can_rec, p, ns[lidx, slot]))
+        nd = nd.at[lidx, slot].set(
+            jnp.where(can_rec, dpick, nd[lidx, slot]))
+        nn = nn + can_rec.astype(jnp.int32)
+        fail = fail | overflow
+        # state updates
+        p_next = jnp.where(is_mig & act, dpick, p)
+        # boundary crossing: lift to parent pop at pop end
+        at_end = ~hit & (nb >= partau_f[p]) & act
+        p_next = jnp.where(at_end, jnp.maximum(sp.parent[p], 0), p_next)
+        t_next = jnp.where(act, jnp.where(hit, t_ev, nb), t)
+        done = done | (is_coal & act)
+        t = jnp.where(act, t_next, t)
+        p = jnp.where(act, p_next, p)
+        return (t, p, kk, done, fail, nt, ns, nd, nn, steps + 1)
+
+    init = (t0, start_pop, ksim,
+            jnp.zeros((L,), bool), jnp.zeros((L,), bool),
+            jnp.full((L, CAP_NEW), BIG_AGE, dtype),
+            jnp.zeros((L, CAP_NEW), jnp.int32),
+            jnp.zeros((L, CAP_NEW), jnp.int32),
+            jnp.zeros((L,), jnp.int32), jnp.zeros((), jnp.int32))
+    t_new, coal_pop, _, done, fail, nt, ns, nd, nn, _ = jax.lax.while_loop(
+        sim_cond, sim_body, init)
+    fail = fail | ~done
+
+    # --- target selection ---------------------------------------------------
+    ph = jnp.take_along_axis(anc_e, coal_pop[:, None, None], 2)[..., 0]
+    lo = jnp.maximum(t_lo, tau[coal_pop][:, None])
+    hi = jnp.minimum(t_hi, partau_f[coal_pop][:, None])
+    inside = ph & live_e & (lo <= t_new[:, None]) & (t_new[:, None] < hi)
+    esel, ecount = _select_uniform(ktgt, inside)
+    fail = fail | (ecount < 1)
+    target = jnp.where(esel < N, esel,
+                       mig_p.node[lidx, jnp.maximum(esel - N, 0)])
+    target = jnp.maximum(target, 0)
+
+    # --- regraft -------------------------------------------------------------
+    ok = is_valid & ~fail
+    nl, nr, np_, na = gt_p.left, gt_p.right, gt_p.parent, gt0.age
+    tpar = np_[lidx, target]
+    tpar_s = jnp.maximum(tpar, 0)
+    repl_tl = ok & (tpar >= 0) & (nl[lidx, tpar_s] == target)
+    repl_tr = ok & (tpar >= 0) & (nr[lidx, tpar_s] == target)
+    nl = write(nl, repl_tl, tpar_s, father)
+    nr = write(nr, repl_tr, tpar_s, father)
+    np_ = write(np_, ok, father, tpar)
+    nl = write(nl, ok, father, i)
+    nr = write(nr, ok, father, target)
+    np_ = write(np_, ok, target, father)
+    np_ = write(np_, ok, i, father)
+    na = write(na, ok, father, t_new)
+    gt_n = GTrees(nl, nr, np_, na, gt0.hpath)
+
+    # events on target's edge above t_new move to father's edge
+    on_tgt = (mig_p.node == target[:, None]) & ok[:, None] & (
+        mig_p.time > t_new[:, None])
+    node_n = jnp.where(on_tgt, father[:, None], mig_p.node)
+    mig_n = mig_p._replace(node=node_n)
+    # append the resimulated events to the pruned edge i in free slots
+    free_order = jnp.argsort(
+        (mig_n.node >= 0).astype(jnp.int32), axis=1)        # free first
+    free_cnt = jnp.sum(mig_n.node < 0, axis=1)
+    fail_cap = nn > free_cnt
+    ok = ok & ~fail_cap
+    mtime, mnode = mig_n.time, mig_n.node
+    msrc, mdst = mig_n.src, mig_n.dst
+    for j in range(CAP_NEW):
+        slot = free_order[:, j]
+        put = ok & (j < nn)
+        mtime = write(mtime, put, slot, nt[:, j])
+        mnode = write(mnode, put, slot,
+                      jnp.where(put, i, 0).astype(mnode.dtype))
+        msrc = write(msrc, put, slot, ns[:, j])
+        mdst = write(mdst, put, slot, nd[:, j])
+    mig_n = mig_n._replace(time=mtime, node=mnode, src=msrc, dst=mdst)
+
+    # --- accept (dlogl only; prior == proposal) ------------------------------
+    logl_new = logl_fn(gt_n, state.subst, sp, state.clock)
+    logpr_new, *_ = logpr_fn(gt_n, sp, mig_n, heredity)
+    ok = ok & jnp.isfinite(logpr_new)
+    accept = rng.mh_accept(kacc, logl_new - state.logl) & ok
+    am = accept[:, None]
+    gt_f = GTrees(
+        jnp.where(am, gt_n.left, gt0.left),
+        jnp.where(am, gt_n.right, gt0.right),
+        jnp.where(am, gt_n.parent, gt0.parent),
+        jnp.where(am, gt_n.age, gt0.age), gt0.hpath)
+    mig_f = mig0._replace(
+        time=jnp.where(am, mig_n.time, mig0.time),
+        node=jnp.where(am, mig_n.node, mig0.node),
+        src=jnp.where(am, mig_n.src, mig0.src),
+        dst=jnp.where(am, mig_n.dst, mig0.dst))
+    new_state = state._replace(
+        gt=gt_f, mig=mig_f,
+        logl=jnp.where(accept, logl_new, state.logl),
+        logpr=jnp.where(accept, logpr_new, state.logpr))
+    return new_state, (is_valid.sum(dtype=jnp.int32),
+                       accept.sum(dtype=jnp.int32))

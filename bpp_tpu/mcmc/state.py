@@ -41,7 +41,9 @@ FT_NUI = 11
 FT_MUBAR = 12
 FT_NUBAR = 13
 FT_BRATE = 14
-N_FINETUNE = 15
+FT_MIGRATES = 15
+FT_MIG_AGES = 16
+N_FINETUNE = 17
 
 # move-statistics slots (proposed, accepted) per move family
 MV_GTAGE = 0
@@ -63,7 +65,9 @@ MV_NUI = 15
 MV_MUBAR = 16
 MV_NUBAR = 17
 MV_BRATE = 18
-N_MOVES = 19
+MV_MIGRATES = 19
+MV_MIG_AGES = 20
+N_MOVES = 21
 
 
 class SubstState(NamedTuple):
@@ -124,6 +128,8 @@ class McmcState(NamedTuple):
     # (the tensors behind notheta_logpr, see mcmc.notheta)
     coal: jax.Array | None = None    # [L, H] int32
     t2h: jax.Array | None = None     # [L, H]
+    # MSC-M migration events + rates (None without migration)
+    mig: object | None = None        # trees.migration.MigState
 
 
 class Ctx(NamedTuple):
@@ -272,4 +278,6 @@ def finetune_array(cfg: BppConfig, dtype=jnp.float64) -> jax.Array:
     vals[FT_MUBAR] = ft.mubar
     vals[FT_NUBAR] = ft.nubar
     vals[FT_BRATE] = ft.branchrate
+    vals[FT_MIGRATES] = ft.migrates
+    vals[FT_MIG_AGES] = ft.mig_ages
     return jnp.asarray(vals, dtype)

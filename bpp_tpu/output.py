@@ -69,6 +69,12 @@ class McmcWriter:
         # (method.c:1928-1936 "phi:h<-p:lab<-lab")
         self.phi_nodes = [i for i in self.inner
                           if st.hindex is not None and st.hindex[i] >= 0]
+        # migration-rate columns (method.c:1999 "W:%d->%d:%s->%s")
+        self.mig_routes = []
+        if cfg.migration:
+            from .trees.migration import build_routes
+            r = build_routes(cfg, st)
+            self.mig_routes = list(zip(r.si.tolist(), r.ti.tolist()))
         if not append:
             self._write_header()
         else:
@@ -81,6 +87,9 @@ class McmcWriter:
                 p = int(self.st.parent[i])
                 cols.append(f"phi:{self._bpp_index(i)}<-{self._bpp_index(p)}"
                             f":{self._label(i)}<-{self._label(p)}")
+            for s, t in self.mig_routes:
+                cols.append(f"W:{self._bpp_index(s)}->{self._bpp_index(t)}"
+                            f":{self._label(s)}->{self._label(t)}")
             cols.append("lnL")
             self.columns = cols
 
@@ -108,16 +117,22 @@ class McmcWriter:
             p = int(self.st.parent[i])
             cols.append(f"phi:{self._bpp_index(i)}<-{self._bpp_index(p)}"
                         f":{self._label(i)}<-{self._label(p)}")
+        for s, t in self.mig_routes:
+            cols.append(f"W:{self._bpp_index(s)}->{self._bpp_index(t)}"
+                        f":{self._label(s)}->{self._label(t)}")
         cols.append("lnL")
         self.fp.write("\t".join(cols) + "\n")
         self.columns = cols
 
     def write_sample(self, gen: int, theta: np.ndarray, tau: np.ndarray,
-                     lnl: float, phi: np.ndarray | None = None):
+                     lnl: float, phi: np.ndarray | None = None,
+                     migM: np.ndarray | None = None):
         vals = [str(gen)]
         vals += [f"{theta[i]:.6f}" for i in self.theta_nodes]
         vals += [f"{tau[i]:.6f}" for i in self.tau_nodes]
         vals += [f"{phi[i]:.6f}" for i in self.phi_nodes]
+        if migM is not None:
+            vals += [f"{m:.6f}" for m in migM]
         vals.append(f"{lnl:.3f}")
         self.fp.write("\t".join(vals) + "\n")
 
@@ -257,7 +272,7 @@ def read_mcmc_samples(cfg: BppConfig, st: SpeciesTree, path: str):
 
 
 def a00_summary(cfg: BppConfig, st: SpeciesTree, gen, theta, tau, lnl,
-                phi=None) -> str:
+                phi=None, migM=None) -> str:
     """Posterior summary text for an A00 run (allfixed.c analog)."""
     inner = bpp_inner_order(st)
     cols: dict[str, np.ndarray] = {}
@@ -279,5 +294,11 @@ def a00_summary(cfg: BppConfig, st: SpeciesTree, gen, theta, tau, lnl,
         for i in inner:
             if st.hindex[i] >= 0:
                 cols[f"phi:{st.n_tips + 1 + inner.index(i)}"] = phi[:, i]
+    if migM is not None and cfg.migration:
+        from .trees.migration import build_routes
+        r = build_routes(cfg, st)
+        for k in range(r.n_routes):
+            cols[f"W:{node_label(st, int(r.si[k]))}->"
+                 f"{node_label(st, int(r.ti[k]))}"] = migM[:, k]
     cols["lnL"] = np.asarray(lnl)
     return format_summary(summary_table(cols))

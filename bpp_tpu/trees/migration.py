@@ -226,11 +226,17 @@ def route_consistent_mig(gt: GTrees, sp: SpeciesArrays, mig: MigState,
 # --------------------------------------------------------------------------
 
 
-def _subedges(gt: GTrees, mig: MigState, pops, n_seq):
+def _subedges(gt: GTrees, mig: MigState, pops, n_seq, exclude=None,
+              include_root_edge=False):
     """Split edges at migration events.
 
     Returns (t_lo [L, E], t_hi [L, E], pop_lo [L, E], live [L, E]) with
     E = N + ME: the base piece of every edge plus one piece per event.
+
+    ``exclude [L, X]``: node columns whose edges are masked out (the
+    sim-SPR prune set).  ``include_root_edge``: treat the root's edge
+    as extending to +inf (the "rest" lineage pool of sim-SPR; plain
+    density sweeps exclude it since n=1 contributes nothing anyway).
     """
     L, N = gt.age.shape
     T = gt.n_tips
@@ -238,7 +244,11 @@ def _subedges(gt: GTrees, mig: MigState, pops, n_seq):
     nodes = jnp.arange(N)[None, :]
     valid_edge = ((nodes < n_seq[:, None]) |
                   ((nodes >= T) & (nodes < T + n_seq[:, None] - 1)))
-    valid_edge = valid_edge & (gt.parent >= 0)
+    if not include_root_edge:
+        valid_edge = valid_edge & (gt.parent >= 0)
+    if exclude is not None:
+        for j in range(exclude.shape[1]):
+            valid_edge = valid_edge & (nodes != exclude[:, j:j + 1])
     page = jnp.where(gt.parent >= 0,
                      jnp.take_along_axis(gt.age, jnp.maximum(gt.parent, 0), 1),
                      BIG_AGE)
@@ -285,7 +295,10 @@ def mig_stats(gt: GTrees, sp: SpeciesArrays, pops, mig: MigState,
     partau = jnp.where(sp.parent >= 0, tau[jnp.maximum(sp.parent, 0)],
                        _FINITE_BIG).astype(dtype)
 
-    t_lo, t_hi, pop_lo, live = _subedges(gt, mig, pops, n_seq)   # [L, E]
+    # the root lineage counts toward migration waiting sums (n=1 adds
+    # nothing to C2 but Wsji_epoch += n*t includes it, gtree.c:3604)
+    t_lo, t_hi, pop_lo, live = _subedges(gt, mig, pops, n_seq,
+                                         include_root_edge=True)  # [L, E]
     anc = sp.pptable[pop_lo]                                     # [L, E, H]
 
     # interval of sub-edge e inside population h
