@@ -38,6 +38,9 @@ class SimConfig:
     locusrate_alpha: float = 0.0     # per-locus rate variation
     clock: int = 1
     diploid: tuple[int, ...] = ()
+    # MSC-M: (source, target, rate w) routes (cfile_sim.c:692
+    # parse_migration: 'migration = K' + 'src dst M' lines)
+    migration: tuple = ()
 
 
 def parse_sim_ctl(path: str) -> SimConfig:
@@ -90,6 +93,13 @@ def parse_sim_ctl(path: str) -> SimConfig:
                 m = re.search(r"#\s*([0-9.eE+-]+)", nwk)
                 if m:
                     cfg.theta_single = float(m.group(1))
+        elif key == "migration":
+            routes = []
+            for _ in range(int(value.split()[0])):
+                line, i = next_content(i)
+                toks = line.replace(",", " ").split()
+                routes.append((toks[0], toks[1], float(toks[2])))
+            cfg.migration = tuple(routes)
         else:
             kw[key] = value
 

@@ -180,14 +180,30 @@ def run_simulation(ctl_path: str, seed: int | None = None) -> int:
         def pmat_fn(t):
             return _np_pmatrix_eigen(t, w, Tm, Tinv)
 
+    mig_routes = None
+    if cfg.migration:
+        from ..output import node_label
+        from ..trees.migration import simulate_gtree_mig_host
+        names = {node_label(st, i): i for i in range(st.n_nodes)}
+        msi = np.asarray([names[s] for s, _, _ in cfg.migration], np.int32)
+        mti = np.asarray([names[t] for _, t, _ in cfg.migration], np.int32)
+        mw = np.asarray([w for _, _, w in cfg.migration])
+        mig_routes = (msi, mti, mw)
+
     seq_fp = open(cfg.seqfile, "w")
     tree_fp = open(cfg.treefile, "w") if cfg.treefile else None
 
     for li in range(cfg.n_loci):
-        gl, gr, gp, ga, _ = simulate_gtree_host(
-            rng, tip_species, st.left, st.right, st.parent, st.tau,
-            np.maximum(st.theta, 1e-12),
-            hindex=st.hindex, hybrid=st.hybrid, phi=st.phi)
+        if mig_routes is not None:
+            from ..trees.migration import simulate_gtree_mig_host
+            gl, gr, gp, ga = simulate_gtree_mig_host(
+                rng, tip_species, st.parent, st.tau,
+                np.maximum(st.theta, 1e-12), *mig_routes)
+        else:
+            gl, gr, gp, ga, _ = simulate_gtree_host(
+                rng, tip_species, st.left, st.right, st.parent, st.tau,
+                np.maximum(st.theta, 1e-12),
+                hindex=st.hindex, hybrid=st.hybrid, phi=st.phi)
         mu = 1.0
         if cfg.locusrate_alpha > 0:
             mu = rng.gamma(cfg.locusrate_alpha, 1.0 / cfg.locusrate_alpha)

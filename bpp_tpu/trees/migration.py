@@ -370,3 +370,102 @@ def msc_logprob_mig(coal, C2, W, mc, theta, heredity, M):
     mig_terms = jnp.sum(mc * jnp.log(Msafe)[None, :] - M[None, :] * W,
                         axis=1)
     return pop_terms + mig_terms
+
+
+# --------------------------------------------------------------------------
+# host-side structured-coalescent simulator with migration
+# (simulate.c + gtree_simulate gtree.c:2242 with opt_migration)
+# --------------------------------------------------------------------------
+
+
+def simulate_gtree_mig_host(rng, tip_species, st_parent, tau, theta,
+                            routes_si, routes_ti, M):
+    """Simulate one gene tree under the MSC-M prior (numpy, host).
+
+    Backward-in-time event-driven simulation: within each epoch the
+    total rate is sum_h k_h(k_h-1)/theta_h + sum_k k_{t_k} M_k over
+    routes whose donor is alive; a migration moves one random lineage
+    from the route's target to its source population (backward jump).
+
+    Returns (left, right, parent, age) over 2n-1 nodes, tips first.
+    """
+    import numpy as np
+
+    n = len(tip_species)
+    H = len(st_parent)
+    nnodes = 2 * n - 1
+    left = np.zeros(nnodes, np.int32)
+    right = np.zeros(nnodes, np.int32)
+    parent = np.full(nnodes, -1, np.int32)
+    age = np.zeros(nnodes, np.float64)
+    partau = np.where(st_parent >= 0, tau[np.maximum(st_parent, 0)], np.inf)
+
+    lineages = {h: [] for h in range(H)}
+    for i, spx in enumerate(tip_species):
+        lineages[int(spx)].append(i)
+    next_node = n
+    t = 0.0
+    boundaries = sorted({float(tau[h]) for h in range(H) if tau[h] > 0})
+    K = len(routes_si)
+
+    def alive(h, x):
+        return tau[h] <= x < partau[h]
+
+    while next_node < nnodes:
+        # rates
+        crates = {h: len(v) * (len(v) - 1) / max(theta[h], 1e-300)
+                  for h, v in lineages.items() if len(v) >= 2 and alive(h, t)}
+        mrates = {}
+        for k in range(K):
+            s, d = int(routes_si[k]), int(routes_ti[k])
+            if alive(s, t) and alive(d, t) and lineages[d]:
+                mrates[k] = len(lineages[d]) * M[k]
+        rate = sum(crates.values()) + sum(mrates.values())
+        nb = min([b for b in boundaries if b > t], default=np.inf)
+        if rate > 0:
+            dt = rng.exponential(1.0 / rate)
+        else:
+            dt = np.inf
+        if t + dt < nb:
+            t = t + dt
+            u = rng.random() * rate
+            acc = 0.0
+            done = False
+            for h, r in crates.items():
+                acc += r
+                if u < acc:
+                    k_ = len(lineages[h])
+                    i_, j_ = rng.choice(k_, size=2, replace=False)
+                    a, b = lineages[h][i_], lineages[h][j_]
+                    node = next_node
+                    next_node += 1
+                    left[node], right[node] = a, b
+                    parent[a] = parent[b] = node
+                    age[node] = t
+                    lineages[h] = [x for x in lineages[h]
+                                   if x not in (a, b)] + [node]
+                    done = True
+                    break
+            if not done:
+                for k, r in mrates.items():
+                    acc += r
+                    if u < acc:
+                        s, d = int(routes_si[k]), int(routes_ti[k])
+                        pick = rng.integers(len(lineages[d]))
+                        lin = lineages[d].pop(pick)
+                        lineages[s].append(lin)
+                        break
+        else:
+            if not np.isfinite(nb):
+                # single remaining pair deadlock cannot happen: root pop
+                # coalesces everything (rate > 0 whenever >= 2 remain)
+                break
+            t = nb
+            for h in range(H):
+                p = st_parent[h]
+                if p >= 0 and abs(tau[p] - nb) < 1e-300 and lineages[h]:
+                    lineages[p].extend(lineages[h])
+                    lineages[h] = []
+        if next_node == nnodes:
+            break
+    return left, right, parent, age

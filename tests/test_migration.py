@@ -188,3 +188,27 @@ nsample = 100
         st.gt, st.sp, st.mig, st.subst.heredity)
     np.testing.assert_allclose(np.asarray(lp), np.asarray(st.logpr),
                                atol=1e-3)
+
+
+def test_sim_mig_theory():
+    """Structured-coalescent simulator against exact 2-deme theory:
+    E[T | different demes] solves the Wakeley two-state system
+      E[T_D] = 1/(2m) + E[T_S],  E[T_S] = (1 + E[T_D] m theta)/(2/theta + 2m) ...
+    with theta=1, m=0.5: E[T_S]=1, E[T_D]=2; strong migration -> 1."""
+    from bpp_tpu.trees.migration import simulate_gtree_mig_host
+
+    st_parent = np.asarray([2, 2, -1])
+    tau = np.asarray([0.0, 0.0, 5000.0])
+    theta = np.asarray([1.0, 1.0, 1.0])
+    si, ti = np.asarray([0, 1]), np.asarray([1, 0])
+    rng = np.random.default_rng(0)
+    tips = np.asarray([0, 1], np.int32)
+
+    def mean_T(M, n=1500):
+        Ms = np.asarray([M, M])
+        return np.mean([simulate_gtree_mig_host(
+            rng, tips, st_parent, tau, theta, si, ti, Ms)[3][2]
+            for _ in range(n)])
+
+    np.testing.assert_allclose(mean_T(0.5), 2.0, rtol=0.12)
+    np.testing.assert_allclose(mean_T(50.0), 1.0, rtol=0.12)
