@@ -91,6 +91,7 @@ def cmd_run(args) -> int:
         key = jax.numpy.asarray(arrays["prng_key"])
         resume_state = (state, key, meta["it"], arrays["stats_acc"])
 
+    a1b1 = None
     if cfg.est_stree:
         writer = A01McmcWriter(mcmc_path, cfg, run.stree,
                                append=bool(args.resume))
@@ -103,6 +104,23 @@ def cmd_run(args) -> int:
         writer = McmcWriter(mcmc_path, cfg, run.stree,
                             append=bool(args.resume))
 
+        # conditional (a1,b1) log + Rao-Blackwellized summary
+        # (method.c:3838 opt_print_a1b1: A00 + data + estimated thetas)
+        if (cfg.usedata and not cfg.theta_integrated
+                and not cfg.est_delimit
+                and not args.resume and run.stree.n_hybrids == 0):
+            from .config import PriorDist
+            from .summary.a1b1 import DIST_GAMMA, DIST_INVGAMMA, A1b1Writer
+            tdist = (DIST_GAMMA if cfg.thetaprior.dist == PriorDist.GAMMA
+                     else DIST_INVGAMMA)
+            labels = [(c, tdist)
+                      for c in writer.columns if c.startswith("theta")]
+            labels += [(c, DIST_GAMMA)
+                       for c in writer.columns if c.startswith("W:")]
+            if labels:
+                a1b1 = A1b1Writer(f"{cfg.jobname}.conditional_a1b1.txt",
+                                  labels)
+
         def on_sample(gen, state):
             writer.write_sample(
                 gen, np.asarray(state.sp.theta), np.asarray(state.sp.tau),
@@ -111,6 +129,14 @@ def cmd_run(args) -> int:
                 else np.asarray(state.sp.phi),
                 migM=None if state.mig is None
                 else np.asarray(state.mig.M))
+            if a1b1 is not None:
+                a1, b1, wa1, wb1 = eng.a1b1_stats(state)
+                av = [float(a1[i]) for i in writer.theta_nodes]
+                bv = [float(b1[i]) for i in writer.theta_nodes]
+                if wa1 is not None:
+                    av += list(np.asarray(wa1))
+                    bv += list(np.asarray(wb1))
+                a1b1.write_sample(gen, av, bv)
 
     chk_path = f"{cfg.jobname}.chk.npz"
 
@@ -160,11 +186,19 @@ def cmd_run(args) -> int:
             migM = np.stack(log.migM) if log.migM else None
         report = a00_summary(cfg, run.stree, gen, theta, tau, lnl, phi=phi,
                              migM=migM)
+    a1b1_report = ""
+    if a1b1 is not None:
+        a1b1.close()
+        a1b1_report = a1b1.summary()
     out_path = f"{cfg.jobname}.txt"
     with open(out_path, "w") as fh:
         fh.write(f"bpp_tpu {cfg.method.name} run summary ({len(gen)} "
                  f"samples, {time.time()-t0:.1f}s)\n\n")
         fh.write(report + "\n")
+        if a1b1_report:
+            fh.write("\nSummarizing parameter estimates using file "
+                     f"{cfg.jobname}.conditional_a1b1.txt ...\n\n")
+            fh.write(a1b1_report + "\n")
     if not args.quiet:
         print(report)
         print(f"\nwrote {mcmc_path}, {out_path}", file=sys.stderr)

@@ -548,6 +548,54 @@ class Engine:
     def step(self, state: McmcState, key):
         return self._step_jit(state, key)
 
+    def a1b1_stats(self, state: McmcState):
+        """Per-sample conditional posterior params (log_a1b1,
+        method.c:4829): theta_h | G ~ InvG(a + K_h, b + C_h) (or the
+        gamma-approximated conditional under a gamma prior), and
+        M_k | G ~ Gamma(alpha + mc_k, beta + W_k) under migration.
+
+        Returns (a1 [H], b1 [H], wa1 [K]|None, wb1 [K]|None).
+        """
+        if not hasattr(self, "_a1b1_jit"):
+            from ..config import PriorDist
+            cfg = self.cfg
+            a, b = cfg.thetaprior.alpha, cfg.thetaprior.beta
+            gamma_prior = cfg.thetaprior.dist == PriorDist.GAMMA
+
+            def fn(state):
+                mask = self.ctx.locus_mask[:, None]
+                if cfg.migration:
+                    from .mig_moves import make_logpr_fn_mig
+                    _, c, t2, W, mc, _ = make_logpr_fn_mig(
+                        self.ctx, self.routes)(state.gt, state.sp,
+                                               state.mig,
+                                               state.subst.heredity)
+                else:
+                    _, c, t2 = self._logpr_fn(state.gt, state.sp,
+                                              state.subst.heredity)
+                    W = mc = None
+                ksum = jnp.sum(jnp.where(mask, c, 0), axis=0).astype(
+                    t2.dtype)
+                csum = jnp.sum(jnp.where(
+                    mask, t2 / state.subst.heredity[:, None], 0.0), axis=0)
+                if gamma_prior:
+                    from .gibbs import gamma_conditional_approx
+                    a1, b1 = gamma_conditional_approx(a, b, ksum, csum,
+                                                      invgamma_proposal=False)
+                else:
+                    a1, b1 = a + ksum, b + csum
+                if W is not None:
+                    wa1 = jnp.asarray(self.routes.alpha, W.dtype) + jnp.sum(
+                        jnp.where(mask, mc, 0), axis=0)
+                    wb1 = jnp.asarray(self.routes.beta, W.dtype) + jnp.sum(
+                        jnp.where(mask, W, 0.0), axis=0)
+                else:
+                    wa1 = wb1 = None
+                return a1, b1, wa1, wb1
+
+            self._a1b1_jit = jax.jit(fn)
+        return self._a1b1_jit(state)
+
     def _chunk(self, state: McmcState, key, n: int):
         """n MCMC iterations in one jitted scan (amortizes dispatch/sync:
         the per-iteration host round trip dominates on a TPU tunnel)."""
