@@ -121,6 +121,57 @@ def cmd_run(args) -> int:
                 a1b1 = A1b1Writer(f"{cfg.jobname}.conditional_a1b1.txt",
                                   labels)
 
+        # optional per-sample gene-tree / per-locus parameter logs
+        # (print flags, method.c:2933 %s.gtree.L%d and
+        # method.c:59 %s.locus_%d_params_sample.txt)
+        real = [i for i in range(run.batch.n_loci)
+                if run.batch.locus_mask[i]]
+        gtree_fps = None
+        if cfg.print_genetrees and not args.resume:
+            gtree_fps = {i: open(f"{cfg.jobname}.gtree.L{i+1}", "w")
+                         for i in real}
+        want_params = ((cfg.print_locusrate and cfg.est_locusrate)
+                       or (cfg.print_hscalars and cfg.est_heredity)
+                       or cfg.print_rates)
+        locus_fps = None
+        if want_params and not args.resume:
+            locus_fps = {i: open(
+                f"{cfg.jobname}.locus_{i+1}_params_sample.txt", "w")
+                for i in real}
+
+        from .config import Clock
+
+        def log_locus_files(state):
+            if gtree_fps is not None:
+                from .output import gene_tree_newick
+                gl = np.asarray(state.gt.left)
+                gr = np.asarray(state.gt.right)
+                gp = np.asarray(state.gt.parent)
+                ga = np.asarray(state.gt.age)
+                for i in real:
+                    ns = int(run.batch.n_seq[i])
+                    gtree_fps[i].write(gene_tree_newick(
+                        gl[i], gr[i], gp[i], ga[i],
+                        run.batch.labels[i], ns) + "\n")
+            if locus_fps is not None:
+                h = np.asarray(state.subst.heredity)
+                mu = np.asarray(state.subst.mu)
+                nu = br = None
+                if state.clock is not None and cfg.clock != Clock.GLOBAL:
+                    nu = np.asarray(state.clock.nu)
+                    br = np.asarray(state.clock.brate)
+                for i in real:
+                    vals = []
+                    if cfg.print_hscalars and cfg.est_heredity:
+                        vals.append(f"{h[i]:.6f}")
+                    if cfg.print_locusrate and cfg.est_locusrate:
+                        vals.append(f"{mu[i]:.6f}")
+                    if cfg.print_rates and nu is not None:
+                        vals.append(f"{nu[i]:.6f}")
+                        vals += [f"{x:.6f}"
+                                 for x in br[min(i, br.shape[0] - 1)]]
+                    locus_fps[i].write("\t".join(vals) + "\n")
+
         def on_sample(gen, state):
             writer.write_sample(
                 gen, np.asarray(state.sp.theta), np.asarray(state.sp.tau),
@@ -129,6 +180,7 @@ def cmd_run(args) -> int:
                 else np.asarray(state.sp.phi),
                 migM=None if state.mig is None
                 else np.asarray(state.mig.M))
+            log_locus_files(state)
             if a1b1 is not None:
                 a1, b1, wa1, wb1 = eng.a1b1_stats(state)
                 av = [float(a1[i]) for i in writer.theta_nodes]
@@ -153,6 +205,10 @@ def cmd_run(args) -> int:
                        on_sample=on_sample, resume=resume_state,
                        on_checkpoint=on_checkpoint if cfg.checkpoint else None)
     writer.close()
+    for fps in (locals().get("gtree_fps"), locals().get("locus_fps")):
+        if fps:
+            for fp in fps.values():
+                fp.close()
 
     if args.resume:
         # summaries must cover pre-checkpoint samples: read them back
@@ -190,6 +246,21 @@ def cmd_run(args) -> int:
     if a1b1 is not None:
         a1b1.close()
         a1b1_report = a1b1.summary()
+
+    # FigTree.tre (allfixed.c:571): A00 fixed multi-species tree only
+    if (not cfg.est_stree and not cfg.est_delimit and run.stree.n_tips > 1
+            and run.stree.n_hybrids == 0 and len(gen)):
+        from .output import figtree_export
+        from .summary.allfixed import hpd_interval
+        H = run.stree.n_nodes
+        tau_m = tau.mean(0)
+        th_m = theta.mean(0) if theta.size else np.zeros(H)
+        lo = np.zeros(H)
+        hi = np.zeros(H)
+        for i in range(run.stree.n_tips, H):
+            lo[i], hi[i] = hpd_interval(tau[:, i])
+        with open(f"{cfg.jobname}.FigTree.tre", "w") as fh:
+            fh.write(figtree_export(run.stree, tau_m, lo, hi, th_m))
     out_path = f"{cfg.jobname}.txt"
     with open(out_path, "w") as fh:
         fh.write(f"bpp_tpu {cfg.method.name} run summary ({len(gen)} "

@@ -302,3 +302,54 @@ def a00_summary(cfg: BppConfig, st: SpeciesTree, gen, theta, tau, lnl,
                  f"{node_label(st, int(r.ti[k]))}"] = migM[:, k]
     cols["lnL"] = np.asarray(lnl)
     return format_summary(summary_table(cols))
+
+
+def figtree_export(st: SpeciesTree, tau_mean, tau_hpd_lo, tau_hpd_hi,
+                   theta_mean) -> str:
+    """FigTree.tre (allfixed.c:571-717): species tree with posterior-
+    mean taus as branch lengths, per-node 95% HPD bars and theta
+    labels."""
+    def rec(i):
+        h = float(tau_mean[i]) if i >= st.n_tips else 0.0
+        if i < st.n_tips:
+            s = st.names[i]
+        else:
+            a, _ = rec(int(st.left[i]))
+            b, _ = rec(int(st.right[i]))
+            lab = "|".join(
+                st.names[j] for j in range(st.n_tips)
+                if st.pptable()[j, i])
+            s = (f"({a}, {b}){lab}"
+                 f"[&height_95%_HPD={{{tau_hpd_lo[i]:.8f}, "
+                 f"{tau_hpd_hi[i]:.8f}}}, theta={theta_mean[i]:.7f}]")
+        p = int(st.parent[i])
+        if p >= 0:
+            s += f": {float(tau_mean[p]) - h:.6f}"
+        return s, h
+
+    body = rec(st.root)[0]
+    return ("#NEXUS\nBEGIN TREES;\n\tUTREE 1 = " + body + ";\nEND;\n\n"
+            "[Species tree with tau as branch lengths and theta as "
+            "labels, for FigTree.\nIn FigTree, choose 95%HPD for Node "
+            "Bars and label for Node Labels]\n")
+
+
+def gene_tree_newick(left, right, parent, age, labels, n_seq) -> str:
+    """One locus's gene tree as newick with time branch lengths
+    (print_gtree, method.c:5860 sample logging)."""
+    T = (len(left) + 1) // 2
+    root = int(np.argmax(age[T:T + n_seq - 1])) + T if n_seq > 1 else 0
+
+    def rec(u):
+        if u < n_seq:
+            s = labels[u]
+        else:
+            a = rec(int(left[u]))
+            b = rec(int(right[u]))
+            s = f"({a}, {b})"
+        p = int(parent[u])
+        if p >= 0 and u != root:
+            s += f":{float(age[p] - age[u]):.6f}"
+        return s
+
+    return rec(root) + ";"
