@@ -153,15 +153,31 @@ def run_simulation(ctl_path: str, seed: int | None = None) -> int:
         seed if seed is not None else (cfg.seed if cfg.seed > 0 else None))
     st = species_tree_from_sim(cfg)
 
-    # individual labels per species: a1..aN style from lower-cased species name
+    # individual labels per species: a1..aN style from lower-cased species
+    # name; diploid species simulate two haplotypes per individual which
+    # are OR-merged into IUPAC ambiguity codes (simulate.c:129
+    # process_diploid doubles the counts, :739 merge comment)
+    diploid = list(cfg.diploid) + [0] * len(st.names)
     labels = []
     tip_species = []
+    merge_pairs = []        # (row_a, row_b, out_label) per diploid ind.
+    row = 0
     for si, (name, count) in enumerate(zip(st.names, cfg.n_per_species)):
         for k in range(count):
-            labels.append(f"{name}^{name.lower()}{k+1}")
-            tip_species.append(si)
+            if diploid[si]:
+                labels.append(f"{name}^{name.lower()}{k+1}.A")
+                labels.append(f"{name}^{name.lower()}{k+1}.B")
+                tip_species += [si, si]
+                merge_pairs.append((row, row + 1,
+                                    f"{name}^{name.lower()}{k+1}"))
+                row += 2
+            else:
+                labels.append(f"{name}^{name.lower()}{k+1}")
+                tip_species.append(si)
+                row += 1
     tip_species = np.asarray(tip_species, np.int32)
     n = len(labels)
+    any_diploid = bool(merge_pairs)
 
     if cfg.model == SubstModel.JC69:
         pmat_fn = _np_pmatrix_jc69
@@ -209,9 +225,28 @@ def run_simulation(ctl_path: str, seed: int | None = None) -> int:
             mu = rng.gamma(cfg.locusrate_alpha, 1.0 / cfg.locusrate_alpha)
         seqs = evolve_sequences(rng, gl, gr, gp, ga * mu, n, cfg.length,
                                 cfg.model, freqs, pmat_fn)
-        seq_fp.write(f"{n} {cfg.length}\n\n")
-        for i, lab in enumerate(labels):
-            seq_fp.write(f"{lab:<12} {''.join(_BASES[seqs[i]])}\n")
+        if any_diploid:
+            # IUPAC mask merge: bit order A,C,G,T
+            from ..io.maps import NT_MAP
+            inv = {int(NT_MAP[ord(c)]): c for c in "ACGTRYSWKMBDHVN"}
+            masks = np.uint8(1) << seqs.astype(np.uint8)
+            out_rows = []
+            used = set()
+            for a, b, lab in merge_pairs:
+                m = masks[a] | masks[b]
+                out_rows.append((lab, "".join(inv[int(x)] for x in m)))
+                used.add(a)
+                used.add(b)
+            for i, lab in enumerate(labels):
+                if i not in used:
+                    out_rows.append((lab, "".join(_BASES[seqs[i]])))
+            seq_fp.write(f"{len(out_rows)} {cfg.length}\n\n")
+            for lab, s in out_rows:
+                seq_fp.write(f"{lab:<12} {s}\n")
+        else:
+            seq_fp.write(f"{n} {cfg.length}\n\n")
+            for i, lab in enumerate(labels):
+                seq_fp.write(f"{lab:<12} {''.join(_BASES[seqs[i]])}\n")
         seq_fp.write("\n")
         if tree_fp:
             tree_fp.write(_gtree_newick(gl, gr, gp, ga, labels, n) + "\n")
@@ -220,9 +255,16 @@ def run_simulation(ctl_path: str, seed: int | None = None) -> int:
     if tree_fp:
         tree_fp.close()
     if cfg.imapfile and st.n_tips > 1:
+        seen = set()
         with open(cfg.imapfile, "w") as fh:
             for lab, si in zip(labels, tip_species):
-                fh.write(f"{lab.split('^')[1]}\t{st.names[si]}\n")
+                tag = lab.split("^")[1]
+                if tag.endswith((".A", ".B")):
+                    tag = tag[:-2]
+                if tag in seen:
+                    continue
+                seen.add(tag)
+                fh.write(f"{tag}\t{st.names[si]}\n")
     print(f"simulated {cfg.n_loci} loci -> {cfg.seqfile}", file=sys.stderr)
     return 0
 
