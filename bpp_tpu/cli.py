@@ -179,7 +179,9 @@ def cmd_run(args) -> int:
                 phi=None if state.sp.phi is None
                 else np.asarray(state.sp.phi),
                 migM=None if state.mig is None
-                else np.asarray(state.mig.M))
+                else np.asarray(state.mig.M),
+                mubar=None if state.mubar is None
+                else float(np.asarray(state.mubar)))
             log_locus_files(state)
             if a1b1 is not None:
                 a1, b1, wa1, wb1 = eng.a1b1_stats(state)
@@ -241,7 +243,8 @@ def cmd_run(args) -> int:
             phi = np.stack(log.phi) if log.phi else None
             migM = np.stack(log.migM) if log.migM else None
         report = a00_summary(cfg, run.stree, gen, theta, tau, lnl, phi=phi,
-                             migM=migM)
+                             migM=migM,
+                             mubar=None if args.resume else log.mubar)
     a1b1_report = ""
     if a1b1 is not None:
         a1b1.close()
@@ -261,6 +264,15 @@ def cmd_run(args) -> int:
             lo[i], hi[i] = hpd_interval(tau[:, i])
         with open(f"{cfg.jobname}.FigTree.tre", "w") as fh:
             fh.write(figtree_export(run.stree, tau_m, lo, hi, th_m))
+    # species-tree PDF (visual.c stree_export_pdf, method.c:6528): A00
+    if not cfg.est_stree and not cfg.est_delimit and run.stree.n_tips > 1 \
+            and len(gen):
+        from .visual import stree_export_pdf
+        stree_export_pdf(
+            run.stree, f"{cfg.jobname}.pdf",
+            tau=tau.mean(0) if tau.size else None,
+            theta=theta.mean(0) if theta.size else None,
+            cmdline="bpp_tpu --cfile " + (args.cfile or ""))
     out_path = f"{cfg.jobname}.txt"
     with open(out_path, "w") as fh:
         fh.write(f"bpp_tpu {cfg.method.name} run summary ({len(gen)} "

@@ -124,6 +124,7 @@ class Finetune:
     mubar: float = 0.1
     nubar: float = 0.1
     branchrate: float = 0.1
+    brate_m: float = 0.1       # trait branch rates (bpp.c:528)
 
 
 @dataclass(frozen=True)
@@ -160,6 +161,11 @@ class BppConfig:
     jobname: str = "out"
     mcmcfile: str | None = None         # default: <jobname>.mcmc.txt
     datefile: str | None = None
+    traitfile: str | None = None        # morphological traits (morph.c)
+    # iid Gamma prior on trait branch rates (bpp.c:451-452 defaults;
+    # no ctl keyword in the reference either)
+    trait_brate_alpha: float = 1.0
+    trait_brate_beta: float = 1.0
     constraintfile: str | None = None
     heredity_file: str | None = None
     locusrate_file: str | None = None
@@ -172,9 +178,9 @@ class BppConfig:
     rjmcmc_alpha: float = 2.0
     rjmcmc_mean: float = 1.0
     prob_snl: float = 0.2               # speciestree = 1 pSNL pShrink ...
-    prob_snl_shrink: float = 0.333
-    snl_lambda_expand: float = 1.0
-    snl_lambda_shrink: float = 1.0
+    prob_snl_shrink: float = 0.333      # bpp.c:608-609 defaults
+    snl_lambda_expand: float = 0.1      # bpp.c:638-639
+    snl_lambda_shrink: float = 0.2
     delimit_prior: int = 1              # speciesmodelprior
 
     # data

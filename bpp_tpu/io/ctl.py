@@ -141,6 +141,7 @@ def parse_ctl(path: str) -> BppConfig:
         constraintfile=resolve(cfg.constraintfile),
         heredity_file=resolve(cfg.heredity_file),
         locusrate_file=resolve(cfg.locusrate_file),
+        traitfile=resolve(cfg.traitfile),
     )
 
 
@@ -233,7 +234,8 @@ def _build_config(kw: dict) -> BppConfig:  # noqa: C901
     for src, dst in [("seqfile", "seqfile"), ("imapfile", "imapfile"),
                      ("jobname", "jobname"), ("outfile", "jobname"),
                      ("mcmcfile", "mcmcfile"), ("datefile", "datefile"),
-                     ("constraintfile", "constraintfile")]:
+                     ("constraintfile", "constraintfile"),
+                     ("traitfile", "traitfile")]:
         v = pop(src)
         if v is not None:
             c[dst] = v
@@ -371,8 +373,19 @@ def _build_config(kw: dict) -> BppConfig:  # noqa: C901
                     and c.get("locusrate_mubar_a", 0.0) == 0
                     and c.get("locusrate_mubar_b", 0.0) == 0):
                 c["locusrate_prior"] = 3
-        elif c["est_locusrate"] in (2, 3) and nums:
-            c["locusrate_mubar"] = nums[0]
+        elif c["est_locusrate"] == 3:
+            # locusrate = 3 a_mubar b_mubar  (MUTRATE_ONLY, tip dating;
+            # cfile.c:1058-1076)
+            if len(nums) >= 2:
+                c["locusrate_mubar_a"] = nums[0]
+                c["locusrate_mubar_b"] = nums[1]
+        elif c["est_locusrate"] == 2:
+            # locusrate = 2 filename  (MUTRATE_FROMFILE, cfile.c:1051)
+            rest = v.split(None, 1)[1].strip() if len(toks) > 1 else ""
+            if rest and not _is_number(rest):
+                c["locusrate_file"] = rest
+            elif nums:
+                c["locusrate_mubar"] = nums[0]
 
     v = pop("heredity")
     if v is not None:

@@ -30,6 +30,11 @@ class RunData:
     batch: LocusBatch
     stree: SpeciesTree
     loci: list[ProcessedLocus]
+    # tip dating (datefile): calendar sample dates per packed sequence
+    # [L, T] and max descendant date per species node [H] (the calendar
+    # form of the reference's l_constraint, gtree.c:1637)
+    tip_dates: np.ndarray | None = None
+    date_lmax: np.ndarray | None = None
 
 
 def build_species_tree(cfg: BppConfig) -> SpeciesTree:
@@ -42,12 +47,28 @@ def build_species_tree(cfg: BppConfig) -> SpeciesTree:
     return st
 
 
+def _reflect(x: float, a: float, b: float) -> float:
+    """Mirror x into [a, b] (util reflect analog, host side)."""
+    if b <= a:
+        return a
+    span = b - a
+    y = (x - a) % (2 * span)
+    if y < 0:
+        y += 2 * span
+    return a + (y if y <= span else 2 * span - y)
+
+
 def init_tau_theta(cfg: BppConfig, st: SpeciesTree, rng: np.random.Generator,
-                   collapsed: np.ndarray | None = None) -> None:
+                   collapsed: np.ndarray | None = None,
+                   lconstraint: np.ndarray | None = None) -> None:
     """Initialize tau/theta in place from the priors (stree.c:1489, 2471).
 
     ``collapsed``: optional bool mask over nodes forcing tau=0 (A10/A11
     random starting delimitation).
+    ``lconstraint``: tip-dating lower bounds per node in substitution
+    units (reset_tau_tip_date / stree_init_tau_recursive_constraint,
+    gtree.c:2013): every tau is reflected above its dated-descendant
+    bound.
     """
     theta0 = cfg.thetaprior.mean()
     st.theta[:] = theta0
@@ -63,6 +84,10 @@ def init_tau_theta(cfg: BppConfig, st: SpeciesTree, rng: np.random.Generator,
     st.tau[:] = 0.0
     if active[root]:
         st.tau[root] = tau0
+        if lconstraint is not None:
+            st.tau[root] = _reflect(
+                tau0 * (0.9 + 0.2 * rng.random()),
+                float(lconstraint[root]), 999.0)
 
     if st.n_hybrids > 0:
         _init_tau_network(cfg, st, rng, prop)
@@ -73,8 +98,12 @@ def init_tau_theta(cfg: BppConfig, st: SpeciesTree, rng: np.random.Generator,
             if ch < st.n_tips:
                 continue
             if st.tau[i] > 0 and active[ch]:
-                st.tau[ch] = st.tau[i] * (prop + (1 - prop)
-                                          * (0.2 + 0.1 * rng.random()))
+                t = st.tau[i] * (prop + (1 - prop)
+                                 * (0.2 + 0.1 * rng.random()))
+                if lconstraint is not None and (
+                        t < lconstraint[ch] or t >= st.tau[i]):
+                    t = _reflect(t, float(lconstraint[ch]), float(st.tau[i]))
+                st.tau[ch] = t
             else:
                 st.tau[ch] = 0.0
             rec(ch)
@@ -177,7 +206,37 @@ def load_run(cfg: BppConfig, pad_loci_to: int | None = None) -> RunData:
         for a in alns
     ]
     batch = pack_loci(loci, site_block=cfg.site_block, pad_loci_to=pad_loci_to)
-    return RunData(cfg=cfg, batch=batch, stree=st, loci=loci)
+
+    tip_dates = date_lmax = None
+    if cfg.datefile:
+        from .io.imap import parse_datefile
+        dates = parse_datefile(cfg.datefile)
+        L, T = batch.n_loci, batch.max_tips
+        tip_dates = np.zeros((L, T))
+        for li, labels in enumerate(batch.labels):
+            for j, lab in enumerate(labels):
+                ind = lab.split("^")[-1]
+                if ind not in dates:
+                    raise ValueError(
+                        f"sequence {lab!r} has no entry in datefile "
+                        f"{cfg.datefile}")
+                tip_dates[li, j] = dates[ind]
+        # calendar l_constraint per species node: max date of any
+        # descendant sample (update_tau_constraint, gtree.c:1637)
+        H = st.n_nodes
+        date_lmax = np.zeros(H)
+        for li, labels in enumerate(batch.labels):
+            n = len(labels)
+            for j in range(n):
+                s = int(batch.tip_pop[li, j])
+                date_lmax[s] = max(date_lmax[s], tip_dates[li, j])
+        for _ in range(H):          # fixpoint: child maxima flow upward
+            for i in range(H):
+                p = int(st.parent[i])
+                if p >= 0 and date_lmax[i] > date_lmax[p]:
+                    date_lmax[p] = date_lmax[i]
+    return RunData(cfg=cfg, batch=batch, stree=st, loci=loci,
+                   tip_dates=tip_dates, date_lmax=date_lmax)
 
 
 def load_run_from_ctl(path: str, **kw) -> RunData:

@@ -398,3 +398,106 @@ def brate_simple_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     clock_new = clock_new._replace(
         lnrates=lnprior_rates(cfg, state.sp, state.subst.mu, clock_new))
     return state._replace(clock=clock_new, logl=logl), (nprop, nacc)
+
+
+# --------------------------------------------------------------------------
+# tip-dating overall mutation rate (prop_tipDate_muGtree, stree.c:9419)
+# --------------------------------------------------------------------------
+
+
+def tipdate_mubar_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
+    """Serial-sampling mutation-rate move (prop_tipDate_muGtree,
+    stree.c:9419).
+
+    ``state.mubar`` converts calendar sample dates into substitution
+    units: tip ages are ``date * mubar``.  The proposal slides
+    log(mubar) (bounded above so every dated constraint stays below its
+    tau, find_maxMuGtree stree.c:9744), rescales every dated tip age to
+    ``date * mubar'``, and affinely squashes each gene node inside a
+    TIP population so the population's upper boundary (parent tau)
+    stays fixed (prop_mu_updateCoal_recursive, stree.c:9698): with
+    b = oldest descendant sample age and c = mubar'/mubar,
+
+        h = (tau - b*c) / (tau - b),   t' = tau - h * (tau - t),
+
+    each remapped node contributing log h to the Hastings ratio.  Gene
+    nodes in ancestral populations and all taus are untouched; the move
+    is rejected outright if the remap breaks parent>child ordering
+    (stree.c:9506-9513).
+    """
+    from ..trees.gtree import assign_populations, topo_scan
+    from .state import make_logpr_fn
+    gt, sp = state.gt, state.sp
+    L, N, T = gt.n_loci, gt.n_nodes, gt.n_tips
+    NS = sp.n_tips
+    dtype = sp.tau.dtype
+    logl_fn = make_logl_fn(ctx, cfg)
+    logpr_fn = make_logpr_fn(ctx)
+    eps = state.finetune[FT_MUBAR]
+    old = state.mubar
+    k1, k2 = jax.random.split(key)
+
+    # upper bound (find_maxMuGtree): mu' < min_h tau_h / date_lmax_h
+    lmax = ctx.date_lmax
+    ratio = jnp.where((lmax > 0) & (sp.tau > 0),
+                      sp.tau / jnp.maximum(lmax, 1e-300), jnp.inf)
+    bound = jnp.min(ratio)
+    lbound = jnp.where(jnp.isfinite(bound), jnp.log(bound), LOG_BOUND)
+    lold = jnp.log(old)
+    lnew = rng.reflect(lold + eps * rng.bactrian(k1, dtype=eps.dtype),
+                       -LOG_BOUND, lbound)
+    new = jnp.exp(lnew)
+    c = new / old
+
+    pops = assign_populations(gt, sp, ctx.tip_pop)
+    node_idx = jnp.arange(N)[None, :]
+    is_tip = node_idx < ctx.n_seq[:, None]
+    is_inner = (node_idx >= T) & (node_idx < T + ctx.n_seq[:, None] - 1)
+    bmax = topo_scan(gt, gt.age[:, :T], jnp.maximum)            # [L, N]
+    in_tip_pop = pops < NS
+    ptau = sp.tau[jnp.maximum(sp.parent[pops], 0)]              # [L, N]
+    squash = is_inner & in_tip_pop & (bmax > 0)
+    h = jnp.where(squash, (ptau - bmax * c)
+                  / jnp.maximum(ptau - bmax, 1e-300), 1.0)
+    age_new = jnp.where(squash, ptau - h * (ptau - gt.age), gt.age)
+    tip_new = jnp.where(is_tip[:, :T], ctx.tip_dates * new, 0.0)
+    age_new = age_new.at[:, :T].set(tip_new.astype(dtype))
+    jac = jnp.sum(jnp.where(squash & ctx.locus_mask[:, None],
+                            jnp.log(jnp.maximum(h, 1e-300)), 0.0))
+
+    # ordering check (stree.c:9506): reject if any child got older than
+    # its parent under the per-node squash factors
+    page_new = jnp.where(
+        gt.parent >= 0,
+        jnp.take_along_axis(age_new, jnp.maximum(gt.parent, 0), 1), jnp.inf)
+    bad = jnp.any((is_tip | is_inner) & ctx.locus_mask[:, None]
+                  & (gt.parent >= 0) & (age_new > page_new))
+    bad = bad | jnp.any(jnp.where(squash, h, 1.0) <= 0.0)
+
+    a_mu, b_mu = cfg.locusrate_mubar_a, cfg.locusrate_mubar_b
+    lnacc = (lnew - lold
+             + (a_mu - 1.0) * jnp.log(new / old) - b_mu * (new - old)
+             + _psum_if_sharded(jac))
+
+    gtn = gt._replace(age=age_new)
+    logl_new = logl_fn(gtn, state.subst, sp, state.clock)
+    logpr_new, c_new, t2_new = logpr_fn(gtn, sp, state.subst.heredity)
+    lnacc = lnacc + _psum_if_sharded(jnp.sum(logl_new - state.logl))
+    if cfg.theta_integrated:
+        from . import notheta
+        lnacc = lnacc + (
+            notheta.total_integrated(cfg, c_new, t2_new,
+                                     state.subst.heredity, ctx.locus_mask)
+            - notheta.total_integrated(cfg, state.coal, state.t2h,
+                                       state.subst.heredity, ctx.locus_mask))
+    else:
+        lnacc = lnacc + _psum_if_sharded(jnp.sum(logpr_new - state.logpr))
+
+    accept = rng.mh_accept(k2, jnp.where(bad, -jnp.inf, lnacc))
+    cand = state._replace(gt=gtn, logl=logl_new, logpr=logpr_new,
+                          mubar=new)
+    if cfg.theta_integrated:
+        cand = cand._replace(coal=c_new, t2h=t2_new, logpr=state.logpr)
+    new_state = jax.tree.map(
+        lambda n, o: jnp.where(accept, n, o), cand, state)
+    return new_state, (jnp.ones((), jnp.int32), accept.astype(jnp.int32))

@@ -24,12 +24,12 @@ from ..trees import coalescent as coalmod
 from ..trees.gtree import GTrees, init_gtrees, species_arrays
 from . import moves, subst_moves
 from .state import (
-    Ctx, FT_ALPHA, FT_BRATE, FT_FREQS, FT_GTAGE, FT_GTSPR, FT_LRHT, FT_MIX,
-    FT_MUBAR, FT_MUI, FT_NUBAR, FT_NUI, FT_QRATES, FT_TAU, FT_THETA,
-    MV_ALPHA, MV_BRATE, MV_FREQS, MV_GTAGE, MV_GTSPR, MV_LRHT, MV_MIX,
-    MV_MUBAR, MV_MUI, MV_NUBAR, MV_NUI, MV_QRATES, MV_RJ, MV_SSPR, MV_TAU,
-    MV_THETA, N_MOVES, McmcState, SubstState, finetune_array, make_logl_fn,
-    make_logpr_fn, refresh_eigen,
+    Ctx, FT_ALPHA, FT_BRATE, FT_BRATE_M, FT_FREQS, FT_GTAGE, FT_GTSPR,
+    FT_LRHT, FT_MIX, FT_MUBAR, FT_MUI, FT_NUBAR, FT_NUI, FT_QRATES, FT_TAU,
+    FT_THETA, MV_ALPHA, MV_BRATE, MV_FREQS, MV_GTAGE, MV_GTSPR, MV_LRHT,
+    MV_MIX, MV_MUBAR, MV_MUI, MV_NUBAR, MV_NUI, MV_QRATES, MV_RJ, MV_SSPR,
+    MV_TAU, MV_THETA, MV_TRAIT, N_MOVES, McmcState, SubstState,
+    finetune_array, make_logl_fn, make_logpr_fn, refresh_eigen,
 )
 
 PJ_OPTIMUM = 0.30     # method.c:45 target pjump
@@ -109,6 +109,7 @@ MOVE_TO_FT = {
     MV_MUBAR: FT_MUBAR,
     MV_NUBAR: FT_NUBAR,
     MV_BRATE: FT_BRATE,
+    MV_TRAIT: FT_BRATE_M,
 }
 
 
@@ -137,6 +138,7 @@ class SampleLog:
                                                   # sample; A01/A11 only
     phi: list = field(default_factory=list)       # [H]; MSC-I only
     migM: list = field(default_factory=list)      # [K]; MSC-M only
+    mubar: list = field(default_factory=list)     # scalar; tip dating only
 
     def arrays(self):
         return (np.asarray(self.gen), np.stack(self.theta),
@@ -228,12 +230,55 @@ class Engine:
                 raise NotImplementedError(
                     "MSC-I networks with integrated-out thetas are not "
                     "yet supported; drop the 'e' flag")
+        if cfg.datefile:
+            # reference restrictions (cfile.c:2878-2891, 3486-3490):
+            # A00 only, global clock, locusrate = 3 (MUTRATE_ONLY)
+            if cfg.est_stree or cfg.est_delimit:
+                raise NotImplementedError(
+                    "tip dating (datefile) requires a fixed species tree "
+                    "(A00)")
+            if cfg.clock != Clock.GLOBAL:
+                raise NotImplementedError(
+                    "tip dating requires the strict molecular clock")
+            if cfg.est_locusrate != 3:
+                raise ValueError(
+                    "tip dating requires 'locusrate = 3 a_mubar b_mubar' "
+                    "(mutation-rate-only mode)")
+            if run.stree.n_hybrids > 0 or cfg.migration:
+                raise NotImplementedError(
+                    "tip dating with MSC-I/MSC-M not yet supported")
+            if run.stree.n_tips < 2:
+                # stree.c:9426 "Mu proposal not yet implemented for
+                # single population"
+                raise NotImplementedError(
+                    "tip dating needs at least two species")
+            if run.tip_dates is None:
+                raise ValueError("datefile given but no dates were loaded")
         self.seed = seed if seed is not None else (
             cfg.seed if cfg.seed > 0 else np.random.SeedSequence().entropy % (2**31))
         batch = run.batch
 
         dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
         self.dtype = dtype
+
+        trait_fn = None
+        self.trait_data = None
+        if cfg.traitfile:
+            # trait likelihood is only wired into the tau/mixing/rj
+            # moves (mirroring morph.c integration points) — the
+            # topology-changing SPR/SNL do not re-score traits, so
+            # restrict to fixed-guide-tree methods
+            if cfg.est_stree:
+                raise NotImplementedError(
+                    "traitfile requires a fixed species tree (A00/A10)")
+            if run.stree.n_hybrids > 0 or cfg.migration:
+                raise NotImplementedError(
+                    "traits with MSC-I/MSC-M not yet supported")
+            from ..trees import traits as trmod
+            parts = trmod.parse_traitfile(cfg.traitfile)
+            self.trait_data = trmod.build_trait_data(parts, run.stree,
+                                                     dtype)
+            trait_fn = trmod.make_trait_logl(run.stree, self.trait_data)
         tip_partials = fe.tip_partials_from_codes(
             jnp.asarray(batch.tip_codes), dtype=dtype,
             n_states=cfg.model.n_states)
@@ -246,6 +291,11 @@ class Engine:
             tip_pop=jnp.asarray(batch.tip_pop),
             locus_mask=jnp.asarray(batch.locus_mask),
             tips_am=self._build_tips_am(tip_partials),
+            tip_dates=None if run.tip_dates is None
+            else jnp.asarray(run.tip_dates, dtype),
+            date_lmax=None if run.date_lmax is None
+            else jnp.asarray(run.date_lmax, dtype),
+            trait_fn=trait_fn,
         )
         self._logl_fn = make_logl_fn(self.ctx, cfg)
         self._logpr_fn = make_logpr_fn(self.ctx)
@@ -280,7 +330,15 @@ class Engine:
     def init_state(self) -> McmcState:
         cfg, run = self.cfg, self.run
         rng = np.random.default_rng(self.seed)
-        init_tau_theta(cfg, run.stree, rng)
+        mubar0 = None
+        tip_ages0 = None
+        if run.tip_dates is not None:
+            mubar0 = cfg.locusrate_mubar_a / cfg.locusrate_mubar_b
+            tip_ages0 = run.tip_dates * mubar0
+            init_tau_theta(cfg, run.stree, rng,
+                           lconstraint=run.date_lmax * mubar0)
+        else:
+            init_tau_theta(cfg, run.stree, rng)
         # root-age scale for the rjMCMC Beta proposal at the root
         # (prop_rj.c:431-435): the 0.9 prior quantile (gamma) or
         # 4*beta/(alpha-1) (invgamma), refined by mean cross-root sequence
@@ -289,7 +347,7 @@ class Engine:
         # infeasible once tau drifts above 0.6x it.
         self.root_age0 = _root_age_scale(cfg, run)
         gt = init_gtrees(int(rng.integers(2**31)), run.batch, run.stree,
-                         dtype=self.dtype)
+                         dtype=self.dtype, tip_ages=tip_ages0)
         sp = species_arrays(run.stree, dtype=self.dtype)
         L = run.batch.n_loci
         C = cfg.gamma_cats
@@ -323,7 +381,11 @@ class Engine:
             qrates=jnp.asarray(qrates, self.dtype),
             alpha=jnp.full((L,), alpha0, self.dtype),
             rates=jnp.asarray(rates0, self.dtype),
-            mu=jnp.full((L,), cfg.locusrate_mubar if cfg.est_locusrate else 1.0,
+            # with tip dating (locusrate = 3) gene-node ages already
+            # carry mubar (substitution units), so the per-locus rate
+            # multiplier is 1 (stree.c:4212 rate_mui commented out)
+            mu=jnp.full((L,), cfg.locusrate_mubar
+                        if cfg.est_locusrate in (1, 2) else 1.0,
                         self.dtype),
             heredity=jnp.ones((L,), self.dtype),
             eigw=jnp.zeros((L, 4), self.dtype),
@@ -370,10 +432,21 @@ class Engine:
         if cfg.theta_integrated:
             coal, t2h = c0, t20
             logpr = jnp.zeros_like(logpr)     # per-locus cache unused
+        trait = None
+        if self.ctx.trait_fn is not None:
+            # brates start at 1 (trait_init morph.c:832)
+            from ..trees.traits import TraitState
+            brate0 = jnp.ones((len(self.trait_data), run.stree.n_nodes),
+                              self.dtype)
+            trait = TraitState(
+                brate=brate0, logl=self.ctx.trait_fn(sp.tau, brate0))
         return McmcState(
             gt=gt, sp=sp, subst=subst, logl=logl, logpr=logpr,
             finetune=finetune_array(cfg, self.dtype), clock=clock,
-            coal=coal, t2h=t2h)
+            coal=coal, t2h=t2h,
+            mubar=None if mubar0 is None
+            else jnp.asarray(mubar0, self.dtype),
+            trait=trait)
 
     # --- one iteration --------------------------------------------------------
 
@@ -391,13 +464,33 @@ class Engine:
                                              self.root_age0)
             stats = stats.at[MV_RJ].add(jnp.stack([p, a]))
 
-        # move #0b: species-tree SPR (A01/A11; method.c:5438-5477);
-        # with < 3 species there is no alternative rooted topology
+        # move #0b: species-tree SPR or SNL (A01/A11; method.c:5438-5477
+        # picks SNL with probability opt_prob_snl); with < 3 species
+        # there is no alternative rooted topology
         if cfg.est_stree and self.run.stree.n_tips >= 3:
             from . import stree_moves
-            state, (p, a) = stree_moves.species_spr_move(
-                ctx, cfg, state, keys[8])
-            stats = stats.at[MV_SSPR].add(jnp.stack([p, a]))
+            from .state import MV_SNL
+            ksel, kmove = jax.random.split(keys[8])
+            if cfg.prob_snl > 0 and not cfg.est_delimit:
+                use_snl = jax.random.uniform(ksel) < cfg.prob_snl
+
+                def do_snl(st):
+                    return stree_moves.snl_move(ctx, cfg, st, kmove)
+
+                def do_spr(st):
+                    return stree_moves.species_spr_move(ctx, cfg, st, kmove)
+
+                state, (p, a) = jax.lax.cond(use_snl, do_snl, do_spr, state)
+                stats = stats.at[MV_SSPR].add(
+                    jnp.stack([jnp.where(use_snl, 0, p),
+                               jnp.where(use_snl, 0, a)]))
+                stats = stats.at[MV_SNL].add(
+                    jnp.stack([jnp.where(use_snl, p, 0),
+                               jnp.where(use_snl, a, 0)]))
+            else:
+                state, (p, a) = stree_moves.species_spr_move(
+                    ctx, cfg, state, kmove)
+                stats = stats.at[MV_SSPR].add(jnp.stack([p, a]))
 
         # gene-tree moves: blocked full-recompute variants (see moves.py
         # "blocked" section — per-op overhead makes the full batched
@@ -429,8 +522,17 @@ class Engine:
             state, (p, a) = moves.tau_move(ctx, cfg, state, keys[3])
             stats = stats.at[MV_TAU].add(jnp.stack([p, a]))
 
-        state, (p, a) = moves.mixing_move(ctx, cfg, state, keys[4])
-        stats = stats.at[MV_MIX].add(jnp.stack([p, a]))
+        # mixing is incompatible with fixed tip dates (method.c:5600
+        # skips it under opt_datefile); the mubar move fills the
+        # global-rescaling role there (method.c:5777)
+        if ctx.tip_dates is None:
+            state, (p, a) = moves.mixing_move(ctx, cfg, state, keys[4])
+            stats = stats.at[MV_MIX].add(jnp.stack([p, a]))
+        else:
+            from . import clock_moves
+            state, (p, a) = clock_moves.tipdate_mubar_move(
+                ctx, cfg, state, keys[4])
+            stats = stats.at[MV_MUBAR].add(jnp.stack([p, a]))
 
         # moves #8/#11-13 (method.c:5616-5736); inclusion is static per cfg.
         # Dir prior (3) uses the pairwise-compensating Dirichlet move
@@ -482,6 +584,14 @@ class Engine:
                 state, (p, a) = clock_moves.brate_simple_move(
                     ctx, cfg, state, jax.random.fold_in(kck, 2))
             stats = stats.at[MV_BRATE].add(jnp.stack([p, a]))
+
+        # move #16: trait branch rates (method.c:5838, morph.c:1177)
+        if ctx.trait_fn is not None:
+            from .state import MV_TRAIT
+            from . import trait_moves
+            state, (p, a) = trait_moves.trait_brate_move(
+                ctx, cfg, state, keys[9])
+            stats = stats.at[MV_TRAIT].add(jnp.stack([p, a]))
 
         # float32 tie repair (see trees.gtree.detie_ages): the rubber-band
         # maps can collapse parent-child age gaps to exact ties; bump by
@@ -707,6 +817,8 @@ class Engine:
                     log.phi.append(np.asarray(state.sp.phi))
                 if state.mig is not None:
                     log.migM.append(np.asarray(state.mig.M))
+                if state.mubar is not None:
+                    log.mubar.append(float(np.asarray(state.mubar)))
                 if cfg.est_stree:
                     log.sptrees.append((np.asarray(state.sp.left),
                                         np.asarray(state.sp.right),

@@ -397,10 +397,15 @@ def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     else:
         coal0 = t20 = jnp.zeros((), state.logl.dtype)
         lpg0 = jnp.zeros((), state.logl.dtype)
+    # morphological trait likelihood depends on the taus (stree.c:6268
+    # opt_traitfile block in propose_tau)
+    has_trait = ctx.trait_fn is not None
+    tlogl0 = (state.trait.logl if has_trait
+              else jnp.zeros((), state.logl.dtype))
 
     def body(h_off, carry):
-        age, tau, logl, logpr, lnrates, coal_c, t2_c, lpg, kkey, nprop, \
-            nacc = carry
+        age, tau, logl, logpr, lnrates, coal_c, t2_c, lpg, tlogl, kkey, \
+            nprop, nacc = carry
         h = NS + h_off
         kkey, k1, k2 = jax.random.split(kkey, 3)
         told = tau[h]
@@ -410,6 +415,10 @@ def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         rh = sp0.right[h]
         ph = sp0.parent[h]
         minage = jnp.maximum(tau[lh], tau[rh])
+        if ctx.date_lmax is not None:
+            # tip dating: tau must stay above the oldest dated sample
+            # below this node (stree.c:5619 l_constraint check)
+            minage = jnp.maximum(minage, ctx.date_lmax[h] * state.mubar)
         maxage = jnp.where(ph >= 0, tau[jnp.maximum(ph, 0)], MAXAGE_CAP)
         tnew = rng.reflect(told + eps * rng.bactrian(k1, dtype=eps.dtype), minage, maxage)
 
@@ -471,26 +480,33 @@ def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         else:
             lnr_new = lnrates
 
+        if has_trait:
+            tl_new = ctx.trait_fn(tau_new, state.trait.brate)
+            lnacc = lnacc + jnp.sum(tl_new - tlogl)
+        else:
+            tl_new = tlogl
+
         accept = rng.mh_accept(k2, lnacc) & active
         age = jnp.where(accept, age_new, age)
         tau = jnp.where(accept, tau_new, tau)
         logl = jnp.where(accept, logl_new, logl)
         logpr = jnp.where(accept, logpr_new, logpr)
         lnrates = jnp.where(accept, lnr_new, lnrates)
+        tlogl = jnp.where(accept, tl_new, tlogl)
         if integ:
             coal_c = jnp.where(accept, c_new, coal_c)
             t2_c = jnp.where(accept, t2_new, t2_c)
             lpg = jnp.where(accept, lpg_new, lpg)
         nprop = nprop + active.astype(jnp.int32)
         nacc = nacc + accept.astype(jnp.int32)
-        return (age, tau, logl, logpr, lnrates, coal_c, t2_c, lpg, kkey,
-                nprop, nacc)
+        return (age, tau, logl, logpr, lnrates, coal_c, t2_c, lpg, tlogl,
+                kkey, nprop, nacc)
 
     init = (state.gt.age, sp0.tau, state.logl, state.logpr, lnrates0,
-            coal0, t20, lpg0, key,
+            coal0, t20, lpg0, tlogl0, key,
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    age, tau, logl, logpr, lnrates, coal_c, t2_c, _, _, nprop, nacc = \
-        jax.lax.fori_loop(0, NS - 1, body, init)
+    age, tau, logl, logpr, lnrates, coal_c, t2_c, _, tlogl, _, nprop, \
+        nacc = jax.lax.fori_loop(0, NS - 1, body, init)
     new_state = state._replace(
         gt=state.gt._replace(age=age), sp=sp0._replace(tau=tau),
         logl=logl, logpr=logpr)
@@ -499,6 +515,9 @@ def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     if corr_ln:
         new_state = new_state._replace(
             clock=state.clock._replace(lnrates=lnrates))
+    if has_trait:
+        new_state = new_state._replace(
+            trait=state.trait._replace(logl=tlogl))
     return new_state, (nprop, nacc)
 
 
@@ -605,10 +624,18 @@ def mixing_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     else:
         lnacc = lnacc + _psum_if_sharded(jnp.sum(logpr_new - state.logpr))
 
+    # morphological traits: taus scaled => trait branch lengths scale
+    # (prop_mixing.c:642-647)
+    if ctx.trait_fn is not None:
+        tl_new = ctx.trait_fn(tau_new, state.trait.brate)
+        lnacc = lnacc + jnp.sum(tl_new - state.trait.logl)
+
     # correlated-LN branch-rate prior depends on the scaled taus
     # (prop_mixing.c:189-194)
     from ..config import Clock
     cand = state._replace(gt=gtn, sp=spn, logl=logl_new, logpr=logpr_new)
+    if ctx.trait_fn is not None:
+        cand = cand._replace(trait=state.trait._replace(logl=tl_new))
     if cfg.theta_integrated:
         cand = cand._replace(coal=c_new, t2h=t2_new, logpr=state.logpr)
     if (state.clock is not None and cfg.clock == Clock.CORRELATED

@@ -248,6 +248,11 @@ def rj_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key, root_age0,
     lnacc = lnacc + jnp.sum(jnp.where(
         ctx.locus_mask,
         lnterms + (logl_new - state.logl) + (logpr_new - state.logpr), 0.0))
+    # morphological traits re-scored at the split/joined taus
+    # (prop_rj.c:731-736)
+    if ctx.trait_fn is not None:
+        tl_new = ctx.trait_fn(tau2, state.trait.brate)
+        lnacc = lnacc + jnp.sum(tl_new - state.trait.logl)
     lnacc = jnp.where(bad, -jnp.inf, lnacc)
     accept = rng.mh_accept(k_acc, lnacc)
 
@@ -257,6 +262,9 @@ def rj_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key, root_age0,
         sp=jax.tree.map(lambda n, o: jnp.where(accept, n, o), sp_new, sp),
         logl=jnp.where(accept, logl_new, state.logl),
         logpr=jnp.where(accept, logpr_new, state.logpr))
+    if ctx.trait_fn is not None:
+        new_state = new_state._replace(trait=state.trait._replace(
+            logl=jnp.where(accept, tl_new, state.trait.logl)))
     if debug:
         return new_state, (jnp.ones((), jnp.int32),
                            accept.astype(jnp.int32)), {

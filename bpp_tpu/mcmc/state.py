@@ -43,7 +43,8 @@ FT_NUBAR = 13
 FT_BRATE = 14
 FT_MIGRATES = 15
 FT_MIG_AGES = 16
-N_FINETUNE = 17
+FT_BRATE_M = 17      # trait branch rates (opt_finetune_brate_m)
+N_FINETUNE = 18
 
 # move-statistics slots (proposed, accepted) per move family
 MV_GTAGE = 0
@@ -67,7 +68,8 @@ MV_NUBAR = 17
 MV_BRATE = 18
 MV_MIGRATES = 19
 MV_MIG_AGES = 20
-N_MOVES = 21
+MV_TRAIT = 21        # trait branch rates (prop_branch_rates_trait)
+N_MOVES = 22
 
 
 class SubstState(NamedTuple):
@@ -130,6 +132,13 @@ class McmcState(NamedTuple):
     t2h: jax.Array | None = None     # [L, H]
     # MSC-M migration events + rates (None without migration)
     mig: object | None = None        # trees.migration.MigState
+    # tip dating (locusrate = 3 / MUTRATE_ONLY): the overall mutation
+    # rate converting calendar dates to substitution units; tip ages are
+    # tip_dates * mubar (stree.c:9419 prop_tipDate_muGtree)
+    mubar: jax.Array | None = None   # [] scalar
+    # morphological traits (traitfile; morph.c trait_t per snode):
+    # per-partition branch rates + cached trait log-likelihoods
+    trait: object | None = None      # trees.traits.TraitState
 
 
 class Ctx(NamedTuple):
@@ -145,6 +154,15 @@ class Ctx(NamedTuple):
     # A-major tip partials [L, T, A, S'] with S' padded to a multiple of
     # 128; present only when the Pallas likelihood kernel is enabled
     tips_am: jax.Array | None = None
+    # --- tip dating (datefile; gtree.c:1735 set_tip_date_infer) ---------
+    # calendar sample dates per sequence (tip age = date * mubar) and
+    # per-species-node max descendant date (the l_constraint of
+    # gtree.c:1637 divided by mubar, so bounds track the sampled mubar)
+    tip_dates: jax.Array | None = None   # [L, T] calendar units
+    date_lmax: jax.Array | None = None   # [H] max calendar date below node
+    # morphological traits: trait_logl(tau, brate) -> [n_part] closure
+    # over the (fixed) species topology (trees.traits.make_trait_logl)
+    trait_fn: object | None = None
 
 
 def compute_pmats(gt: GTrees, subst: SubstState, model: SubstModel,
@@ -244,7 +262,10 @@ def make_logpr_fn(ctx: Ctx):
 
     def logpr_fn(gt: GTrees, sp: SpeciesArrays, heredity):
         pops = assign_populations(gt, sp, ctx.tip_pop)
-        c, t2, n_in = coal.per_pop_stats(gt, sp, pops, ctx.n_seq)
+        if ctx.tip_dates is not None:
+            c, t2, n_in = coal.per_pop_stats_dated(gt, sp, pops, ctx.n_seq)
+        else:
+            c, t2, n_in = coal.per_pop_stats(gt, sp, pops, ctx.n_seq)
         contrib = coal.msc_contrib(c, t2, sp.theta, heredity)
         lp = contrib.sum(1)
         if sp.is_network:
@@ -280,4 +301,5 @@ def finetune_array(cfg: BppConfig, dtype=jnp.float64) -> jax.Array:
     vals[FT_BRATE] = ft.branchrate
     vals[FT_MIGRATES] = ft.migrates
     vals[FT_MIG_AGES] = ft.mig_ages
+    vals[FT_BRATE_M] = ft.brate_m
     return jnp.asarray(vals, dtype)

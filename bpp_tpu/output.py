@@ -75,23 +75,33 @@ class McmcWriter:
             from .trees.migration import build_routes
             r = build_routes(cfg, st)
             self.mig_routes = list(zip(r.si.tolist(), r.ti.tolist()))
+        # tip dating (locusrate = 3 + datefile): overall rate mu_bar
+        # plus calendar-unit taus r_tau = tau/mu_bar (method.c:1944-1960)
+        self.dated = bool(cfg.datefile) and cfg.est_locusrate == 3
         if not append:
             self._write_header()
         else:
-            cols = ["Gen"]
-            for i in self.theta_nodes:
-                cols.append(f"theta:{self._bpp_index(i)}:{self._label(i)}")
+            self.columns = self._header_cols()
+
+    def _header_cols(self):
+        cols = ["Gen"]
+        for i in self.theta_nodes:
+            cols.append(f"theta:{self._bpp_index(i)}:{self._label(i)}")
+        for i in self.tau_nodes:
+            cols.append(f"tau:{self._bpp_index(i)}:{self._label(i)}")
+        for i in self.phi_nodes:
+            p = int(self.st.parent[i])
+            cols.append(f"phi:{self._bpp_index(i)}<-{self._bpp_index(p)}"
+                        f":{self._label(i)}<-{self._label(p)}")
+        if self.dated:
+            cols.append("mu_bar")
             for i in self.tau_nodes:
-                cols.append(f"tau:{self._bpp_index(i)}:{self._label(i)}")
-            for i in self.phi_nodes:
-                p = int(self.st.parent[i])
-                cols.append(f"phi:{self._bpp_index(i)}<-{self._bpp_index(p)}"
-                            f":{self._label(i)}<-{self._label(p)}")
-            for s, t in self.mig_routes:
-                cols.append(f"W:{self._bpp_index(s)}->{self._bpp_index(t)}"
-                            f":{self._label(s)}->{self._label(t)}")
-            cols.append("lnL")
-            self.columns = cols
+                cols.append(f"r_tau:{self._bpp_index(i)}:{self._label(i)}")
+        for s, t in self.mig_routes:
+            cols.append(f"W:{self._bpp_index(s)}->{self._bpp_index(t)}"
+                        f":{self._label(s)}->{self._label(t)}")
+        cols.append("lnL")
+        return cols
 
     def _bpp_index(self, i: int) -> int:
         """1-based output index: tips keep their index; inner nodes are
@@ -108,29 +118,22 @@ class McmcWriter:
         return node_label(self.st, i)
 
     def _write_header(self):
-        cols = ["Gen"]
-        for i in self.theta_nodes:
-            cols.append(f"theta:{self._bpp_index(i)}:{self._label(i)}")
-        for i in self.tau_nodes:
-            cols.append(f"tau:{self._bpp_index(i)}:{self._label(i)}")
-        for i in self.phi_nodes:
-            p = int(self.st.parent[i])
-            cols.append(f"phi:{self._bpp_index(i)}<-{self._bpp_index(p)}"
-                        f":{self._label(i)}<-{self._label(p)}")
-        for s, t in self.mig_routes:
-            cols.append(f"W:{self._bpp_index(s)}->{self._bpp_index(t)}"
-                        f":{self._label(s)}->{self._label(t)}")
-        cols.append("lnL")
+        cols = self._header_cols()
         self.fp.write("\t".join(cols) + "\n")
         self.columns = cols
 
     def write_sample(self, gen: int, theta: np.ndarray, tau: np.ndarray,
                      lnl: float, phi: np.ndarray | None = None,
-                     migM: np.ndarray | None = None):
+                     migM: np.ndarray | None = None,
+                     mubar: float | None = None):
         vals = [str(gen)]
         vals += [f"{theta[i]:.6f}" for i in self.theta_nodes]
-        vals += [f"{tau[i]:.6f}" for i in self.tau_nodes]
+        prec = 10 if self.dated else 6           # method.c:2401
+        vals += [f"{tau[i]:.{prec}f}" for i in self.tau_nodes]
         vals += [f"{phi[i]:.6f}" for i in self.phi_nodes]
+        if self.dated and mubar is not None:
+            vals.append(f"{mubar:.12f}")
+            vals += [f"{tau[i] / mubar:.6f}" for i in self.tau_nodes]
         if migM is not None:
             vals += [f"{m:.6f}" for m in migM]
         vals.append(f"{lnl:.3f}")
@@ -272,7 +275,7 @@ def read_mcmc_samples(cfg: BppConfig, st: SpeciesTree, path: str):
 
 
 def a00_summary(cfg: BppConfig, st: SpeciesTree, gen, theta, tau, lnl,
-                phi=None, migM=None) -> str:
+                phi=None, migM=None, mubar=None) -> str:
     """Posterior summary text for an A00 run (allfixed.c analog)."""
     inner = bpp_inner_order(st)
     cols: dict[str, np.ndarray] = {}
@@ -294,6 +297,13 @@ def a00_summary(cfg: BppConfig, st: SpeciesTree, gen, theta, tau, lnl,
         for i in inner:
             if st.hindex[i] >= 0:
                 cols[f"phi:{st.n_tips + 1 + inner.index(i)}"] = phi[:, i]
+    if mubar is not None and len(mubar):
+        mubar = np.asarray(mubar)
+        cols["mu_bar"] = mubar
+        for i in inner:
+            if tau[:, i].max() > 0:
+                cols[f"r_tau:{st.n_tips + 1 + inner.index(i)}"] = \
+                    tau[:, i] / mubar
     if migM is not None and cfg.migration:
         from .trees.migration import build_routes
         r = build_routes(cfg, st)

@@ -102,6 +102,68 @@ def per_pop_stats(gt: GTrees, sp: SpeciesArrays, pops, n_seq):
     return coal, T2h, n_in
 
 
+def per_pop_stats_dated(gt: GTrees, sp: SpeciesArrays, pops, n_seq):
+    """`per_pop_stats` generalized to serial sampling (tip dating).
+
+    With dated tips, lineages can ENTER a population mid-interval (a
+    tip whose age falls inside [tau_h, tau_parent_h)), so the lineage
+    count n_h(t) is no longer "n_in at tau_h minus coalescences".  The
+    reference handles this with per-population epoch lists
+    (``snode->tip_date``, stree.c:5278-5330); here every edge simply
+    contributes a +1 entry event at max(age_u, tau_h) and a -1 exit at
+    min(age_parent_u, tau_parent_h), and T2h = sum n(n-1) dt over the
+    sorted event sweep.  Exact for undated data too (slower: 2N-event
+    sort instead of N), so it is only used when a datefile is present.
+    """
+    L, N = pops.shape
+    T = gt.n_tips
+    H = sp.n_nodes
+    node_idx = jnp.arange(N)[None, :]
+    is_tip = node_idx < n_seq[:, None]
+    is_inner = (node_idx >= T) & (node_idx < T + n_seq[:, None] - 1)
+    valid = is_tip | is_inner
+
+    tau = sp.tau
+    partau = jnp.where(sp.parent >= 0, tau[jnp.maximum(sp.parent, 0)],
+                       jnp.inf)
+    end = jnp.minimum(partau, _FINITE_BIG)                   # [H]
+
+    has_par = gt.parent >= 0
+    page = jnp.where(
+        has_par,
+        jnp.take_along_axis(gt.age, jnp.maximum(gt.parent, 0), axis=1),
+        _FINITE_BIG)
+    anc = sp.pptable[pops]                                   # [L, N, H]
+    # edge u overlaps population h's interval
+    passes = anc & valid[..., None] \
+        & (gt.age[..., None] < end) & (page[..., None] > tau)
+    t_in = jnp.clip(gt.age[..., None], tau, end)             # [L, N, H]
+    t_out = jnp.clip(page[..., None], tau, end)
+    t_in = jnp.where(passes, t_in, end)
+    t_out = jnp.where(passes, t_out, end)
+    delta = jnp.concatenate(
+        [jnp.where(passes, 1, 0), jnp.where(passes, -1, 0)],
+        axis=1)                                              # [L, 2N, H]
+    t_ev = jnp.concatenate([t_in, t_out], axis=1)            # [L, 2N, H]
+    order = jnp.argsort(t_ev, axis=1)
+    t_s = jnp.take_along_axis(t_ev, order, axis=1)
+    d_s = jnp.take_along_axis(delta, order, axis=1)
+    n_t = jnp.cumsum(d_s, axis=1)                            # n after event i
+    dt = jnp.diff(t_s, axis=1, append=end[None, None, :]
+                  * jnp.ones_like(t_s[:, :1, :]))
+    coeff = (n_t * (n_t - 1)).astype(t_s.dtype)
+    T2h = jnp.sum(jnp.maximum(coeff, 0.0)
+                  * jnp.maximum(dt, 0.0), axis=1)            # [L, H]
+
+    # coalescent counts and entry counts (for phi terms) as before
+    ev_in_h = (jnp.where(is_inner & valid, pops, -1)[..., None]
+               == jnp.arange(H))
+    coal = ev_in_h.sum(axis=1).astype(jnp.int32)
+    inh = anc & (gt.age[..., None] <= tau) & (page[..., None] > tau)
+    n_in = (inh & valid[..., None]).sum(axis=1).astype(jnp.int32)
+    return coal, T2h, n_in
+
+
 def msc_contrib(coal, T2h, theta, heredity):
     """Per-(locus, population) MSC log-density contributions ``[L, H]``."""
     th = theta[None, :] * heredity[:, None]

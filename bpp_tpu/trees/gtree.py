@@ -415,13 +415,16 @@ def simulate_gtree_host(
     st_left, st_right, st_parent,  # species tree arrays
     tau, theta,
     hindex=None, hybrid=None, phi=None,   # MSC-I network arrays
+    tip_ages=None,                 # [n] serial-sampling tip ages (dating)
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
     """Simulate one gene tree from the MSC prior (gtree.c:2242 analog).
 
     Returns (left, right, parent, age, hpath) over ``2n-1`` nodes, tips
     first; hpath is None for plain trees, else ``[2n-1, HY]`` int8 with
     the hybridization side each lineage edge took (sampled ~ phi, which
-    IS the MSC-I prior on paths).
+    IS the MSC-I prior on paths).  ``tip_ages`` gives dated tips
+    (gtree.c:1540 addSamples serial sampling): a tip only becomes an
+    active lineage once simulation time passes its age.
     """
     n = len(tip_species)
     H = len(st_parent)
@@ -432,11 +435,20 @@ def simulate_gtree_host(
     age = np.zeros(nnodes, np.float64)
     hy = 0 if hindex is None else int(hindex.max(initial=-1)) + 1
     hpath = np.zeros((nnodes, hy), np.int8) if hy else None
+    if tip_ages is None:
+        tip_ages = np.zeros(n)
+    age[:n] = tip_ages
 
-    # lineages per species population
+    # lineages per species population; dated tips start pending
     lineages: dict[int, list[int]] = {h: [] for h in range(H)}
+    pending: dict[int, list[int]] = {h: [] for h in range(H)}
     for i, spx in enumerate(tip_species):
-        lineages[int(spx)].append(i)
+        if tip_ages[i] > 0:
+            pending[int(spx)].append(i)
+        else:
+            lineages[int(spx)].append(i)
+    for h in pending:
+        pending[h].sort(key=lambda i: tip_ages[i])
 
     # species nodes sorted by tau (tips tau=0 first), then root epoch
     epoch_order = sorted(range(H), key=lambda h: (tau[h], h))
@@ -446,24 +458,41 @@ def simulate_gtree_host(
     def coalesce_in(h: int, t_end: float):
         nonlocal next_node
         t = t_now[h]
-        while len(lineages[h]) > 1:
+        # activate tips dated before the population interval starts
+        while pending[h] and tip_ages[pending[h][0]] <= t:
+            lineages[h].append(pending[h].pop(0))
+        while True:
+            t_act = tip_ages[pending[h][0]] if pending[h] else np.inf
             k = len(lineages[h])
-            rate = k * (k - 1) / max(theta[h], 1e-300)
-            t_next = t + rng.exponential(1.0 / rate)
-            if t_next >= t_end:
-                break
-            # pick two lineages
-            i, j = rng.choice(k, size=2, replace=False)
-            a, b = lineages[h][i], lineages[h][j]
-            node = next_node
-            next_node += 1
-            left[node], right[node] = a, b
-            parent[a] = parent[b] = node
-            age[node] = t_next
-            lineages[h] = [x for x in lineages[h] if x not in (a, b)]
-            lineages[h].append(node)
-            t = t_next
+            if k > 1:
+                rate = k * (k - 1) / max(theta[h], 1e-300)
+                t_next = t + rng.exponential(1.0 / rate)
+                if t_next < min(t_act, t_end):
+                    i, j = rng.choice(k, size=2, replace=False)
+                    a, b = lineages[h][i], lineages[h][j]
+                    node = next_node
+                    next_node += 1
+                    left[node], right[node] = a, b
+                    parent[a] = parent[b] = node
+                    age[node] = t_next
+                    lineages[h] = [x for x in lineages[h]
+                                   if x not in (a, b)]
+                    lineages[h].append(node)
+                    t = t_next
+                    continue
+            if t_act < t_end:
+                t = t_act
+                while pending[h] and tip_ages[pending[h][0]] <= t:
+                    lineages[h].append(pending[h].pop(0))
+                continue
+            break
         t_now[h] = t_end
+        # un-activated dated tips above t_end migrate up unchanged
+        p = st_parent[h]
+        if p >= 0 and pending[h]:
+            pending[p].extend(pending[h])
+            pending[p].sort(key=lambda i: tip_ages[i])
+            pending[h] = []
 
     for h in epoch_order:
         p = st_parent[h]
@@ -495,6 +524,7 @@ def init_gtrees(
     batch,                  # LocusBatch
     st,                     # host SpeciesTree
     dtype=jnp.float64,
+    tip_ages=None,          # [L, T] dated-tip ages (tip dating)
 ) -> GTrees:
     """Simulate starting gene trees for every locus (incl. padded ones)."""
     rng = np.random.default_rng(seed)
@@ -505,7 +535,7 @@ def init_gtrees(
     right = np.zeros((L, N), np.int32)
     parent = np.full((L, N), -1, np.int32)
     age = np.full((L, N), BIG_AGE, np.float64)
-    age[:, :T] = 0.0
+    age[:, :T] = 0.0 if tip_ages is None else tip_ages
     hpath = np.zeros((L, N, hy), np.int8) if hy else None
     theta = np.maximum(st.theta, 1e-6)
     for li in range(L):
@@ -513,7 +543,8 @@ def init_gtrees(
         tip_sp = batch.tip_pop[li, :n]
         gl, gr, gp, ga, gh = simulate_gtree_host(
             rng, tip_sp, st.left, st.right, st.parent, st.tau, theta,
-            hindex=st.hindex, hybrid=st.hybrid, phi=st.phi)
+            hindex=st.hindex, hybrid=st.hybrid, phi=st.phi,
+            tip_ages=None if tip_ages is None else tip_ages[li, :n])
         # map local inner ids n..2n-2 to global T..T+n-2
         def gmap(i):
             return i if i < n else i - n + T

@@ -36,7 +36,7 @@ def _canon_topology(left, right, parent, names):
 
 
 def _run_a01(tmp_path, seqfile_builder, n_loci, burnin, nsample, seed,
-             usedata=True, n_species=3):
+             usedata=True, n_species=3, speciestree="1"):
     """Simulate data, then run an A01 engine; returns topology counts."""
     from bpp_tpu.io.ctl import parse_ctl
     from bpp_tpu.loader import load_run
@@ -49,7 +49,7 @@ def _run_a01(tmp_path, seqfile_builder, n_loci, burnin, nsample, seed,
         seqfile = {seqfile}
         Imapfile = {imap}
         jobname = out
-        speciestree = 1
+        speciestree = {speciestree}
         species&tree = {n_species} {' '.join(names)}
                        {' '.join(['4'] * n_species)}
                        ({','.join(names[:-1])},{names[-1]});
@@ -174,5 +174,27 @@ def test_a01_prior_topology_frequencies(tmp_path):
                           burnin=200, nsample=600, seed=13, usedata=False)
     total = sum(counts.values())
     assert len(counts) == 3, counts         # all 3 rooted topologies visited
+    for topo, n in counts.items():
+        assert 0.15 < n / total < 0.55, counts
+
+
+def test_a01_snl_prior_topology_frequencies(tmp_path):
+    """SNL-dominant kernel (pSNL=0.9) must also leave the uniform prior
+    over rooted 3-species topologies invariant — the strongest check on
+    the SNL Hastings/Jacobian terms (stree.c:11354)."""
+    def empty_data(p):
+        (p / "dummy.txt").write_text(
+            "\n".join(["12 20"] + [f"{s}^{s.lower()}{i} " + "A" * 20
+                                   for s in "ABC" for i in range(4)]) + "\n\n")
+        (p / "dummy.imap").write_text(
+            "".join(f"{s.lower()}{i}\t{s}\n" for s in "ABC"
+                    for i in range(4)))
+        return "dummy.txt", "dummy.imap"
+
+    counts, *_ = _run_a01(tmp_path, empty_data, n_loci=1,
+                          burnin=200, nsample=600, seed=29, usedata=False,
+                          speciestree="1 0.9 0.33 0.1 0.2")
+    total = sum(counts.values())
+    assert len(counts) == 3, counts
     for topo, n in counts.items():
         assert 0.15 < n / total < 0.55, counts
