@@ -31,6 +31,12 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="Gauss-Legendre points for --bfdriver (even)")
     ap.add_argument("--resume", help="checkpoint file (.chk.npz) to resume; "
                     "data files must still be at their original paths")
+    ap.add_argument("--extend", type=int, default=0,
+                    help="with --resume: add N more samples to a finished "
+                    "run (bpp.c:936, method.c:3194)")
+    ap.add_argument("--summary", help="control file: skip MCMC and re-run "
+                    "posterior summarization on the existing mcmc file "
+                    "(bpp.c:871 opt_onlysummary)")
     ap.add_argument("--seed", type=int, default=None, help="override seed")
     ap.add_argument("--x64", action="store_true",
                     help="run in float64 (oracle-comparison mode)")
@@ -64,6 +70,12 @@ def cmd_run(args) -> int:
         cfg = parse_ctl(ctl_path)
         cfg_text = ctl_text
         seed = meta["seed"]
+        if args.extend:
+            # method.c:3194-3200: lengthen a finished run
+            if args.extend < 1:
+                print("--extend must be positive", file=sys.stderr)
+                return 1
+            cfg = cfg.replace(nsample=cfg.nsample + args.extend)
     else:
         cfg = parse_ctl(args.cfile)
         with open(args.cfile) as fh:
@@ -288,6 +300,50 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_summary(args) -> int:
+    """--summary: re-run posterior summarization on an existing mcmc
+    file without sampling (bpp.c:871-874 opt_onlysummary)."""
+    from .io.ctl import parse_ctl
+    from .loader import build_species_tree
+    from .output import a00_summary, read_mcmc_samples
+
+    cfg = parse_ctl(args.summary)
+    st = build_species_tree(cfg)
+    mcmc_path = cfg.mcmcfile or f"{cfg.jobname}.mcmc.txt"
+    if not os.path.exists(mcmc_path):
+        print(f"no mcmc file {mcmc_path!r} to summarize", file=sys.stderr)
+        return 1
+    gen, theta, tau, lnl, sptrees, phi = read_mcmc_samples(cfg, st,
+                                                           mcmc_path)
+    if cfg.est_stree and cfg.est_delimit:
+        from .summary.mixed_summary import format_a11_summary, summarize_mixed
+        trees, nsp = summarize_mixed(sptrees, tau, st.names)
+        report = format_a11_summary(trees, nsp, len(gen))
+    elif cfg.est_stree:
+        from .summary.stree_summary import (
+            format_a01_summary, summarize_sptrees,
+        )
+        topo, clades, n = summarize_sptrees(sptrees, st.names)
+        report = format_a01_summary(topo, clades, n, st.names)
+    elif cfg.est_delimit:
+        from .summary.delimit_summary import (
+            format_a10_summary, summarize_delimitations,
+        )
+        models, nsp = summarize_delimitations(tau, st)
+        report = format_a10_summary(models, nsp, len(gen), st)
+    else:
+        report = a00_summary(cfg, st, gen, theta, tau, lnl, phi=phi)
+    out_path = f"{cfg.jobname}.txt"
+    with open(out_path, "w") as fh:
+        fh.write(f"bpp_tpu {cfg.method.name} summary-only re-run "
+                 f"({len(gen)} samples)\n\n")
+        fh.write(report + "\n")
+    if not args.quiet:
+        print(report)
+        print(f"\nwrote {out_path}", file=sys.stderr)
+    return 0
+
+
 def cmd_simulate(args) -> int:
     from .sim.simulate import run_simulation
 
@@ -296,6 +352,11 @@ def cmd_simulate(args) -> int:
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.extend and not args.resume:
+        print("--extend can only be used with --resume", file=sys.stderr)
+        return 1
+    if args.summary:
+        return cmd_summary(args)
     if args.cfile or args.resume:
         return cmd_run(args)
     if args.simulate:

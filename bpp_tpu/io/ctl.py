@@ -391,7 +391,10 @@ def _build_config(kw: dict) -> BppConfig:  # noqa: C901
     if v is not None:
         toks = v.split()
         c["est_heredity"] = int(toks[0])
-        if len(toks) > 2:
+        if c["est_heredity"] == 2 and len(toks) > 1:
+            # heredity = 2 filename (HEREDITY_FROMFILE, method.c:3938)
+            c["heredity_file"] = toks[1]
+        elif len(toks) > 2:
             c["heredity_alpha"] = float(toks[1])
             c["heredity_beta"] = float(toks[2])
 

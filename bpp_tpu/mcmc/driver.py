@@ -261,6 +261,17 @@ class Engine:
         dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
         self.dtype = dtype
 
+        sp_constraint = None
+        if cfg.constraintfile and cfg.est_stree:
+            if cfg.prob_snl > 0:
+                # stree.c:11395: SNL has no constraint support
+                raise NotImplementedError(
+                    "constraints are not implemented for the SNL move; "
+                    "use 'speciestree = 1 0' to disable SNL")
+            from ..io.constraints import build_constraint_ids
+            sp_constraint = jnp.asarray(
+                build_constraint_ids(run.stree, cfg.constraintfile))
+
         trait_fn = None
         self.trait_data = None
         if cfg.traitfile:
@@ -296,6 +307,7 @@ class Engine:
             date_lmax=None if run.date_lmax is None
             else jnp.asarray(run.date_lmax, dtype),
             trait_fn=trait_fn,
+            sp_constraint=sp_constraint,
         )
         self._logl_fn = make_logl_fn(self.ctx, cfg)
         self._logpr_fn = make_logpr_fn(self.ctx)
@@ -326,6 +338,43 @@ class Engine:
                        constant_values=1.0)
 
     # --- state construction ---------------------------------------------------
+
+    def _parse_doubles_file(self, path: str, what: str) -> np.ndarray:
+        """Whitespace-separated per-locus doubles (parsefile_doubles,
+        method.c:3942/3986); must match the real locus count exactly."""
+        vals = np.asarray([float(t) for t in open(path).read().split()])
+        n_real = int(np.asarray(self.run.batch.locus_mask).sum())
+        if len(vals) > n_real:
+            raise ValueError(f"{path} contains more {what} than loci "
+                             f"({len(vals)} > {n_real})")
+        if len(vals) < n_real:
+            raise ValueError(f"{path} contains fewer {what} ({len(vals)}) "
+                             f"than loci ({n_real})")
+        return vals
+
+    def _init_mu(self, L: int) -> np.ndarray:
+        cfg = self.cfg
+        if cfg.est_locusrate == 2 and cfg.locusrate_file:
+            # fixed rates from file, normalized to mean 1
+            # (MUTRATE_FROMFILE, method.c:3984-4008)
+            vals = self._parse_doubles_file(cfg.locusrate_file, "rates")
+            vals = vals / vals.mean()
+            out = np.ones(L)
+            out[:len(vals)] = vals
+            return out
+        if cfg.est_locusrate == 1:
+            return np.full(L, cfg.locusrate_mubar)
+        return np.ones(L)
+
+    def _init_heredity(self, L: int) -> np.ndarray:
+        cfg = self.cfg
+        if cfg.est_heredity == 2 and cfg.heredity_file:
+            # fixed heredity scalars (HEREDITY_FROMFILE, method.c:3938)
+            vals = self._parse_doubles_file(cfg.heredity_file, "scalars")
+            out = np.ones(L)
+            out[:len(vals)] = vals
+            return out
+        return np.ones(L)
 
     def init_state(self) -> McmcState:
         cfg, run = self.cfg, self.run
@@ -384,10 +433,8 @@ class Engine:
             # with tip dating (locusrate = 3) gene-node ages already
             # carry mubar (substitution units), so the per-locus rate
             # multiplier is 1 (stree.c:4212 rate_mui commented out)
-            mu=jnp.full((L,), cfg.locusrate_mubar
-                        if cfg.est_locusrate in (1, 2) else 1.0,
-                        self.dtype),
-            heredity=jnp.ones((L,), self.dtype),
+            mu=jnp.asarray(self._init_mu(L), self.dtype),
+            heredity=jnp.asarray(self._init_heredity(L), self.dtype),
             eigw=jnp.zeros((L, 4), self.dtype),
             eigT=jnp.zeros((L, 4, 4), self.dtype),
             eigTi=jnp.zeros((L, 4, 4), self.dtype),

@@ -163,6 +163,10 @@ class Ctx(NamedTuple):
     # morphological traits: trait_logl(tau, brate) -> [n_part] closure
     # over the (fixed) species topology (trees.traits.make_trait_logl)
     trait_fn: object | None = None
+    # A01 topology constraints (constraintfile): per-species-node
+    # constraint-group ids, 0 = unconstrained (snode->constraint,
+    # io.constraints.build_constraint_ids)
+    sp_constraint: jax.Array | None = None   # [H] int
 
 
 def compute_pmats(gt: GTrees, subst: SubstState, model: SubstModel,

@@ -77,6 +77,29 @@ def _pick_categorical(key, logw, mask):
     return idx.astype(jnp.int32), logp
 
 
+def _constraint_feasible(cids, sp, partau, is_inner):
+    """Per-node Y-feasibility under topology constraints
+    (fill_feasible_flags stree.c:7697): Y's children and sister share
+    Y's group, and some branch with Y's group spans tau_Y."""
+    H = cids.shape[0]
+    hidx = jnp.arange(H)
+    x = jnp.maximum(sp.parent, 0)
+    lc = jnp.maximum(sp.left, 0)
+    rc = jnp.maximum(sp.right, 0)
+    sib = jnp.where(sp.left[x] == hidx, sp.right[x], sp.left[x])
+    sib = jnp.maximum(sib, 0)
+    neigh = ((cids == cids[lc]) & (cids == cids[rc])
+             & (cids == cids[sib]))
+    # exists[y] = any same-group branch (c, parent(c)) spanning tau_y,
+    # c not a descendant-or-self of y (check_age_feasibility_recursive
+    # stree.c:7676 — group regions are connected, so id equality is the
+    # reachability test)
+    spans = ((sp.tau[None, :] < sp.tau[:, None])
+             & (partau[None, :] > sp.tau[:, None]))         # [y, c]
+    ok_c = spans & (cids[None, :] == cids[:, None]) & ~sp.pptable.T
+    return is_inner & neigh & ok_c.any(axis=1)
+
+
 def species_spr_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     gt, sp = state.gt, state.sp
     L, N, T = gt.n_loci, gt.n_nodes, gt.n_tips
@@ -98,6 +121,12 @@ def species_spr_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
     # --- select focal node Y (init_weights: 1/sqrt(branch length)) ----------
     feas_y = is_inner & (sp.parent >= 0) & (sp.tau > 0)
+    if ctx.sp_constraint is not None:
+        # constraints (fill_feasible_flags stree.c:7697): Y is prunable
+        # only when Y, its children and its sister share one group AND
+        # a same-group target branch spanning tau_Y exists
+        feas_y = feas_y & _constraint_feasible(ctx.sp_constraint, sp,
+                                               partau, is_inner)
     w = jnp.where(feas_y, 1.0 / jnp.sqrt(jnp.maximum(partau - sp.tau, 1e-30)),
                   0.0)
     y, logp_y = _pick_categorical(k_y, jnp.log(jnp.maximum(w, 1e-300)),
@@ -110,6 +139,9 @@ def species_spr_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     # --- select target C (weight 1/path length) -----------------------------
     # candidates: not a descendant-or-self of Y, tau < tau_Y < parent tau
     cand = (~sp.pptable[:, y]) & (sp.tau < sp.tau[y]) & (partau > sp.tau[y])
+    if ctx.sp_constraint is not None:
+        # stree.c:7847: matching constraint groups between C and Y
+        cand = cand & (ctx.sp_constraint == ctx.sp_constraint[y])
     # z(c) = LCA(x, c): deepest common ancestor
     common = sp.pptable[x][None, :] & sp.pptable          # [H(c), H]
     zc = jnp.argmax(jnp.where(common, depth[None, :], -1),
@@ -308,6 +340,9 @@ def species_spr_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
                         jnp.inf)
     ndepth = _sp_depth(npptable)
     feas2 = is_inner & (nparent >= 0) & (sp_new.tau > 0)
+    if ctx.sp_constraint is not None:
+        feas2 = feas2 & _constraint_feasible(ctx.sp_constraint, sp_new,
+                                             npartau, is_inner)
     w2 = jnp.where(feas2,
                    1.0 / jnp.sqrt(jnp.maximum(npartau - sp_new.tau, 1e-30)),
                    0.0)
@@ -316,6 +351,8 @@ def species_spr_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
     cand2 = (~npptable[:, y]) & (sp_new.tau < sp_new.tau[y]) & (
         npartau > sp_new.tau[y])
+    if ctx.sp_constraint is not None:
+        cand2 = cand2 & (ctx.sp_constraint == ctx.sp_constraint[y])
     nx = nparent[y]
     common2 = npptable[jnp.maximum(nx, 0)][None, :] & npptable
     zc2 = jnp.argmax(jnp.where(common2, ndepth[None, :], -1),
