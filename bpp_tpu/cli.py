@@ -254,6 +254,25 @@ def cmd_run(args) -> int:
         else:
             phi = np.stack(log.phi) if log.phi else None
             migM = np.stack(log.migM) if log.migM else None
+        # BDI label-switching correction (lswitch.c:336, called from
+        # allfixed.c:1853): relabel samples per BDI pair, write the
+        # processed trace, and summarize the PROCESSED samples
+        from .summary.lswitch import bdi_pairs_of
+        if phi is not None and bdi_pairs_of(run.stree) and len(gen):
+            from .summary.lswitch import lswitch_samples
+            lines = []
+            lswitch_samples(run.stree, theta, phi,
+                            est_theta=not cfg.theta_integrated,
+                            log=lines.append)
+            proc = McmcWriter(mcmc_path + ".processed", cfg, run.stree)
+            for k, g in enumerate(gen):
+                proc.write_sample(int(g), theta[k], tau[k], float(lnl[k]),
+                                  phi=phi[k])
+            proc.close()
+            if not args.quiet:
+                print("\n".join(lines), file=sys.stderr)
+                print(f"Printing processed sample into "
+                      f"{mcmc_path}.processed", file=sys.stderr)
         report = a00_summary(cfg, run.stree, gen, theta, tau, lnl, phi=phi,
                              migM=migM,
                              mubar=None if args.resume else log.mubar)

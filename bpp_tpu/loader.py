@@ -142,6 +142,19 @@ def _init_tau_network(cfg: BppConfig, st: SpeciesTree,
         for i in range(ns, n):
             if vals[i] is not pending:
                 continue
+            if getattr(st, "bdi", None) is not None and st.bdi[i] >= 0 \
+                    and i < mirror_start:
+                # BDI pair: one tau below both parents (stree.c:5652)
+                part = int(st.bdi[i])
+                u1 = vals[st.parent[i]]
+                u2 = vals[st.parent[part]]
+                if u1 is pending or u2 is pending:
+                    continue
+                t = min(u1, u2) * frac()
+                vals[i] = vals[part] = t
+                vals[int(st.hybrid[i])] = vals[int(st.hybrid[part])] = t
+                progressed = True
+                continue
             if st.hindex[i] >= 0 and i < mirror_start:
                 # hinner: needs the effective upper age from both sides
                 mir = st.hybrid[i]

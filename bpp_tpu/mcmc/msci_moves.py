@@ -50,6 +50,7 @@ def phi_gibbs_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     HY = sp.n_hybrids
     pops = assign_populations(gt, sp, ctx.tip_pop)
     _, _, n_in = coalmod.per_pop_stats(gt, sp, pops, ctx.n_seq)
+    n_in = coalmod.phi_entry_counts(sp, n_in)       # BDI-corrected counts
     n_in = jnp.where(ctx.locus_mask[:, None], n_in, 0)
     tot = n_in.sum(0)                                    # [H]
     p0 = cfg.phiprior.alpha if cfg.phiprior else 1.0
@@ -108,6 +109,14 @@ def tau_move_net(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         is_hin = sp0.hindex[h] >= 0
         mir = jnp.where(is_hin, sp0.hybrid[h], h)
         grp = grp | (jax.nn.one_hot(mir, H, dtype=jnp.bool_) & is_hin)
+        if sp0.bdi_partner is not None:
+            # BDI: one tau shared by X, Y and both mirrors (stree.c:5652)
+            part = sp0.bdi_partner[h]
+            is_bdi = part >= 0
+            part_s = jnp.maximum(part, 0)
+            grp = grp | (jax.nn.one_hot(part_s, H, dtype=jnp.bool_) & is_bdi)
+            grp = grp | (jax.nn.one_hot(sp0.hybrid[part_s], H,
+                                        dtype=jnp.bool_) & is_bdi)
         for side in (h, mir):
             par = sp0.parent[side]
             tie = is_hin & (par >= 0) & ~sp0.tau_free[jnp.maximum(par, 0)]
@@ -228,6 +237,10 @@ def _sample_path(sp: SpeciesArrays, start, end, flags, u01):
         par_s = jnp.maximum(par, 0)
         hidx = sp.hindex[par_s]
         is_hin = (hidx >= 0) & (par >= 0) & ~at_end
+        if sp.bdi_mirror is not None:
+            # stepping up FROM a BDI mirror enters the partner hinner
+            # directly (the switch already happened; no choice point)
+            is_hin = is_hin & ~sp.bdi_mirror[p]
         hclip = jnp.maximum(hidx, 0)
         mir = sp.hybrid[par_s]
         mir_s = jnp.maximum(mir, 0)
@@ -268,6 +281,10 @@ def _replay_path(sp: SpeciesArrays, start, end, flags):
         par_s = jnp.maximum(par, 0)
         hidx = sp.hindex[par_s]
         is_hin = (hidx >= 0) & (par >= 0) & ~at_end
+        if sp.bdi_mirror is not None:
+            # stepping up FROM a BDI mirror enters the partner hinner
+            # directly (the switch already happened; no choice point)
+            is_hin = is_hin & ~sp.bdi_mirror[p]
         hclip = jnp.maximum(hidx, 0)
         mir = sp.hybrid[par_s]
         mir_s = jnp.maximum(mir, 0)

@@ -276,7 +276,8 @@ def make_logpr_fn(ctx: Ctx):
             from ..trees.gtree import route_consistent
             lphi = jnp.where(sp.hindex >= 0,
                              jnp.log(jnp.maximum(sp.phi, 1e-300)), 0.0)
-            lp = lp + jnp.sum(n_in * lphi[None, :], axis=1)
+            n_eff = coal.phi_entry_counts(sp, n_in)
+            lp = lp + jnp.sum(n_eff * lphi[None, :], axis=1)
             ok = route_consistent(gt, sp, pops, ctx.n_seq)
             lp = jnp.where(ok, lp, -jnp.inf)
         lp = jnp.where(ctx.locus_mask, lp, 0.0)

@@ -34,6 +34,39 @@ def bpp_inner_order(st: SpeciesTree) -> list[int]:
     return order
 
 
+def bdi_mirror_set(st: SpeciesTree) -> set:
+    """Indices of BDI mirror nodes (zero-width populations: no theta
+    column, phi displayed on the mirror like the reference)."""
+    out = set()
+    if getattr(st, "bdi", None) is not None:
+        for i in range(st.n_nodes):
+            if st.bdi[i] >= 0:
+                out.add(int(st.hybrid[i]))
+    return out
+
+
+def output_nodes(cfg: BppConfig, st: SpeciesTree, inner: list[int]):
+    """(theta_nodes, tau_nodes, phi_cols) in reference column order.
+
+    ``phi_cols`` lists the DISPLAY node per hybridization slot: the
+    hinner for plain hybridizations, the mirror for BDI (method.c
+    has_phi selection; BDI mirrors carry the phi, method.c:541).
+    """
+    bdi_m = bdi_mirror_set(st)
+    mirrors = [m for m in range(st.n_tips + st.n_inner, st.n_nodes)
+               if m not in bdi_m]
+    theta_nodes = list(range(st.n_tips)) + inner + mirrors
+    if cfg.theta_integrated:
+        theta_nodes = []
+    tau_nodes = list(inner)
+    phi_cols = []
+    if st.hindex is not None:
+        for m in range(st.n_tips + st.n_inner, st.n_nodes):
+            hin = int(st.hybrid[m])
+            phi_cols.append(m if m in bdi_m else hin)
+    return theta_nodes, tau_nodes, phi_cols
+
+
 def node_label(st: SpeciesTree, i: int) -> str:
     """Reference-style node name: the newick label when one was given,
     else the comma-join of the child labels (method.c print headers)."""
@@ -58,17 +91,11 @@ class McmcWriter:
         self.inner = bpp_inner_order(st)
         self._anc = st.pptable()
         # node output order: all nodes with theta (tips, inner pre-order,
-        # then MSC-I mirror nodes); mirrors carry no tau column (tied)
-        mirrors = list(range(st.n_tips + st.n_inner, st.n_nodes))
-        self.theta_nodes = list(range(st.n_tips)) + self.inner + mirrors
-        if cfg.theta_integrated:
-            # 'e' flag: thetas are marginalized out, no columns exist
-            self.theta_nodes = []
-        self.tau_nodes = list(self.inner)
-        # phi columns: one per hybridization, logged as the hinner phi
-        # (method.c:1928-1936 "phi:h<-p:lab<-lab")
-        self.phi_nodes = [i for i in self.inner
-                          if st.hindex is not None and st.hindex[i] >= 0]
+        # then MSC-I mirror nodes minus theta-less BDI mirrors); phi
+        # columns per hybridization slot (method.c:1928-1936
+        # "phi:h<-p:lab<-lab"; BDI displays the mirror)
+        self.theta_nodes, self.tau_nodes, self.phi_nodes = output_nodes(
+            cfg, st, self.inner)
         # migration-rate columns (method.c:1999 "W:%d->%d:%s->%s")
         self.mig_routes = []
         if cfg.migration:
@@ -235,13 +262,7 @@ def read_mcmc_samples(cfg: BppConfig, st: SpeciesTree, path: str):
                 np.zeros((0, H)), np.asarray(lnls), sptrees, None)
 
     inner = bpp_inner_order(st)
-    mirrors = list(range(st.n_tips + st.n_inner, st.n_nodes))
-    theta_nodes = list(range(st.n_tips)) + inner + mirrors
-    if cfg.theta_integrated:
-        theta_nodes = []
-    tau_nodes = list(inner)
-    phi_nodes = [i for i in inner
-                 if st.hindex is not None and st.hindex[i] >= 0]
+    theta_nodes, tau_nodes, phi_nodes = output_nodes(cfg, st, inner)
     phis = []
     with open(path) as fh:
         header = fh.readline()
@@ -279,24 +300,24 @@ def a00_summary(cfg: BppConfig, st: SpeciesTree, gen, theta, tau, lnl,
     """Posterior summary text for an A00 run (allfixed.c analog)."""
     inner = bpp_inner_order(st)
     cols: dict[str, np.ndarray] = {}
-    mirrors = list(range(st.n_tips + st.n_inner, st.n_nodes))
-    order = ([] if cfg.theta_integrated
-             else list(range(st.n_tips)) + inner + mirrors)
-    for pos, i in enumerate(order):
+    mirror0 = st.n_tips + st.n_inner
+    theta_nodes, _, phi_cols = output_nodes(cfg, st, inner)
+    for i in theta_nodes:
         if i < st.n_tips:
             idx = i + 1
-        elif i in inner:
+        elif i < mirror0:
             idx = st.n_tips + 1 + inner.index(i)
         else:
-            idx = st.n_tips + len(inner) + 1 + mirrors.index(i)
+            idx = st.n_tips + len(inner) + 1 + (i - mirror0)
         cols[f"theta:{idx}"] = theta[:, i]
     for i in inner:
         if tau[:, i].max() > 0:
             cols[f"tau:{st.n_tips + 1 + inner.index(i)}"] = tau[:, i]
     if phi is not None and st.hindex is not None:
-        for i in inner:
-            if st.hindex[i] >= 0:
-                cols[f"phi:{st.n_tips + 1 + inner.index(i)}"] = phi[:, i]
+        for i in phi_cols:
+            idx = (st.n_tips + 1 + inner.index(i) if i < mirror0
+                   else st.n_tips + len(inner) + 1 + (i - mirror0))
+            cols[f"phi:{idx}"] = phi[:, i]
     if mubar is not None and len(mubar):
         mubar = np.asarray(mubar)
         cols["mu_bar"] = mubar

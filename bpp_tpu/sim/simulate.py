@@ -39,26 +39,56 @@ def species_tree_from_sim(cfg: SimConfig) -> SpeciesTree:
                 pass
     st = SpeciesTree.from_node(root, tip_order=list(cfg.species_names))
 
-    # map Node objects to indices again to transfer tau/theta
-    def rec(node, idx_of):
-        if node.is_leaf:
-            idx = st.names.index(node.label)
-        else:
-            li = rec(node.children[0], idx_of)
-            ri = rec(node.children[1], idx_of)
-            idx = int(st.parent[li])
-            assert idx == int(st.parent[ri])
-        idx_of[id(node)] = idx
-        return idx
-
+    # map Node objects to indices again to transfer tau/theta; must
+    # mirror _from_network's assignment order for MSC-I trees (marker
+    # leaves -> mirror slots in root.leaves() order)
+    inner_labels = {n.label for n in root.walk() if n.children and n.label}
+    htips = [n for n in root.leaves() if n.label in inner_labels]
+    hset = {id(n) for n in htips}
+    ns = st.n_tips
+    counter = [ns]
     idx_of: dict = {}
-    rec(root, idx_of)
+
+    def rec(node):
+        if node.is_leaf:
+            if id(node) not in hset:
+                idx_of[id(node)] = st.names.index(node.label)
+            return
+        for c in node.children:
+            rec(c)
+        idx_of[id(node)] = counter[0]
+        counter[0] += 1
+
+    rec(root)
+    for k, h in enumerate(htips):
+        idx_of[id(h)] = ns + st.n_inner + k
     for node in root.walk():
         idx = idx_of[id(node)]
-        if not node.is_leaf and node.length is not None:
+        if node.length is not None and (not node.is_leaf
+                                        or id(node) in hset):
             st.tau[idx] = node.length       # sim format: lengths are ages
         if id(node) in thetas:
             st.theta[idx] = thetas[id(node)]
+    # hybridization tau ties: mirror = hinner; htau==0 parents tied;
+    # BDI quads share one tau (stree.c:5652)
+    if st.hindex is not None:
+        mirror0 = ns + st.n_inner
+        for m in range(mirror0, st.n_nodes):
+            hin = int(st.hybrid[m])
+            t = max(st.tau[hin], st.tau[m])
+            st.tau[hin] = st.tau[m] = t
+            if not st.htau[hin]:
+                st.tau[st.parent[hin]] = t
+            if not st.htau[m]:
+                st.tau[st.parent[m]] = t
+        if st.bdi is not None:
+            for i in range(st.n_nodes):
+                j = int(st.bdi[i])
+                if j >= 0:
+                    t = max(st.tau[i], st.tau[j])
+                    st.tau[i] = st.tau[j] = t
+                    st.tau[int(st.hybrid[i])] = t
+                    st.tau[int(st.hybrid[j])] = t
     # default thetas: inherit parent's where unset
     for i in range(st.n_nodes - 1, -1, -1):
         if st.theta[i] == 0 and st.parent[i] != -1:
@@ -216,10 +246,12 @@ def run_simulation(ctl_path: str, seed: int | None = None) -> int:
                 rng, tip_species, st.parent, st.tau,
                 np.maximum(st.theta, 1e-12), *mig_routes)
         else:
+            from ..trees.gtree import host_bdi_mirror
             gl, gr, gp, ga, _ = simulate_gtree_host(
                 rng, tip_species, st.left, st.right, st.parent, st.tau,
                 np.maximum(st.theta, 1e-12),
-                hindex=st.hindex, hybrid=st.hybrid, phi=st.phi)
+                hindex=st.hindex, hybrid=st.hybrid, phi=st.phi,
+                bdi_mirror=host_bdi_mirror(st))
         mu = 1.0
         if cfg.locusrate_alpha > 0:
             mu = rng.gamma(cfg.locusrate_alpha, 1.0 / cfg.locusrate_alpha)

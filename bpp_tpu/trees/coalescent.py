@@ -164,6 +164,23 @@ def per_pop_stats_dated(gt: GTrees, sp: SpeciesArrays, pops, n_seq):
     return coal, T2h, n_in
 
 
+def phi_entry_counts(sp: SpeciesArrays, n_in):
+    """Effective per-node entry counts for the phi terms ``[L, H]``.
+
+    For plain hybridizations these are ``n_in`` directly (lineages
+    entering hinner pay log(phi), entering the mirror pay log(1-phi)).
+    For a BDI hinner X, ``n_in[X]`` also counts partner-side switchers
+    (they enter X at the shared tau after passing the partner's mirror)
+    — those already paid log(phi[mirror_Y]), so they are subtracted
+    (the reference counts via per-mirror seqin, gtree.c:3925)."""
+    if sp.bdi_partner is None:
+        return n_in
+    part = sp.bdi_partner
+    pmir = jnp.where(part >= 0, sp.hybrid[jnp.maximum(part, 0)], 0)
+    sub = jnp.where(part >= 0, n_in[:, pmir], 0)
+    return n_in - jnp.where((part >= 0)[None, :], sub, 0)
+
+
 def msc_contrib(coal, T2h, theta, heredity):
     """Per-(locus, population) MSC log-density contributions ``[L, H]``."""
     th = theta[None, :] * heredity[:, None]

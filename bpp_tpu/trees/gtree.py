@@ -86,6 +86,14 @@ class SpeciesArrays(NamedTuple):
                                 # parameter (prop_tau analog: inner
                                 # non-mirror, minus htau==0-tied parents,
                                 # hinner counts once for the pair)
+    # --- bidirectional introgression (treeparse.c:1232) ---------------
+    # bdi_partner[X] = partner hinner Y (else -1); bdi_mirror marks the
+    # zero-width BDI mirror populations; bdi_pairs [n_pairs, 2] lists
+    # (X, Y) hinner pairs — its STATIC shape corrects the node-count
+    # arithmetic (a BDI slot adds 2 nodes, a hybridization slot 3)
+    bdi_partner: jax.Array = None   # [H] int32
+    bdi_mirror: jax.Array = None    # [H] bool
+    bdi_pairs: jax.Array = None     # [n_pairs, 2] int32
 
     @property
     def n_nodes(self):
@@ -96,8 +104,13 @@ class SpeciesArrays(NamedTuple):
         return 0 if self.hslot is None else self.hslot.shape[0]
 
     @property
+    def n_bdi_slots(self):
+        return 0 if self.bdi_pairs is None else 2 * self.bdi_pairs.shape[0]
+
+    @property
     def n_tips(self):
-        return (self.left.shape[0] + 1 - 3 * self.n_hybrids) // 2
+        return (self.left.shape[0] + 1 - 3 * self.n_hybrids
+                + self.n_bdi_slots) // 2
 
     @property
     def root(self):
@@ -129,6 +142,21 @@ def species_arrays(st, dtype=jnp.float64) -> SpeciesArrays:
                   phi=jnp.asarray(st.phi, dtype),
                   hindex=jnp.asarray(st.hindex, jnp.int32),
                   tau_free=jnp.asarray(free))
+        if st.bdi is not None and (st.bdi >= 0).any():
+            bdi = np.asarray(st.bdi, np.int64)
+            pairs = [(i, int(bdi[i])) for i in range(st.n_nodes)
+                     if bdi[i] >= 0 and i < bdi[i]]
+            bdi_mirror = np.zeros(st.n_nodes, bool)
+            for i in range(st.n_nodes):
+                if bdi[i] >= 0:
+                    bdi_mirror[st.hybrid[i]] = True
+                    free[i] = i < bdi[i]     # one shared tau per pair
+            kw.update(
+                bdi_partner=jnp.asarray(bdi, jnp.int32),
+                bdi_mirror=jnp.asarray(bdi_mirror),
+                bdi_pairs=jnp.asarray(np.asarray(pairs, np.int32)
+                                      .reshape(-1, 2)),
+                tau_free=jnp.asarray(free))
     return SpeciesArrays(
         left=jnp.asarray(st.left, jnp.int32),
         right=jnp.asarray(st.right, jnp.int32),
@@ -315,6 +343,12 @@ def route_step(sp: SpeciesArrays, p, flags):
     hclip = jnp.maximum(hidx, 0)
     flag = jnp.take_along_axis(flags, hclip[..., None], axis=-1)[..., 0]
     take_mirror = (hidx >= 0) & (flag == 1)
+    if sp.bdi_mirror is not None:
+        # a lineage stepping up FROM a BDI mirror has already switched
+        # sides: it enters the partner hinner directly without
+        # consulting that hinner's own hybridization flag (the BDI
+        # event is instantaneous at the shared tau)
+        take_mirror = take_mirror & ~sp.bdi_mirror[p]
     nxt = jnp.where(take_mirror, sp.hybrid[par_s], par_s)
     return jnp.where(par >= 0, nxt, p)
 
@@ -409,6 +443,18 @@ def edge_passes(gt: GTrees, sp: SpeciesArrays, pops):
 # --- host-side initial simulation from the MSC prior ---------------------------
 
 
+def host_bdi_mirror(st):
+    """[NSt] bool mask of BDI mirror nodes of a host SpeciesTree, or
+    None when the tree has no bidirectional introgressions."""
+    if getattr(st, "bdi", None) is None or not (st.bdi >= 0).any():
+        return None
+    m = np.zeros(st.n_nodes, bool)
+    for i in range(st.n_nodes):
+        if st.bdi[i] >= 0:
+            m[st.hybrid[i]] = True
+    return m
+
+
 def simulate_gtree_host(
     rng: np.random.Generator,
     tip_species: np.ndarray,       # [n] species tip index per sequence
@@ -416,6 +462,7 @@ def simulate_gtree_host(
     tau, theta,
     hindex=None, hybrid=None, phi=None,   # MSC-I network arrays
     tip_ages=None,                 # [n] serial-sampling tip ages (dating)
+    bdi_mirror=None,               # [H] bool: zero-width BDI mirrors
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray | None]:
     """Simulate one gene tree from the MSC prior (gtree.c:2242 analog).
 
@@ -450,8 +497,15 @@ def simulate_gtree_host(
     for h in pending:
         pending[h].sort(key=lambda i: tip_ages[i])
 
-    # species nodes sorted by tau (tips tau=0 first), then root epoch
-    epoch_order = sorted(range(H), key=lambda h: (tau[h], h))
+    # species nodes sorted by tau (tips tau=0 first), then root epoch;
+    # zero-width BDI mirrors sort BEFORE their equal-tau hinners so
+    # switched lineages are forwarded into the partner before its
+    # interval is simulated
+    def _mirror_first(h):
+        return 0 if (bdi_mirror is not None and bdi_mirror[h]) else 1
+
+    epoch_order = sorted(range(H), key=lambda h: (tau[h], _mirror_first(h),
+                                                  h))
     next_node = n
     t_now = {h: tau[h] for h in range(H)}
 
@@ -499,10 +553,13 @@ def simulate_gtree_host(
         t_end = tau[p] if p >= 0 else np.inf
         coalesce_in(h, t_end)
         if p >= 0:
-            if hy and hindex[p] >= 0 and hybrid[p] >= 0:
+            if hy and hindex[p] >= 0 and hybrid[p] >= 0 and not (
+                    bdi_mirror is not None and bdi_mirror[h]):
                 # parent is a hinner: each lineage independently takes
                 # the hinner side w.p. phi or the mirror (gtree_simulate
-                # MSC-I path choice); record the flag on the edge
+                # MSC-I path choice); record the flag on the edge.
+                # Lineages leaving a BDI mirror have already switched:
+                # they enter the partner hinner unconditionally
                 slot = int(hindex[p])
                 mirror = int(hybrid[p])
                 for u in lineages[h]:
@@ -544,7 +601,8 @@ def init_gtrees(
         gl, gr, gp, ga, gh = simulate_gtree_host(
             rng, tip_sp, st.left, st.right, st.parent, st.tau, theta,
             hindex=st.hindex, hybrid=st.hybrid, phi=st.phi,
-            tip_ages=None if tip_ages is None else tip_ages[li, :n])
+            tip_ages=None if tip_ages is None else tip_ages[li, :n],
+            bdi_mirror=host_bdi_mirror(st))
         # map local inner ids n..2n-2 to global T..T+n-2
         def gmap(i):
             return i if i < n else i - n + T

@@ -25,6 +25,63 @@ import numpy as np
 from ..io.newick import Node, parse_newick
 
 
+def _canonicalize_bdi(root: Node) -> dict[str, str]:
+    """Detect bidirectional introgressions and rewrite diagram-1 form
+    into diagram-2 form (resolve_bd_introgression, treeparse.c:1232).
+
+    Two accepted notations for a BDI between X and Y::
+
+        diagram 1:  ((A,(B)Y)X,(X)Y)R
+        diagram 2:  ((A,Y)X,(X,B)Y)R
+
+    Diagram 1 is rewritten in place to diagram 2: the unary ``(B)Y``
+    inside X becomes a marker leaf ``Y`` (keeping its annotations) and
+    subtree B moves under the (previously unary) node ``(X)Y``.
+    Returns {X_label: Y_label, Y_label: X_label} for every BDI pair.
+    """
+    pairs: dict[str, str] = {}
+
+    def find_parent(target: Node):
+        for n in root.walk():
+            if target in n.children:
+                return n
+        return None
+
+    inner_by_label: dict[str, list[Node]] = {}
+    for n in root.walk():
+        if n.children and n.label:
+            inner_by_label.setdefault(n.label, []).append(n)
+
+    for leaf in list(root.leaves()):
+        lab = leaf.label
+        if lab is None or lab not in inner_by_label or lab in pairs:
+            continue
+        par = find_parent(leaf)
+        if par is None or not par.label:
+            continue
+        # candidate inner X: an inner node labeled `lab` that is not
+        # `par` and has a child labeled like `par`
+        for xinner in inner_by_label[lab]:
+            ych = next((c for c in xinner.children
+                        if c.label == par.label), None)
+            if ych is None:
+                continue
+            if ych.children and len(ych.children) == 1 and \
+                    len(par.children) == 1:
+                # diagram 1: move B under par, ych becomes a marker leaf
+                b = ych.children[0]
+                ych.children = []
+                par.children = [b, leaf]
+            elif ych.is_leaf and len(par.children) == 2:
+                pass                      # already diagram 2
+            else:
+                continue
+            pairs[lab] = par.label
+            pairs[par.label] = lab
+            break
+    return pairs
+
+
 @dataclass
 class SpeciesTree:
     names: list[str]                 # tip labels, index = tip id
@@ -51,6 +108,11 @@ class SpeciesTree:
     labels: list | None = None         # [NSt] newick labels (None where
                                        # the newick gave no label); used
                                        # for reference-style output names
+    # bidirectional introgression (resolve_bd_introgression,
+    # treeparse.c:1232): for a BDI hinner X, the partner hinner Y
+    # (X.right = mirror_Y, mirror_X.parent = Y, all four taus tied,
+    # one free tau owned by min(X, Y)); -1 elsewhere
+    bdi: np.ndarray | None = None      # [NSt] int32 partner hinner or -1
 
     @property
     def n_tips(self) -> int:
@@ -85,6 +147,7 @@ class SpeciesTree:
     @classmethod
     def from_node(cls, root: Node, tip_order: list[str] | None = None
                   ) -> "SpeciesTree":
+        bdi_pairs = _canonicalize_bdi(root)
         leaves = root.leaves()
         inner_labels = {n.label for n in root.walk()
                         if n.children and n.label}
@@ -94,7 +157,8 @@ class SpeciesTree:
         htips = [n for n in leaves if n.label in inner_labels]
         species_leaves = [n for n in leaves if n.label not in inner_labels]
         if htips:
-            return cls._from_network(root, species_leaves, htips, tip_order)
+            return cls._from_network(root, species_leaves, htips, tip_order,
+                                     bdi_pairs)
         labels = [n.label for n in leaves]
         if any(lab is None for lab in labels):
             raise ValueError("species tree has unlabeled tips")
@@ -140,11 +204,15 @@ class SpeciesTree:
                    labels=node_labels)
 
     @classmethod
-    def _from_network(cls, root: Node, species_leaves, htips, tip_order
-                      ) -> "SpeciesTree":
+    def _from_network(cls, root: Node, species_leaves, htips, tip_order,
+                      bdi_pairs=None) -> "SpeciesTree":
         """MSC-I network: resolve duplicate-label hybridizations into
         (hinner, mirror) node pairs (treeparse.c:1118
-        resolve_hybridization + annotate_hybridization:1053)."""
+        resolve_hybridization + annotate_hybridization:1053);
+        ``bdi_pairs`` maps BDI partner labels (X<->Y) whose marker
+        leaves resolve to cross-linked mirrors
+        (resolve_bd_introgression, treeparse.c:1232)."""
+        bdi_pairs = bdi_pairs or {}
         labels = [n.label for n in species_leaves]
         if tip_order is None:
             tip_order = labels
@@ -202,13 +270,16 @@ class SpeciesTree:
             if len(ch) == 1:
                 # unary hinner keeps its child in the left slot
                 pass
-            if node.label and node.children and len(node.children) == 1:
+            if node.label and node.children and (
+                    len(node.children) == 1 or node.label in bdi_pairs):
                 hinner_by_label[node.label] = idx
             return idx
 
         # pre-scan: register hinner labels so duplicate tips resolve
+        # (unary hybridization inners + binary BDI inners)
         for n in root.walk():
-            if n.children and n.label and len(n.children) == 1:
+            if n.children and n.label and (
+                    len(n.children) == 1 or n.label in bdi_pairs):
                 hinner_by_label[n.label] = None
         ridx = assign(root)
         assert ridx == ns + ni - 1, (ridx, ns, ni)
@@ -232,6 +303,22 @@ class SpeciesTree:
             hybrid[mir] = hin
             hindex[hin] = hindex[mir] = k
             node_labels[mir] = lab
+            if lab in bdi_pairs:
+                # BDI marker (annotate_bd_introgression treeparse.c:1066):
+                # the marker leaf's phi belongs to the mirror; one tau is
+                # shared by the whole X/Y/mirror quad, so tau annotations
+                # are forbidden
+                if getf(htip_node, "tau-parent") is not None:
+                    raise ValueError(
+                        f"bidirectional introgression {lab!r} shares one "
+                        "tau; remove all tau annotations (treeparse.c:1280)")
+                p1 = getf(htip_node, "phi")
+                phi[mir] = 0.5 if p1 is None else float(p1)
+                phi[hin] = 1.0 - phi[mir]
+                hybrid[hin] = mir
+                hybrid[mir] = hin
+                hindex[hin] = hindex[mir] = k
+                continue
             # annotations: hinner occurrence -> hinner; htip -> mirror
             p1 = getf(htip_node, "phi")
             # find the hinner Node to read its attributes
@@ -260,10 +347,21 @@ class SpeciesTree:
             if tp1 is not None:
                 htau[mir] = 1 if tp1.lower() in ("yes", "1", "true") else 0
 
+        bdi = None
+        if bdi_pairs:
+            bdi = np.full(nst, -1, np.int32)
+            for la, lb in bdi_pairs.items():
+                ia = hinner_by_label.get(la)
+                ib = hinner_by_label.get(lb)
+                if ia is None or ib is None:
+                    raise ValueError(
+                        f"BDI pair {la!r}<->{lb!r} did not resolve")
+                bdi[ia] = ib
+                bdi[ib] = ia
         st = cls(names=list(tip_order), left=left, right=right,
                  parent=parent, tau=tau, theta=np.zeros(nst),
                  hybrid=hybrid, phi=phi, htau=htau, hindex=hindex,
-                 labels=node_labels)
+                 labels=node_labels, bdi=bdi)
         return st
 
     @classmethod

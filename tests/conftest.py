@@ -14,3 +14,8 @@ jax.config.update("jax_enable_x64", True)
 
 REFERENCE = "/root/reference"
 ORACLE_BIN = "/tmp/bppbuild/src/bpp"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running statistical comparisons")
