@@ -34,6 +34,11 @@ def compress_patterns(
     """
     if codes.ndim != 2:
         raise ValueError("codes must be [n_seq, n_sites]")
+    # native fast path (compress.cpp; the reference's compress.c analog)
+    from .cnative import compress_patterns_native
+    out = compress_patterns_native(codes, jc69_fold, sorted_order)
+    if out is not None:
+        return out
     work = np.ascontiguousarray(codes)
     if jc69_fold:
         work = fold_jc69(work)
