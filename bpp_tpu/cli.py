@@ -138,6 +138,9 @@ def cmd_run(args) -> int:
         # method.c:59 %s.locus_%d_params_sample.txt)
         real = [i for i in range(run.batch.n_loci)
                 if run.batch.locus_mask[i]]
+        if cfg.print_locus:
+            # printlocus = N i1..iN (1-based; cfile.c:2169)
+            real = [i for i in real if i + 1 in cfg.print_locus]
         gtree_fps = None
         if cfg.print_genetrees and not args.resume:
             gtree_fps = {i: open(f"{cfg.jobname}.gtree.L{i+1}", "w")

@@ -183,6 +183,10 @@ class BppConfig:
     snl_lambda_shrink: float = 0.2
     delimit_prior: int = 1              # speciesmodelprior
 
+    # thetamodel (cfile.c:1460): 0 none, 1 linked-all, 2 linked-inner,
+    # 3 linked-msci, 4 linked-mscm
+    linked_theta: int = 0
+
     # data
     species: SpeciesTreeSpec | None = None
     phase: tuple[int, ...] = ()         # per-species unphased-diploid flags
@@ -244,6 +248,9 @@ class BppConfig:
     print_samples: int = 1
     print_locusrate: int = 0
     print_hscalars: int = 0
+    # printlocus = N i1..iN: restrict per-locus output files to these
+    # 1-based locus numbers (cfile.c:2169); empty = all loci
+    print_locus: tuple[int, ...] = ()
     print_genetrees: int = 0
     print_rates: int = 0
     scaling: bool = False

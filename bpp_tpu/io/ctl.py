@@ -387,6 +387,28 @@ def _build_config(kw: dict) -> BppConfig:  # noqa: C901
             elif nums:
                 c["locusrate_mubar"] = nums[0]
 
+    v = pop("thetamodel")
+    if v is not None:
+        names = {"linked-none": 0, "linked-all": 1, "linked-inner": 2,
+                 "linked-msci": 3, "linked-mscm": 4}
+        w = v.split()[0].lower()
+        if w not in names:
+            raise ValueError(f"unknown thetamodel {w!r} (cfile.c:1460)")
+        c["linked_theta"] = names[w]
+
+    v = pop("printlocus")
+    if v is not None:
+        toks = v.split()
+        c["print_locus"] = tuple(int(t) for t in toks[1:1 + int(toks[0])])
+
+    if "diploid" in kw:
+        raise ValueError("Option 'diploid' was renamed to 'phase' (same "
+                         "syntax); please update the control file")
+    for ignored in ("arch", "threads", "loadbalance"):
+        # CPU execution knobs; the TPU build parallelizes via device
+        # mesh sharding instead (SURVEY.md section 2.4)
+        kw.pop(ignored, None)
+
     v = pop("heredity")
     if v is not None:
         toks = v.split()

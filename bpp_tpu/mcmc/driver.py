@@ -261,6 +261,23 @@ class Engine:
         dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
         self.dtype = dtype
 
+        theta_link = None
+        if cfg.linked_theta:
+            if cfg.est_delimit or cfg.est_stree:
+                raise NotImplementedError(
+                    "thetamodel (linked thetas) with species-tree search "
+                    "or delimitation is not yet supported")
+            if cfg.theta_integrated:
+                raise NotImplementedError(
+                    "thetamodel cannot be combined with analytically "
+                    "integrated-out thetas")
+            if cfg.migration and cfg.linked_theta != 4:
+                raise NotImplementedError(
+                    "use thetamodel = linked-mscm with migration")
+            from ..trees.stree import theta_link_map
+            theta_link = jnp.asarray(
+                theta_link_map(run.stree, cfg.linked_theta), jnp.int32)
+
         sp_constraint = None
         if cfg.constraintfile and cfg.est_stree:
             if cfg.prob_snl > 0:
@@ -308,6 +325,7 @@ class Engine:
             else jnp.asarray(run.date_lmax, dtype),
             trait_fn=trait_fn,
             sp_constraint=sp_constraint,
+            theta_link=theta_link,
         )
         self._logl_fn = make_logl_fn(self.ctx, cfg)
         self._logpr_fn = make_logpr_fn(self.ctx)
@@ -735,6 +753,10 @@ class Engine:
                     t2.dtype)
                 csum = jnp.sum(jnp.where(
                     mask, t2 / state.subst.heredity[:, None], 0.0), axis=0)
+                if self.ctx.theta_link is not None:
+                    link = self.ctx.theta_link
+                    ksum = jnp.zeros_like(ksum).at[link].add(ksum)[link]
+                    csum = jnp.zeros_like(csum).at[link].add(csum)[link]
                 if gamma_prior:
                     from .gibbs import gamma_conditional_approx
                     a1, b1 = gamma_conditional_approx(a, b, ksum, csum,

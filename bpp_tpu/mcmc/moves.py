@@ -307,6 +307,13 @@ def theta_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         jnp.sum(jnp.where(mask_l, c, 0), axis=0)).astype(t2.dtype)
     csum = _psum_if_sharded(jnp.sum(
         jnp.where(mask_l, t2 / state.subst.heredity[:, None], 0.0), axis=0))
+    # linked thetas (thetamodel; init_theta_linkage stree.c:2427): one
+    # parameter per owner group — pool the sufficient statistics over
+    # the group and make every member take the owner's draw/decision
+    link = ctx.theta_link
+    if link is not None:
+        ksum = jnp.zeros_like(ksum).at[link].add(ksum)[link]
+        csum = jnp.zeros_like(csum).at[link].add(csum)[link]
 
     a = cfg.thetaprior.alpha
     b = cfg.thetaprior.beta
@@ -331,6 +338,11 @@ def theta_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     th_gibbs = b1 / jax.random.gamma(k_gb, a1, dtype=a1.dtype)
 
     th_new = jnp.where(use_slide, th_slide, th_gibbs)
+    if link is not None:
+        # every group member takes the owner's proposal; stats/ratios
+        # are already pooled so each node's lnacc is the group's
+        use_slide = use_slide[link]
+        th_new = th_new[link]
 
     # posterior-ratio pieces: Delta logpr = ksum*log(old/new) + csum*(1/old-1/new)
     dlogpr = ksum * jnp.log(theta / th_new) + csum * (1.0 / theta - 1.0 / th_new)
@@ -349,6 +361,8 @@ def theta_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         lnacc = jnp.where(use_slide, lnacc, jnp.inf)
 
     accept = rng.mh_accept(k_acc, lnacc)
+    if link is not None:
+        accept = accept[link]            # common decision per group
     th_fin = jnp.where(accept, th_new, theta)
 
     # recompute the cached per-locus logpr exactly: a float32 delta
@@ -588,6 +602,14 @@ def mixing_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         csum = _psum_if_sharded(jnp.sum(
             jnp.where(mask_l, t2 / state.subst.heredity[:, None], 0.0),
             axis=0))
+        link = ctx.theta_link
+        Hh = ksum.shape[0]
+        if link is not None:
+            # linked thetas: pooled stats, owner-only density terms
+            ksum = jnp.zeros_like(ksum).at[link].add(ksum)[link]
+            csum = jnp.zeros_like(csum).at[link].add(csum)[link]
+        owner = (jnp.ones(Hh, bool) if link is None
+                 else jnp.arange(Hh) == link)
         cstar = csum * c
         if gamma_prior:
             a1, b1 = gamma_conditional_approx(a, b, ksum, cstar, True)
@@ -596,18 +618,24 @@ def mixing_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
             a1, b1 = a + ksum, b + cstar
             a1o, b1o = a + ksum, b + csum
         th_new = b1 / jax.random.gamma(k2, a1, dtype=a1.dtype)
+        if link is not None:
+            th_new = th_new[link]
         th_old = sp.theta
         # proposal ratio (InvG pdfs) + prior ratio
-        lnacc = lnacc + jnp.sum(
+        lnacc = lnacc + jnp.sum(jnp.where(
+            owner,
             rng.log_pdf_invgamma(th_old, a1o, b1o)
-            - rng.log_pdf_invgamma(th_new, a1, b1))
+            - rng.log_pdf_invgamma(th_new, a1, b1), 0.0))
         if gamma_prior:
-            lnacc = lnacc + jnp.sum(
-                (a - 1.0) * jnp.log(th_new / th_old) - b * (th_new - th_old))
+            lnacc = lnacc + jnp.sum(jnp.where(
+                owner,
+                (a - 1.0) * jnp.log(th_new / th_old) - b * (th_new - th_old),
+                0.0))
         else:
-            lnacc = lnacc + jnp.sum(
+            lnacc = lnacc + jnp.sum(jnp.where(
+                owner,
                 (-a - 1.0) * jnp.log(th_new / th_old)
-                - b * (1.0 / th_new - 1.0 / th_old))
+                - b * (1.0 / th_new - 1.0 / th_old), 0.0))
 
     gtn = gt._replace(age=age_new)
     spn = sp._replace(tau=tau_new, theta=th_new)

@@ -167,6 +167,9 @@ class Ctx(NamedTuple):
     # constraint-group ids, 0 = unconstrained (snode->constraint,
     # io.constraints.build_constraint_ids)
     sp_constraint: jax.Array | None = None   # [H] int
+    # linked-theta models (thetamodel; init_theta_linkage stree.c:2427):
+    # theta OWNER per node; thetas within a group are one parameter
+    theta_link: jax.Array | None = None      # [H] int32
 
 
 def compute_pmats(gt: GTrees, subst: SubstState, model: SubstModel,

@@ -58,6 +58,12 @@ def output_nodes(cfg: BppConfig, st: SpeciesTree, inner: list[int]):
     theta_nodes = list(range(st.n_tips)) + inner + mirrors
     if cfg.theta_integrated:
         theta_nodes = []
+    elif cfg.linked_theta:
+        # linked thetas: only group owners carry a column
+        # (method.c:2395 "linked_theta == NULL" check)
+        from .trees.stree import theta_link_map
+        owner = theta_link_map(st, cfg.linked_theta)
+        theta_nodes = [i for i in theta_nodes if owner[i] == i]
     tau_nodes = list(inner)
     phi_cols = []
     if st.hindex is not None:

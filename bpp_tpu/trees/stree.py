@@ -25,6 +25,74 @@ import numpy as np
 from ..io.newick import Node, parse_newick
 
 
+def theta_link_map(st: "SpeciesTree", mode: int) -> np.ndarray | None:
+    """Per-node theta OWNER indices for the ``thetamodel`` linked-theta
+    models (init_theta_linkage stree.c:2427, msci_link_thetas :2189).
+
+    mode: 0 none, 1 linked-all, 2 linked-inner, 3 linked-msci.
+    Returns [NSt] int owner per node (identity where unlinked), or
+    None for mode 0.  Chains are compressed to their terminal node
+    ("youngest daughter", stree.c:2246).
+    """
+    if mode == 0:
+        return None
+    n = st.n_nodes
+    link = np.full(n, -1, np.int64)
+    if mode == 1:
+        link[:] = st.root
+        link[st.root] = -1
+    elif mode == 2:
+        for i in range(st.n_tips, st.n_tips + st.n_inner):
+            if i != st.root:
+                link[i] = st.root
+    elif mode == 3:
+        if st.hindex is None:
+            raise ValueError("thetamodel = linked-msci needs an MSC-I "
+                             "network (cfile.c linked-msci check)")
+
+        def sibling(i):
+            p = int(st.parent[i])
+            s = int(st.right[p]) if int(st.left[p]) == i \
+                else int(st.left[p])
+            return s            # -1 when the parent is unary
+
+        mirror0 = st.n_tips + st.n_inner
+        for m in range(mirror0, n):
+            hin = int(st.hybrid[m])
+            if getattr(st, "bdi", None) is not None and st.bdi[hin] >= 0:
+                # bidirection: hybrid linked to its child (stree.c:2234)
+                link[hin] = int(st.left[hin])
+                continue
+            if st.htau[hin] and st.htau[m]:
+                continue                      # model A: nothing linked
+            if not st.htau[hin]:
+                p = int(st.parent[hin])
+                s = sibling(hin)
+                if s >= 0:
+                    link[p] = s               # parent -> sibling
+            else:
+                link[hin] = int(st.left[hin])  # hybrid -> child
+            if not st.htau[m]:
+                p = int(st.parent[m])
+                s = sibling(m)
+                if s >= 0:
+                    link[p] = s
+            else:
+                link[m] = int(st.left[hin])
+    else:
+        raise NotImplementedError(
+            "thetamodel = linked-mscm is not yet supported")
+    owner = np.arange(n, dtype=np.int64)
+    for i in range(n):
+        x = i
+        seen = 0
+        while link[x] >= 0 and seen <= n:
+            x = int(link[x])
+            seen += 1
+        owner[i] = x
+    return owner
+
+
 def _canonicalize_bdi(root: Node) -> dict[str, str]:
     """Detect bidirectional introgressions and rewrite diagram-1 form
     into diagram-2 form (resolve_bd_introgression, treeparse.c:1232).
