@@ -228,12 +228,18 @@ def load_run(cfg: BppConfig, pad_loci_to: int | None = None) -> RunData:
         tip_dates = np.zeros((L, T))
         for li, labels in enumerate(batch.labels):
             for j, lab in enumerate(labels):
+                # lookup by individual, falling back to the mapped
+                # species (examples/mammoth/dates.txt keys by species)
                 ind = lab.split("^")[-1]
-                if ind not in dates:
+                spname = st.names[int(batch.tip_pop[li, j])]
+                if ind in dates:
+                    tip_dates[li, j] = dates[ind]
+                elif spname in dates:
+                    tip_dates[li, j] = dates[spname]
+                else:
                     raise ValueError(
                         f"sequence {lab!r} has no entry in datefile "
                         f"{cfg.datefile}")
-                tip_dates[li, j] = dates[ind]
         # calendar l_constraint per species node: max date of any
         # descendant sample (update_tau_constraint, gtree.c:1637)
         H = st.n_nodes
