@@ -655,7 +655,7 @@ class Engine:
             from .state import MV_TRAIT
             from . import trait_moves
             state, (p, a) = trait_moves.trait_brate_move(
-                ctx, cfg, state, keys[9])
+                ctx, cfg, state, jax.random.fold_in(keys[9], 1))
             stats = stats.at[MV_TRAIT].add(jnp.stack([p, a]))
 
         # float32 tie repair (see trees.gtree.detie_ages): the rubber-band

@@ -469,11 +469,8 @@ def snl_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     delta0 = dscale * (1.0 - u_d ** (1.0 / jnp.where(shrink, lam_s, lam_e)))
 
     # --- delta walk (stree.c:11450-11510) ------------------------------------
-    def walk_cond(st):
-        return ~st[0]
-
-    def walk_body(st):
-        done, kk, target, prevnode, down, delta, tau_new, lca = st
+    def walk_body(k, st):
+        done, kk, target, prevnode, down, delta, tau_new, lca, wbad = st
         kk, k1, k2 = jax.random.split(kk, 3)
         go_up = (~down) & (jax.random.uniform(k1) < 0.5)
         par = sp.parent[target]
@@ -493,7 +490,12 @@ def snl_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         nxt = jnp.where(first_down, other, rand_child)
         nxt = jnp.maximum(nxt, 0)
         dist_dn = sp.tau[target] - sp.tau[nxt]
-        dn_fits = dist_dn > delta
+        # in exact arithmetic the remaining delta is always smaller than
+        # the distance to any tip below (stree.c walk invariant), but
+        # float32 rounding can violate it — force a stop on a tip edge
+        # and flag the (zero-measure) invalid landing for rejection
+        dn_fits = (dist_dn > delta) | (nxt < NS)
+        wbad = wbad | (~go_up & (nxt < NS) & (dist_dn <= delta))
 
         new_lca = jnp.where(go_up, lca,
                             jnp.where(first_down, target, lca))
@@ -501,7 +503,8 @@ def snl_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         t_up_stop = sp.tau[target] + delta     # also the root case
         t_dn_stop = sp.tau[target] - delta
         stop = jnp.where(go_up, up_fits | ~up_has_par, dn_fits)
-        tau_new = jnp.where(go_up, t_up_stop, t_dn_stop)
+        tau_new = jnp.where(done, tau_new,
+                            jnp.where(go_up, t_up_stop, t_dn_stop))
         target_next = jnp.where(
             go_up,
             jnp.where(up_fits | ~up_has_par, target, jnp.maximum(par, 0)),
@@ -513,20 +516,29 @@ def snl_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
             go_up, jnp.where(up_fits, 0.0, delta - dist_up),
             jnp.where(dn_fits, 0.0, delta - dist_dn))
         down_next = down | ~go_up
-        return (stop, kk, target_next, prev_next, down_next,
-                delta_next, tau_new, new_lca)
+
+        def keep(v, n):
+            return jax.tree.map(lambda a, b: jnp.where(done, a, b), v, n)
+
+        return (done | stop, kk,
+                keep(target, target_next), keep(prevnode, prev_next),
+                keep(down, down_next), keep(delta, delta_next),
+                tau_new, keep(lca, new_lca), wbad)
 
     init = (jnp.asarray(False), k_walk, start, y, shrink,
-            delta0, jnp.zeros((), dtype), jnp.full((), -1, jnp.int32))
-    (_, _, target, _, went_down, _, tau_new, lca) = jax.lax.while_loop(
-        walk_cond, walk_body, init)
+            delta0, jnp.zeros((), dtype), jnp.full((), -1, jnp.int32),
+            jnp.asarray(False))
+    # bounded walk: >= 4H steps cannot happen in exact arithmetic (each
+    # descent consumes tau-distance); treat an unfinished walk as bad
+    (wdone, _, target, _, went_down, _, tau_new, lca, wbad) = \
+        jax.lax.fori_loop(0, 4 * H + 16, walk_body, init)
     # `went_down` is True when any downward step happened (always for
     # shrink); for expand it distinguishes (++) from (+-)
     c = target
     tpar = sp.parent[c]
     tpar_s = jnp.maximum(tpar, 0)
 
-    bad = jnp.asarray(False)
+    bad = ~wdone | wbad
     # degenerate landings: on y's own branch or inside {y} (c==y) make
     # the surgery ill-defined; also c must not be y's current child a
     bad = bad | (c == y)
