@@ -113,6 +113,57 @@ MOVE_TO_FT = {
 }
 
 
+def prior_a11_masses(n: int, delimit_prior: int) -> np.ndarray:
+    """Normalized per-species-count prior masses for A11
+    (partition_fast + print_pinfo, delimit.c:88-215).
+
+    masses[k-1] = sum over integer partitions a of n with k parts of
+      nd(a) * #rooted_trees(k) * prod_{a_i>2} #rooted_trees(a_i) * wlh
+    where nd(a) = n! / prod a_i! / prod mult(a)! (#set partitions of
+    that shape), and wlh = mean labeled histories per k-taxon tree for
+    the SLH prior (delimit.c:118-123, prior 2 only, k > 3).
+    """
+    from math import factorial
+
+    def trees(k):       # rooted labeled topologies: (2k-3)!!
+        if k < 3:
+            return 1.0
+        out = 1.0
+        for i in range(3, 2 * k - 2, 2):
+            out *= i
+        return out
+
+    def lh(k):          # total labeled histories: k! (k-1)! / 2^(k-1)
+        return factorial(k) * factorial(k - 1) / 2.0 ** (k - 1)
+
+    masses = np.zeros(n)
+
+    def partitions(total, maxpart):
+        if total == 0:
+            yield []
+            return
+        for first in range(min(total, maxpart), 0, -1):
+            for rest in partitions(total - first, first):
+                yield [first] + rest
+
+    for a in partitions(n, n):
+        k = len(a)
+        nd = float(factorial(n))
+        for ai in a:
+            nd /= factorial(ai)
+        for v in set(a):
+            nd /= factorial(a.count(v))
+        guide = 1.0
+        for ai in a:
+            if ai > 2:
+                guide *= trees(ai)
+        wlh = 1.0
+        if k > 3 and delimit_prior == 2:
+            wlh = lh(k) / trees(k)
+        masses[k - 1] += nd * trees(k) * guide * wlh
+    return masses / masses.sum()
+
+
 def reset_finetune_onestep(pjump: float, val: float) -> float:
     """method.c:1122 reset_finetune_onestep."""
     maxstep = 99.0
@@ -153,10 +204,8 @@ class Engine:
         self.run = run
         self.cfg = run.cfg
         cfg = self.cfg
-        if cfg.est_delimit and cfg.delimit_prior != 1:
-            raise NotImplementedError(
-                "only speciesmodelprior = 1 (uniform labeled histories) is "
-                "implemented")
+        if cfg.est_delimit and not 0 <= cfg.delimit_prior <= 3:
+            raise ValueError("speciesmodelprior must be 0..3 (bpp.h:190)")
         if run.stree.n_hybrids > 0 and (cfg.est_delimit or cfg.est_stree):
             # matches the reference: msci is A00-only (method.c guards)
             raise NotImplementedError(
@@ -261,6 +310,11 @@ class Engine:
         dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
         self.dtype = dtype
 
+        prior_a11_log = None
+        if cfg.est_delimit and cfg.est_stree and cfg.delimit_prior >= 2:
+            prior_a11_log = jnp.asarray(np.log(prior_a11_masses(
+                run.stree.n_tips, cfg.delimit_prior)))
+
         theta_link = None
         if cfg.linked_theta:
             if cfg.est_delimit or cfg.est_stree:
@@ -326,6 +380,7 @@ class Engine:
             trait_fn=trait_fn,
             sp_constraint=sp_constraint,
             theta_link=theta_link,
+            prior_a11_log=prior_a11_log,
         )
         self._logl_fn = make_logl_fn(self.ctx, cfg)
         self._logpr_fn = make_logpr_fn(self.ctx)

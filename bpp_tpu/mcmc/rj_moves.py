@@ -248,6 +248,11 @@ def rj_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key, root_age0,
     lnacc = lnacc + jnp.sum(jnp.where(
         ctx.locus_mask,
         lnterms + (logl_new - state.logl) + (logpr_new - state.logpr), 0.0))
+    # species-model prior ratio (prop_rj.c:510 lnprior_species_model)
+    from .stree_moves import log_species_model_prior
+    lnacc = lnacc + (
+        log_species_model_prior(cfg, sp_new, ctx.prior_a11_log)
+        - log_species_model_prior(cfg, sp, ctx.prior_a11_log)).astype(dtype)
     # morphological traits re-scored at the split/joined taus
     # (prop_rj.c:731-736)
     if ctx.trait_fn is not None:

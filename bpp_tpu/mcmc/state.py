@@ -170,6 +170,10 @@ class Ctx(NamedTuple):
     # linked-theta models (thetamodel; init_theta_linkage stree.c:2427):
     # theta OWNER per node; thetas within a group are one parameter
     theta_link: jax.Array | None = None      # [H] int32
+    # A11 species-count prior masses (delimit.c partition_fast
+    # prior_A11): log P(class with tau_count active taus); present only
+    # for A11 with speciesmodelprior >= 2
+    prior_a11_log: jax.Array | None = None   # [NS]
 
 
 def compute_pmats(gt: GTrees, subst: SubstState, model: SubstModel,

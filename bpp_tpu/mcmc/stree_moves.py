@@ -57,6 +57,41 @@ def _recompute_mrca(pptable):
     return jnp.argmax(score, axis=-1).astype(jnp.int32)
 
 
+def log_histories_tau(sp) -> jax.Array:
+    """log #labeled histories of the (possibly partially collapsed)
+    species tree, counting only ACTIVE inner nodes (tau > 0), exactly
+    like ``histories`` (delimit.c:729): the product over active inner
+    nodes v of C(e_l + e_r, e_l) with e_* the active-event counts of
+    the child subtrees."""
+    H = sp.tau.shape[0]
+    NS = (H + 1) // 2
+    act = (jnp.arange(H) >= NS) & (sp.tau > 0)
+    # e[v] = #active inner nodes in subtree(v) (descendant-or-self)
+    e = (sp.pptable & act[:, None]).sum(0)
+    el = e[jnp.maximum(sp.left, 0)]
+    er = e[jnp.maximum(sp.right, 0)]
+    lc = (jax.lax.lgamma((el + er + 1.0).astype(jnp.float64))
+          - jax.lax.lgamma((el + 1.0).astype(jnp.float64))
+          - jax.lax.lgamma((er + 1.0).astype(jnp.float64)))
+    return jnp.sum(jnp.where(act, lc, 0.0))
+
+
+def log_species_model_prior(cfg, sp, prior_a11_log=None) -> jax.Array:
+    """lnprior_species_model (delimit.c:709): 0 for the LH/SLH priors
+    (0/2), -log(histories) for the uniform-tree priors (1/3), plus the
+    A11 species-count normalization -log prior_A11[tau_count] for
+    priors >= 2."""
+    lp = jnp.zeros((), jnp.float64)
+    if cfg.delimit_prior in (1, 3):
+        lp = lp - log_histories_tau(sp)
+    if prior_a11_log is not None and cfg.delimit_prior >= 2:
+        H = sp.tau.shape[0]
+        NS = (H + 1) // 2
+        tau_count = (sp.tau[NS:] > 0).sum()
+        lp = lp - prior_a11_log[tau_count]
+    return lp
+
+
 def _log_histories(pptable, tips_mask):
     """log #labeled histories = log (n-1)! - sum_v log(#inner below v)
     (delimit.c ``histories``); used for the uniform-tree priors 2/3."""
@@ -362,13 +397,10 @@ def species_spr_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
                         -jnp.log(jnp.maximum(pathlen2, 1).astype(dtype)), NEG)
     logp_b_rev = logits3[b] - jax.scipy.special.logsumexp(logits3)
 
-    # species-model prior ratio (uniform-LH priors 0/1 are constant)
-    if cfg.delimit_prior in (2, 3):
-        tips_mask = hidx < NS
-        prior_ratio = (_log_histories(sp.pptable, tips_mask)
-                       - _log_histories(npptable, tips_mask)).astype(dtype)
-    else:
-        prior_ratio = jnp.zeros((), dtype)
+    # species-model prior ratio (lnprior_species_model, stree.c:8630;
+    # tau_count is unchanged by SPR so the A11 prior_A11 term cancels)
+    prior_ratio = (log_species_model_prior(cfg, sp_new)
+                   - log_species_model_prior(cfg, sp)).astype(dtype)
 
     # no feasible focal/target (e.g. A11 states with everything
     # collapsed): the categorical picked garbage; reject outright
@@ -796,10 +828,8 @@ def snl_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
     # Jacobian + species-model prior + root-tau prior (stree.c:11090-11110)
     lnacc = lnacc + (g_scaled + sp_scaled) * jnp.log(taufactor)
-    if cfg.delimit_prior in (2, 3):
-        tips_mask = hidx < NS
-        lnacc = lnacc + (_log_histories(sp.pptable, tips_mask)
-                         - _log_histories(npptable, tips_mask)).astype(dtype)
+    lnacc = lnacc + (log_species_model_prior(cfg, sp_new)
+                     - log_species_model_prior(cfg, sp)).astype(dtype)
     tau0 = sp.tau[sp.root]
     root_new = jnp.argmax(jnp.where(nparent < 0, 1, 0)).astype(jnp.int32)
     tau0n = ntau[root_new]

@@ -250,3 +250,14 @@ def test_a11_prior_joint_frequencies(tmp_path):
     total = sum(pooled.values())
     for k in (1, 2, 3):
         assert 0.15 < pooled.get(k, 0) / total < 0.55, pooled
+
+
+def test_prior_a11_masses_match_reference_table():
+    """partition_fast/print_pinfo (delimit.c:88-215) for n=4 prints the
+    reference table: pro = 15, 15, 18, 18 for k = 1..4 (SLH prior 2)."""
+    import numpy as np
+    from bpp_tpu.mcmc.driver import prior_a11_masses
+    m2 = prior_a11_masses(4, 2) * 66
+    np.testing.assert_allclose(m2, [15, 15, 18, 18], rtol=1e-12)
+    m3 = prior_a11_masses(4, 3)
+    np.testing.assert_allclose(m3 * 63, [15, 15, 18, 15], rtol=1e-12)

@@ -163,6 +163,11 @@ def test_a01_prior_respects_constraint(tmp_path):
     assert len(counts) == 3, counts
     want = {"(((A,B),C),D)", "(((A,B),D),C)", "((A,B),(C,D))"}
     assert set(counts) == want, counts
+    # default speciesmodelprior = 1 is uniform over ROOTED TREES
+    # (lnprior_species_model delimit.c:722): ~1/3 each
+    total = sum(counts.values())
+    for topo, n in counts.items():
+        assert 0.2 < n / total < 0.47, counts
 
 
 def test_snl_with_constraints_rejected(tmp_path):
