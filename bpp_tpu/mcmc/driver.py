@@ -591,7 +591,7 @@ class Engine:
             from . import stree_moves
             from .state import MV_SNL
             ksel, kmove = jax.random.split(keys[8])
-            if cfg.prob_snl > 0 and not cfg.est_delimit:
+            if cfg.prob_snl > 0:
                 use_snl = jax.random.uniform(ksel) < cfg.prob_snl
 
                 def do_snl(st):

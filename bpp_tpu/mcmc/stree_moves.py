@@ -570,7 +570,10 @@ def snl_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     tpar = sp.parent[c]
     tpar_s = jnp.maximum(tpar, 0)
 
-    bad = ~wdone | wbad
+    # A11 guard: SNL needs >= 3 delimited species and a feasible focal
+    # node (method.c:5438 ndspecies > 2); reject degenerate states
+    ndsp_cur = jnp.sum(sp.tau[NS:] > 0) + 1
+    bad = ~wdone | wbad | ~feas.any() | (ndsp_cur <= 2)
     # degenerate landings: on y's own branch or inside {y} (c==y) make
     # the surgery ill-defined; also c must not be y's current child a
     bad = bad | (c == y)
