@@ -41,6 +41,12 @@ class SimConfig:
     # MSC-M: (source, target, rate w) routes (cfile_sim.c:692
     # parse_migration: 'migration = K' + 'src dst M' lines)
     migration: tuple = ()
+    # seqerr = read_depth base_err a_samples a_sites (cfile_sim.c:1367):
+    # ML genotype-calling error machine for unphased-diploid output
+    read_depth: int = 0
+    base_err: float = 0.0
+    a_samples: float = 0.0
+    a_sites: float = 0.0
 
 
 def parse_sim_ctl(path: str) -> SimConfig:
@@ -144,6 +150,16 @@ def parse_sim_ctl(path: str) -> SimConfig:
         cfg.kappa = float(v.split()[0])
     if v := kw.pop("clock", None):
         cfg.clock = int(v.split()[0])
-    if v := kw.pop("diploid", None):
+    if v := kw.pop("seqerr", None) or kw.pop("sequenceerror", None):
+        toks = v.split()
+        cfg.read_depth = int(toks[0])
+        cfg.base_err, cfg.a_samples, cfg.a_sites = (float(t)
+                                                    for t in toks[1:4])
+        if not (0 < cfg.base_err < 1) or not 1 <= cfg.read_depth <= 300 \
+                or cfg.a_samples < 0.005 or cfg.a_sites < 0.005:
+            raise ValueError(
+                "seqerr expects 'depth base_err a_samples a_sites' "
+                "(cfile_sim.c:1370 bounds)")
+    if v := kw.pop("diploid", None) or kw.pop("phase", None):
         cfg.diploid = tuple(int(t) for t in v.split())
     return cfg

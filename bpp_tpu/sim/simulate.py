@@ -177,6 +177,54 @@ def evolve_sequences(rng, left, right, parent, age, n_tips, length,
     return seqs[:n_tips]
 
 
+_IUPAC_NALLELE = np.array([bin(m).count("1") for m in range(16)])
+
+
+def sequencing_machine(rng, masks, species_frac, eps, a_sites,
+                       dmin=2, dmax=10, prob_prev=0.9):
+    """ML genotype-calling errors on one unphased-diploid row
+    (sequencing_machine, simulate.c:1081).
+
+    ``masks``: [L] uint8 IUPAC bitmasks (modified copy returned).
+    Per site: read depth ~ round(dmin + Beta(xm*a, (1-a)*...)*(dmax -
+    dmin)) with site means AR(1)-blended toward the species mean
+    (simulate.c:1103), reads of the first allele ~ Binomial, genotype
+    called by ML among {hom, het}; miscalls flip the stored mask.
+    Returns (masks', n_hom_to_het, n_het_to_hom).
+    """
+    out = masks.copy()
+    L = len(masks)
+    lne, ln1e = np.log(eps), np.log(1 - eps)
+    err01 = err10 = 0
+    xdepth = species_frac
+    for i in range(L):
+        xm = prob_prev * xdepth + (1 - prob_prev) * species_frac \
+            if i else species_frac
+        xm = min(max(xm, 1e-6), 1 - 1e-6)
+        xdepth = rng.beta(xm * a_sites, (1 - xm) * a_sites)
+        depth = int(round(dmin + xdepth * (dmax - dmin)))
+        m = int(out[i])
+        nallele = int(_IUPAC_NALLELE[m])
+        if nallele > 2:
+            continue                     # ambiguity codes left alone
+        p = (1 - eps) if nallele == 1 else 0.5
+        k = rng.binomial(depth, p)
+        ln_hom0 = k * ln1e + (depth - k) * lne
+        ln_het = -depth * np.log(2.0)
+        ln_hom1 = (depth - k) * ln1e + k * lne
+        alleles = [b for b in (1, 2, 4, 8) if m & b]
+        if ln_het > ln_hom0 and ln_het > ln_hom1:
+            if nallele == 1:             # true hom called het
+                others = [b for b in (1, 2, 4, 8) if not (m & b)]
+                out[i] = m | others[rng.integers(3)]
+                err01 += 1
+        else:
+            if nallele == 2:             # true het called hom
+                out[i] = alleles[int(rng.random() < 0.5)]
+                err10 += 1
+    return out, err01, err10
+
+
 def run_simulation(ctl_path: str, seed: int | None = None) -> int:
     cfg = parse_sim_ctl(ctl_path)
     rng = np.random.default_rng(
@@ -238,6 +286,17 @@ def run_simulation(ctl_path: str, seed: int | None = None) -> int:
 
     seq_fp = open(cfg.seqfile, "w")
     tree_fp = open(cfg.treefile, "w") if cfg.treefile else None
+    # seqerr: genotype-error copies go to <seqfile>.seqerr
+    # (simulate.c:1773); per-species mean read-depth fractions drawn
+    # once (init_sequencing_machine, beta model, simulate.c:1060)
+    err_fp = None
+    species_frac = None
+    if cfg.read_depth and any_diploid:
+        err_fp = open(cfg.seqfile + ".seqerr", "w")
+        xm = (cfg.read_depth - 2) / 8.0          # read_depth_min/max 2/10
+        xm = min(max(xm, 1e-6), 1 - 1e-6)
+        species_frac = rng.beta(xm * cfg.a_samples,
+                                (1 - xm) * cfg.a_samples, st.n_tips)
 
     for li in range(cfg.n_loci):
         if mig_routes is not None:
@@ -263,18 +322,33 @@ def run_simulation(ctl_path: str, seed: int | None = None) -> int:
             inv = {int(NT_MAP[ord(c)]): c for c in "ACGTRYSWKMBDHVN"}
             masks = np.uint8(1) << seqs.astype(np.uint8)
             out_rows = []
+            err_rows = []
             used = set()
             for a, b, lab in merge_pairs:
                 m = masks[a] | masks[b]
                 out_rows.append((lab, "".join(inv[int(x)] for x in m)))
+                if err_fp is not None:
+                    sfrac = species_frac[tip_species[a]]
+                    me, e01, e10 = sequencing_machine(
+                        rng, m, sfrac, cfg.base_err, cfg.a_sites)
+                    err_rows.append(
+                        (lab, "".join(inv[int(x)] for x in me)))
                 used.add(a)
                 used.add(b)
             for i, lab in enumerate(labels):
                 if i not in used:
-                    out_rows.append((lab, "".join(_BASES[seqs[i]])))
+                    row = (lab, "".join(_BASES[seqs[i]]))
+                    out_rows.append(row)
+                    if err_fp is not None:
+                        err_rows.append(row)   # haploids pass through
             seq_fp.write(f"{len(out_rows)} {cfg.length}\n\n")
             for lab, s in out_rows:
                 seq_fp.write(f"{lab:<12} {s}\n")
+            if err_fp is not None:
+                err_fp.write(f"{len(err_rows)} {cfg.length}\n\n")
+                for lab, s in err_rows:
+                    err_fp.write(f"{lab:<12} {s}\n")
+                err_fp.write("\n")
         else:
             seq_fp.write(f"{n} {cfg.length}\n\n")
             for i, lab in enumerate(labels):
@@ -284,6 +358,8 @@ def run_simulation(ctl_path: str, seed: int | None = None) -> int:
             tree_fp.write(_gtree_newick(gl, gr, gp, ga, labels, n) + "\n")
 
     seq_fp.close()
+    if err_fp is not None:
+        err_fp.close()
     if tree_fp:
         tree_fp.close()
     if cfg.imapfile and st.n_tips > 1:

@@ -152,3 +152,36 @@ def test_cli_end_to_end(tmp_path):
     assert mcmc[0].startswith("Gen\ttheta")
     assert len(mcmc) == 21  # header + 20 samples
     assert (tmp_path / "out.txt").exists()
+
+
+def test_sim_seqerr_machine(tmp_path):
+    """seqerr (sequencing_machine, simulate.c:1081): the .seqerr copy
+    differs from the clean unphased output at a plausible rate and only
+    at diploid rows."""
+    import numpy as np
+    from bpp_tpu.sim.simulate import run_simulation, sequencing_machine
+    ctl = tmp_path / "sim.ctl"
+    ctl.write_text(f"""seed = 3
+seqfile = {tmp_path}/s.txt
+species&tree = 2 A B
+               3 3
+               (A #0.004 :0.01, B #0.004 :0.01) #0.004 :0.02;
+phase = 1 1
+loci&length = 4 200
+model = JC69
+seqerr = 5 0.05 2 2
+""")
+    run_simulation(str(ctl))
+    a = [t for t in open(tmp_path / "s.txt").read().split() if len(t) == 200]
+    b = [t for t in open(tmp_path / "s.txt.seqerr").read().split()
+         if len(t) == 200]
+    assert len(a) == len(b) == 24
+    nd = sum(cx != cy for x, y in zip(a, b) for cx, cy in zip(x, y))
+    assert 0.005 < nd / (24 * 200) < 0.25
+
+    # unit-level: with eps tiny and high depth, no calls flip
+    rng = np.random.default_rng(0)
+    masks = np.array([1, 2, 4, 8, 3, 5], np.uint8)
+    out, e01, e10 = sequencing_machine(rng, masks, 0.99, 1e-9, 100.0,
+                                       dmin=50, dmax=60)
+    assert (out == masks).all() and e01 == 0 and e10 == 0
