@@ -19,6 +19,24 @@ REFERENCE_ITERS_PER_SEC = 846.0
 
 
 def main():
+    # the axon TPU tunnel can wedge (backend init blocks forever); emit
+    # a diagnostic line instead of hanging the driver
+    import signal
+
+    def _bail(signum, frame):
+        print(json.dumps({
+            "metric": "mcmc_iterations_per_sec_yu2001",
+            "value": 0.0,
+            "unit": "iters/s",
+            "vs_baseline": 0.0,
+            "error": "TPU backend unavailable/compile timeout",
+        }))
+        sys.stdout.flush()
+        raise SystemExit(1)
+
+    signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(1500)
+
     import jax
 
     from bpp_tpu.loader import load_run_from_ctl
