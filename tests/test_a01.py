@@ -198,3 +198,33 @@ def test_a01_snl_prior_topology_frequencies(tmp_path):
     assert len(counts) == 3, counts
     for topo, n in counts.items():
         assert 0.15 < n / total < 0.55, counts
+
+
+@pytest.mark.slow
+def test_a01_snl_4species_prior_uniformity(tmp_path):
+    """SNL-dominant kernel on 4 species: the default uniform-rooted
+    prior must cover all 15 topologies near-uniformly — the strongest
+    check on the SNL Hastings terms plus the histories prior ratio
+    (stree.c:11096), since 4-taxon trees have unequal history counts."""
+    from collections import Counter
+
+    def empty_data(p):
+        (p / "dummy.txt").write_text(
+            "\n".join(["8 20"] + [f"{s}^{s.lower()}{i} " + "A" * 20
+                                  for s in "ABCD" for i in range(2)]) + "\n\n")
+        (p / "dummy.imap").write_text(
+            "".join(f"{s.lower()}{i}\t{s}\n" for s in "ABCD"
+                    for i in range(2)))
+        return "dummy.txt", "dummy.imap"
+
+    pooled = Counter()
+    for seed in (29, 57, 91):
+        counts, *_ = _run_a01(tmp_path, empty_data, n_loci=1, burnin=300,
+                              nsample=1000, seed=seed, usedata=False,
+                              n_species=4,
+                              speciestree="1 0.95 0.33 0.1 0.2")
+        pooled.update(counts)
+    total = sum(pooled.values())
+    assert len(pooled) == 15, pooled
+    for topo, n in pooled.items():
+        assert 0.015 < n / total < 0.15, (topo, n / total)
