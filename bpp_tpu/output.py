@@ -45,6 +45,49 @@ def bdi_mirror_set(st: SpeciesTree) -> set:
     return out
 
 
+def has_theta_mask(cfg: BppConfig, st: SpeciesTree) -> list[bool]:
+    """Which nodes carry a theta parameter (stree_init_theta
+    stree.c:2610-2680):
+
+    * tips need >= 2 effective sequences (diploid phase doubles the
+      count) unless involved in a migration route or geneflow rjMCMC,
+    * MSC-I hinner/mirror sides carry a theta iff their htau == 1
+      (zero-width populations have none); BDI mirrors never do,
+    * ordinary inner nodes always do.
+    """
+    NS = st.n_tips
+    out = [True] * st.n_nodes
+    eff = []
+    if cfg.species is not None:
+        for i in range(NS):
+            n = cfg.species.max_seqs[i] if i < len(cfg.species.max_seqs) \
+                else 2
+            if i < len(cfg.phase) and cfg.phase[i]:
+                n *= 2
+            eff.append(n)
+    else:
+        eff = [2] * NS
+    mig_names = set()
+    for spec in cfg.mig_specs:
+        mig_names.add(spec.source)
+        mig_names.add(spec.target)
+    for i in range(NS):
+        involved = cfg.geneflow or st.names[i] in mig_names
+        out[i] = involved or eff[i] >= 2
+    if st.hindex is not None:
+        bdi_m = bdi_mirror_set(st)
+        for i in range(st.n_nodes):
+            if st.hindex[i] >= 0:
+                if i in bdi_m:
+                    out[i] = False
+                elif getattr(st, "bdi", None) is not None \
+                        and st.bdi[i] >= 0:
+                    out[i] = True               # BDI hinner
+                else:
+                    out[i] = bool(st.htau[i])
+    return out
+
+
 def output_nodes(cfg: BppConfig, st: SpeciesTree, inner: list[int]):
     """(theta_nodes, tau_nodes, phi_cols) in reference column order.
 
@@ -55,7 +98,9 @@ def output_nodes(cfg: BppConfig, st: SpeciesTree, inner: list[int]):
     bdi_m = bdi_mirror_set(st)
     mirrors = [m for m in range(st.n_tips + st.n_inner, st.n_nodes)
                if m not in bdi_m]
-    theta_nodes = list(range(st.n_tips)) + inner + mirrors
+    has_th = has_theta_mask(cfg, st)
+    theta_nodes = [i for i in list(range(st.n_tips)) + inner + mirrors
+                   if has_th[i]]
     if cfg.theta_integrated:
         theta_nodes = []
     elif cfg.linked_theta:
