@@ -129,3 +129,21 @@ def test_compress_counts_total():
     orig = {tuple(codes[:, j]) for j in range(103)}
     got = {tuple(pats[:, j]) for j in range(pats.shape[1])}
     assert orig == got
+
+
+def test_parse_every_reference_ctl():
+    """Every inference ctl bundled with the reference (testbed + the
+    examples) must parse without error."""
+    import glob
+    from bpp_tpu.io.ctl import parse_ctl
+    files = sorted(glob.glob(
+        "/root/reference/test/testbed/**/*.ctl", recursive=True)) + sorted(
+        glob.glob("/root/reference/examples/**/*.ctl", recursive=True))
+    n = 0
+    for f in files:
+        text = open(f, errors="ignore").read()
+        if "loci&length" in text:     # simulator ctl, separate parser
+            continue
+        parse_ctl(f)
+        n += 1
+    assert n > 150, n
