@@ -43,6 +43,9 @@ class SubstModel(Enum):
     TN93 = 5
     F84 = 6
     GTR = 7
+    # per-locus models from a partition file (BPP_DNA_MODEL_CUSTOM,
+    # bpp.h: sits between the DNA and AA ranges; cfile.c:1374)
+    CUSTOM = 8
     DAYHOFF = 9
     LG = 10
     DCMUT = 11
@@ -196,6 +199,8 @@ class BppConfig:
 
     # substitution model
     model: SubstModel = SubstModel.JC69
+    # 'model = custom <file>' (cfile.c:1374): per-locus models
+    partition_file: str | None = None
     alpha_cats: int = 1                 # gamma rate categories (alphaprior ... ncat)
     alphaprior: Prior | None = None     # gamma-shape prior; None = no rate het.
     basefreqs_fixed: bool = True

@@ -69,7 +69,8 @@ def edge_pmats(blen, subst, model: SubstModel):
         f = subst.freqs[:, None, :]
         return pm.pmatrix_tn93(teff, f, subst.kappa1[:, None],
                                subst.kappa2[:, None])
-    if model == SubstModel.GTR:
+    if model in (SubstModel.GTR, SubstModel.CUSTOM):
+        # CUSTOM keeps per-locus eigensystems fresh (state.refresh_eigen)
         return pm.pmatrix_eigen(teff, subst.eigw[:, None, :],
                                 subst.eigT[:, None, :, :],
                                 subst.eigTi[:, None, :, :])

@@ -81,8 +81,12 @@ def pack_loci(
     R = max(p.max_res for p in loci)
 
     # padding cells are all-ambiguous (all-ones masks); the code dtype
-    # follows the data (uint8 4-bit nt masks / uint32 20-bit aa masks)
-    code_dtype = loci[0].codes.dtype
+    # follows the data (uint8 4-bit nt masks / uint32 20-bit aa masks);
+    # mixed DNA/AA batches (model = custom) promote to uint32 and embed
+    # the 4-bit nt masks in the low bits of the 20-state alphabet
+    dtypes = {p.codes.dtype for p in loci}
+    code_dtype = np.dtype(np.uint8) if dtypes == {np.dtype(np.uint8)} \
+        else np.dtype(np.uint32)
     pad = np.array(15 if code_dtype == np.uint8 else (1 << 20) - 1,
                    dtype=code_dtype)
     tip_codes = np.full((L, T, S), pad, dtype=code_dtype)

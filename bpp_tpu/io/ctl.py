@@ -142,6 +142,7 @@ def parse_ctl(path: str) -> BppConfig:
         heredity_file=resolve(cfg.heredity_file),
         locusrate_file=resolve(cfg.locusrate_file),
         traitfile=resolve(cfg.traitfile),
+        partition_file=resolve(cfg.partition_file),
     )
 
 
@@ -288,8 +289,15 @@ def _build_config(kw: dict) -> BppConfig:  # noqa: C901
 
     v = pop("model")
     if v is not None:
-        name = v.split()[0].upper()
-        if name.isdigit():
+        toks = v.split()
+        name = toks[0].upper()
+        if name == "CUSTOM":
+            # model = custom <partition_file> (cfile.c:1374)
+            if len(toks) < 2:
+                raise ValueError("model = custom requires a partition file")
+            c["model"] = SubstModel.CUSTOM
+            c["partition_file"] = toks[1]
+        elif name.isdigit():
             c["model"] = SubstModel(int(name))
         elif name in _MODELS:
             c["model"] = _MODELS[name]

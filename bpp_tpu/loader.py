@@ -30,6 +30,9 @@ class RunData:
     batch: LocusBatch
     stree: SpeciesTree
     loci: list[ProcessedLocus]
+    # per-locus substitution models (model = custom partition file,
+    # method.c:3344-3352 msa->model assignment); None when homogeneous
+    locus_models: list[SubstModel] | None = None
     # tip dating (datefile): calendar sample dates per packed sequence
     # [L, T] and max descendant date per species node [H] (the calendar
     # form of the reference's l_constraint, gtree.c:1637)
@@ -211,13 +214,26 @@ def load_run(cfg: BppConfig, pad_loci_to: int | None = None) -> RunData:
     if cfg.imapfile:
         imap = parse_imap(cfg.imapfile)
 
-    jc69_fold = cfg.model == SubstModel.JC69
-    loci = [
-        process_locus(a, imap, species_index, cleandata=cfg.cleandata,
-                      jc69_fold=jc69_fold, phase=cfg.phase,
-                      aa=cfg.model.is_aa)
-        for a in alns
-    ]
+    locus_models = None
+    if cfg.model == SubstModel.CUSTOM:
+        from .io.partition import locus_models as expand
+        from .io.partition import parse_partition_file
+        parts = parse_partition_file(cfg.partition_file)
+        locus_models = expand(parts, len(alns), cfg.partition_file)
+        loci = [
+            process_locus(a, imap, species_index, cleandata=cfg.cleandata,
+                          jc69_fold=m == SubstModel.JC69, phase=cfg.phase,
+                          aa=m.is_aa)
+            for a, m in zip(alns, locus_models)
+        ]
+    else:
+        jc69_fold = cfg.model == SubstModel.JC69
+        loci = [
+            process_locus(a, imap, species_index, cleandata=cfg.cleandata,
+                          jc69_fold=jc69_fold, phase=cfg.phase,
+                          aa=cfg.model.is_aa)
+            for a in alns
+        ]
     batch = pack_loci(loci, site_block=cfg.site_block, pad_loci_to=pad_loci_to)
 
     tip_dates = date_lmax = None
@@ -255,6 +271,7 @@ def load_run(cfg: BppConfig, pad_loci_to: int | None = None) -> RunData:
                 if p >= 0 and date_lmax[i] > date_lmax[p]:
                     date_lmax[p] = date_lmax[i]
     return RunData(cfg=cfg, batch=batch, stree=st, loci=loci,
+                   locus_models=locus_models,
                    tip_dates=tip_dates, date_lmax=date_lmax)
 
 

@@ -361,9 +361,16 @@ class Engine:
             self.trait_data = trmod.build_trait_data(parts, run.stree,
                                                      dtype)
             trait_fn = trmod.make_trait_logl(run.stree, self.trait_data)
+        custom = None
+        if run.locus_models is not None:
+            from .state import build_custom_models
+            custom = build_custom_models(run.locus_models, batch.n_loci,
+                                         dtype)
+        self.n_states = custom.n_states if custom is not None \
+            else cfg.model.n_states
         tip_partials = fe.tip_partials_from_codes(
             jnp.asarray(batch.tip_codes), dtype=dtype,
-            n_states=cfg.model.n_states)
+            n_states=self.n_states)
         self.ctx = Ctx(
             tip_partials=tip_partials,
             weights=jnp.asarray(batch.weights, dtype),
@@ -381,6 +388,7 @@ class Engine:
             sp_constraint=sp_constraint,
             theta_link=theta_link,
             prior_a11_log=prior_a11_log,
+            custom=custom,
         )
         self._logl_fn = make_logl_fn(self.ctx, cfg)
         self._logpr_fn = make_logpr_fn(self.ctx)
@@ -397,7 +405,9 @@ class Engine:
         """
         import os
         knob = os.environ.get("BPP_TPU_PALLAS", "auto")
-        if knob == "0" or not self.cfg.usedata or self.cfg.model.is_aa:
+        from ..config import SubstModel
+        if knob == "0" or not self.cfg.usedata or self.cfg.model.is_aa \
+                or self.cfg.model == SubstModel.CUSTOM:
             return None
         on_tpu = jax.default_backend() == "tpu"
         if not (knob == "interpret" or (on_tpu and self.dtype == jnp.float32)):
@@ -475,15 +485,35 @@ class Engine:
         C = cfg.gamma_cats
         # near-uniform random starting freqs/qrates (locus.c:961-975);
         # AA models use their fixed empirical frequencies (locus.c:985)
-        if cfg.model.is_aa:
+        from ..config import SubstModel
+        S = self.n_states
+        if cfg.model == SubstModel.CUSTOM:
+            from ..core.pmatrix import aa_eigen
+            freqs = np.zeros((L, S))
+            freqs[:, :4] = 0.25
+            qrates = np.ones((L, 6))
+            for i, m in enumerate(run.locus_models):
+                if m.is_aa:
+                    freqs[i] = aa_eigen(m.name)[3]
+                elif m in subst_moves.FREQS_MODELS:
+                    f = 0.8 + 0.4 * rng.random(4)
+                    freqs[i, :4] = f / f.sum()
+                    freqs[i, 4:] = 0.0
+                if m in subst_moves.QRATES_COUNT:
+                    cnt, _ = subst_moves.QRATES_COUNT[m]
+                    q = 0.8 + 0.4 * rng.random(cnt)
+                    qrates[i, :cnt] = q / q.sum()
+        elif cfg.model.is_aa:
             from ..core.pmatrix import aa_eigen
             freqs = np.tile(aa_eigen(cfg.model.name)[3], (L, 1))
+            qrates = np.ones((L, 6))
         elif cfg.model in subst_moves.FREQS_MODELS:
             f = 0.8 + 0.4 * rng.random((L, 4))
             freqs = f / f.sum(1, keepdims=True)
+            qrates = np.ones((L, 6))
         else:
             freqs = np.full((L, 4), 0.25)
-        qrates = np.ones((L, 6))
+            qrates = np.ones((L, 6))
         if cfg.model in subst_moves.QRATES_COUNT:
             cnt, _ = subst_moves.QRATES_COUNT[cfg.model]
             q = 0.8 + 0.4 * rng.random((L, cnt))
@@ -508,12 +538,12 @@ class Engine:
             # multiplier is 1 (stree.c:4212 rate_mui commented out)
             mu=jnp.asarray(self._init_mu(L), self.dtype),
             heredity=jnp.asarray(self._init_heredity(L), self.dtype),
-            eigw=jnp.zeros((L, 4), self.dtype),
-            eigT=jnp.zeros((L, 4, 4), self.dtype),
-            eigTi=jnp.zeros((L, 4, 4), self.dtype),
+            eigw=jnp.zeros((L, S), self.dtype),
+            eigT=jnp.zeros((L, S, S), self.dtype),
+            eigTi=jnp.zeros((L, S, S), self.dtype),
         )
-        subst = subst_moves._derive_kappas(subst, cfg.model)
-        subst = refresh_eigen(subst, cfg.model)
+        subst = subst_moves._derive_kappas(subst, cfg.model, self.ctx.custom)
+        subst = refresh_eigen(subst, cfg.model, self.ctx.custom)
         from ..config import Clock
         clock = None
         if cfg.clock != Clock.GLOBAL or (
@@ -665,10 +695,12 @@ class Engine:
             state, (p, a) = subst_moves.heredity_move(
                 ctx, cfg, state, jax.random.fold_in(keys[5], 1))
             stats = stats.at[MV_LRHT].add(jnp.stack([p, a]))
-        if cfg.model in subst_moves.FREQS_MODELS:
+        if cfg.model in subst_moves.FREQS_MODELS or (
+                ctx.custom is not None and ctx.custom.any_freqs):
             state, (p, a) = subst_moves.freqs_move(ctx, cfg, state, keys[6])
             stats = stats.at[MV_FREQS].add(jnp.stack([p, a]))
-        if cfg.model in subst_moves.QRATES_COUNT:
+        if cfg.model in subst_moves.QRATES_COUNT or (
+                ctx.custom is not None and ctx.custom.q_slots):
             state, (p, a) = subst_moves.qrates_move(
                 ctx, cfg, state, jax.random.fold_in(keys[6], 1))
             stats = stats.at[MV_QRATES].add(jnp.stack([p, a]))
@@ -756,10 +788,12 @@ class Engine:
                                              keys[4])
         stats = stats.at[MV_MIX].add(jnp.stack([p, a]))
 
-        if cfg.model in subst_moves.FREQS_MODELS:
+        if cfg.model in subst_moves.FREQS_MODELS or (
+                ctx.custom is not None and ctx.custom.any_freqs):
             state, (p, a) = subst_moves.freqs_move(ctx, cfg, state, keys[6])
             stats = stats.at[MV_FREQS].add(jnp.stack([p, a]))
-        if cfg.model in subst_moves.QRATES_COUNT:
+        if cfg.model in subst_moves.QRATES_COUNT or (
+                ctx.custom is not None and ctx.custom.q_slots):
             state, (p, a) = subst_moves.qrates_move(
                 ctx, cfg, state, jax.random.fold_in(keys[6], 1))
             stats = stats.at[MV_QRATES].add(jnp.stack([p, a]))

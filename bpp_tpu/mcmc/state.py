@@ -91,8 +91,129 @@ class SubstState(NamedTuple):
     eigTi: jax.Array     # [L, 4, 4]
 
 
-def refresh_eigen(subst: SubstState, model: SubstModel) -> SubstState:
-    """Recompute the cached eigendecomposition (GTR only)."""
+class CustomModels(NamedTuple):
+    """Per-locus substitution models (model = custom partition file).
+
+    Static per-run constants derived from the partition assignments
+    (method.c:3344-3352); closed over by the jitted moves.  Every DNA
+    model is canonicalized into the GTR parameterization, so one
+    eigendecomposition path covers the whole batch (SURVEY.md §7 #2).
+
+    kind codes: 0 JC69, 1 two-param kappa family (K80/HKY/T92/F84),
+    2 TN93, 3 GTR, 4 empirical AA.
+    """
+
+    kind: jax.Array        # [L] int32
+    freqs_free: jax.Array  # [L] bool — locus samples base frequencies
+    q_free: jax.Array      # [L, 6] bool — qrates slot is a proposal target
+    q_ref: jax.Array       # [L] int32 — reference slot per locus
+    is_dna: jax.Array      # [L] bool
+    # fixed eigensystem for AA loci (zeros for DNA loci); None when the
+    # batch has no AA partitions
+    aa_w: jax.Array | None
+    aa_T: jax.Array | None
+    aa_Ti: jax.Array | None
+    n_states: int                  # static: 4, or 20 when AA present
+    any_freqs: bool                # static: schedule the freqs move
+    q_slots: tuple[int, ...]       # static: slots free for >=1 locus
+
+
+def build_custom_models(locus_models, n_loci: int, dtype) -> CustomModels:
+    """Static per-locus model constants from the partition assignment.
+
+    ``locus_models`` covers the real loci; padding loci (index >=
+    len(locus_models)) are treated as JC69 with no free parameters.
+    """
+    _KIND = {SubstModel.JC69: 0, SubstModel.F81: 0, SubstModel.K80: 1,
+             SubstModel.HKY: 1, SubstModel.T92: 1, SubstModel.F84: 1,
+             SubstModel.TN93: 2, SubstModel.GTR: 3}
+    _FREQS_FREE = {SubstModel.F81, SubstModel.HKY, SubstModel.T92,
+                   SubstModel.TN93, SubstModel.F84, SubstModel.GTR}
+    kind = np.zeros(n_loci, np.int32)
+    freqs_free = np.zeros(n_loci, bool)
+    q_free = np.zeros((n_loci, 6), bool)
+    q_ref = np.ones(n_loci, np.int32)
+    is_dna = np.ones(n_loci, bool)
+    has_aa = any(m.is_aa for m in locus_models)
+    S = 20 if has_aa else 4
+    aa_w = np.zeros((n_loci, S)) if has_aa else None
+    aa_T = np.zeros((n_loci, S, S)) if has_aa else None
+    aa_Ti = np.zeros((n_loci, S, S)) if has_aa else None
+    for i, m in enumerate(locus_models):
+        if m.is_aa:
+            kind[i] = 4
+            is_dna[i] = False
+            w, T, Ti, _ = pm.aa_eigen(m.name)
+            aa_w[i], aa_T[i], aa_Ti[i] = w, T, Ti
+            continue
+        k = _KIND[m]
+        kind[i] = k
+        freqs_free[i] = m in _FREQS_FREE
+        if k == 1:                       # (alpha, beta): slot 0 vs ref 1
+            q_free[i, 0] = True
+            q_ref[i] = 1
+        elif k == 2:                     # TN93 (a1, a2, b): ref slot 2
+            q_free[i, [0, 1]] = True
+            q_ref[i] = 2
+        elif k == 3:                     # GTR: all but the AG reference
+            q_free[i, :] = True
+            q_free[i, 1] = False
+            q_ref[i] = 1
+    q_slots = tuple(j for j in range(6) if q_free[:, j].any())
+    as_j = lambda a: None if a is None else jnp.asarray(a, dtype)
+    return CustomModels(
+        kind=jnp.asarray(kind), freqs_free=jnp.asarray(freqs_free),
+        q_free=jnp.asarray(q_free), q_ref=jnp.asarray(q_ref),
+        is_dna=jnp.asarray(is_dna), aa_w=as_j(aa_w), aa_T=as_j(aa_T),
+        aa_Ti=as_j(aa_Ti), n_states=S, any_freqs=bool(freqs_free.any()),
+        q_slots=q_slots)
+
+
+def expand_qrates(subst: SubstState, custom: CustomModels) -> jax.Array:
+    """Per-locus GTR-layout (AC,AG,AT,CG,CT,GT) exchangeabilities.
+
+    K80-family loci map (alpha, beta) -> kappa = q0/q1 on the
+    transition slots; TN93 maps (a1, a2, b) -> kappa1 = q0/q2,
+    kappa2 = q1/q2; JC69/AA loci are all-ones (unused for AA).
+    """
+    q = subst.qrates
+    kind = custom.kind
+    one = jnp.ones_like(q[:, 0])
+    k1 = jnp.where(kind == 1, q[:, 0] / q[:, 1],
+                   jnp.where(kind == 2, q[:, 0] / q[:, 2], one))
+    k2 = jnp.where(kind == 1, q[:, 0] / q[:, 1],
+                   jnp.where(kind == 2, q[:, 1] / q[:, 2], one))
+    tn = jnp.stack([one, k1, one, one, k2, one], axis=1)
+    return jnp.where((kind == 3)[:, None], q, tn)
+
+
+def refresh_eigen(subst: SubstState, model: SubstModel,
+                  custom: CustomModels | None = None) -> SubstState:
+    """Recompute the cached eigendecomposition (GTR / custom loci)."""
+    if model == SubstModel.CUSTOM:
+        assert custom is not None
+        exp = expand_qrates(subst, custom)
+        if custom.n_states == 4:
+            w, T, Tinv = pm.gtr_eigen(subst.freqs, exp)
+        else:
+            # mixed DNA/AA: 4-state eigen for DNA loci embedded in the
+            # 20-state space (zero eigenvalues => identity on the AA
+            # block); AA loci keep their fixed empirical eigensystems
+            f4 = jnp.where(custom.is_dna[:, None], subst.freqs[:, :4], 0.25)
+            w4, T4, Ti4 = pm.gtr_eigen(f4, exp)
+            L = w4.shape[0]
+            S = custom.n_states
+            w = jnp.zeros((L, S), w4.dtype).at[:, :4].set(w4)
+            eyeR = jnp.eye(S, dtype=w4.dtype)[None, 4:, 4:]
+            T = jnp.zeros((L, S, S), w4.dtype).at[:, :4, :4].set(T4)
+            T = T.at[:, 4:, 4:].set(eyeR)
+            Tinv = jnp.zeros((L, S, S), w4.dtype).at[:, :4, :4].set(Ti4)
+            Tinv = Tinv.at[:, 4:, 4:].set(eyeR)
+            d = custom.is_dna
+            w = jnp.where(d[:, None], w, custom.aa_w)
+            T = jnp.where(d[:, None, None], T, custom.aa_T)
+            Tinv = jnp.where(d[:, None, None], Tinv, custom.aa_Ti)
+        return subst._replace(eigw=w, eigT=T, eigTi=Tinv)
     if model != SubstModel.GTR:
         return subst
     w, T, Tinv = pm.gtr_eigen(subst.freqs, subst.qrates)
@@ -174,6 +295,8 @@ class Ctx(NamedTuple):
     # prior_A11): log P(class with tau_count active taus); present only
     # for A11 with speciesmodelprior >= 2
     prior_a11_log: jax.Array | None = None   # [NS]
+    # per-locus substitution models (model = custom partition file)
+    custom: CustomModels | None = None
 
 
 def compute_pmats(gt: GTrees, subst: SubstState, model: SubstModel,
@@ -182,6 +305,12 @@ def compute_pmats(gt: GTrees, subst: SubstState, model: SubstModel,
     if blen is None:
         blen = fe.branch_lengths(gt, subst.mu)              # [L, N]
     t_eff = blen[:, :, None] * subst.rates[:, None, :]      # [L, N, C]
+    if model == SubstModel.CUSTOM:
+        # per-locus models all ride the cached per-locus eigensystem
+        # (canonical GTR expansion for DNA, empirical constants for AA)
+        return pm.pmatrix_eigen(
+            t_eff, subst.eigw[:, None, None, :],
+            subst.eigT[:, None, None, :, :], subst.eigTi[:, None, None, :, :])
     if model == SubstModel.JC69:
         return pm.pmatrix_jc69(t_eff)
     if model in (SubstModel.K80, SubstModel.F81, SubstModel.HKY,

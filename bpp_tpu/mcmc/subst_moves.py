@@ -52,8 +52,17 @@ FREQS_MODELS = (SubstModel.F81, SubstModel.HKY, SubstModel.T92,
                 SubstModel.TN93, SubstModel.F84, SubstModel.GTR)
 
 
-def _derive_kappas(subst: SubstState, model: SubstModel) -> SubstState:
+def _derive_kappas(subst: SubstState, model: SubstModel,
+                   custom=None) -> SubstState:
     """kappa1/kappa2 from the qrates vector for the TN93 family."""
+    if model == SubstModel.CUSTOM:
+        q, kind = subst.qrates, custom.kind
+        one = jnp.ones_like(q[:, 0])
+        k1 = jnp.where(kind == 1, q[:, 0] / q[:, 1],
+                       jnp.where(kind == 2, q[:, 0] / q[:, 2], one))
+        k2 = jnp.where(kind == 1, q[:, 0] / q[:, 1],
+                       jnp.where(kind == 2, q[:, 1] / q[:, 2], one))
+        return subst._replace(kappa1=k1, kappa2=k2)
     if model in (SubstModel.K80, SubstModel.HKY, SubstModel.T92,
                  SubstModel.F84):
         k = subst.qrates[:, 0] / subst.qrates[:, 1]
@@ -70,6 +79,10 @@ def freqs_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     lidx = jnp.arange(L)
     eps = state.finetune[FT_FREQS]
     kj, kk, ks, ka = jax.random.split(key, 4)
+    # under per-locus models only loci whose model has free frequencies
+    # participate (always the first 4 states: AA freqs are fixed)
+    free = ctx.locus_mask if ctx.custom is None \
+        else ctx.locus_mask & ctx.custom.freqs_free
 
     f = subst.freqs
     j = jax.random.randint(kj, (L,), 0, 4)
@@ -78,28 +91,34 @@ def freqs_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     fj = f[lidx, j]
     fk = f[lidx, k]
     s = fj + fk
-    minv = 1e-8 / s                       # PLL_MISC_EPSILON bound
-    y = rng.reflect(fj / s + eps * rng.bactrian(ks, (L,), dtype=eps.dtype), minv, 1.0 - minv)
+    minv = 1e-8 / jnp.maximum(s, 1e-30)   # PLL_MISC_EPSILON bound
+    y = rng.reflect(fj / jnp.maximum(s, 1e-30)
+                    + eps * rng.bactrian(ks, (L,), dtype=eps.dtype),
+                    minv, 1.0 - minv)
     fnew = f.at[lidx, j].set(y * s)
     fnew = fnew.at[lidx, k].set(s - y * s)
+    fnew = jnp.where(free[:, None], fnew, f)
 
-    subst_new = refresh_eigen(subst._replace(freqs=fnew), cfg.model)
+    subst_new = refresh_eigen(subst._replace(freqs=fnew), cfg.model,
+                              ctx.custom)
     logl_new = make_logl_fn(ctx, cfg)(state.gt, subst_new, state.sp, state.clock)
     lnacc = logl_new - state.logl         # uniform Dirichlet prior, symmetric
-    accept = rng.mh_accept(ka, lnacc) & ctx.locus_mask
+    accept = rng.mh_accept(ka, lnacc) & free
     L_ = accept.shape[0]
     subst = jax.tree.map(
         lambda n, o: jnp.where(
             accept.reshape((L_,) + (1,) * (o.ndim - 1)), n, o),
         subst_new, subst)
     logl = jnp.where(accept, logl_new, state.logl)
-    nprop = ctx.locus_mask.sum(dtype=jnp.int32)
+    nprop = free.sum(dtype=jnp.int32)
     return (state._replace(subst=subst, logl=logl),
             (nprop, accept.sum(dtype=jnp.int32)))
 
 
 def qrates_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     """Sequential sweep over non-reference rates, each batched over loci."""
+    if cfg.model == SubstModel.CUSTOM:
+        return _qrates_move_custom(ctx, cfg, state, key)
     L = state.gt.n_loci
     count, ref = QRATES_COUNT[cfg.model]
     lidx = jnp.arange(L)
@@ -135,6 +154,60 @@ def qrates_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         logl = jnp.where(accept, logl_new, logl)
         nacc = nacc + accept.sum(dtype=jnp.int32)
     nprop = len(targets) * ctx.locus_mask.sum(dtype=jnp.int32)
+    return state._replace(subst=subst, logl=logl), (nprop, nacc)
+
+
+def _qrates_move_custom(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
+    """Per-locus-model qrates sweep (model = custom).
+
+    Same slot-vs-reference log-slide as the homogeneous move, but the
+    reference slot and the set of free slots vary per locus
+    (state.CustomModels); loci whose model does not free slot j sit out
+    that round.
+    """
+    cm = ctx.custom
+    L = state.gt.n_loci
+    lidx = jnp.arange(L)
+    eps = state.finetune[FT_QRATES]
+    logl_fn = make_logl_fn(ctx, cfg)
+
+    subst, logl = state.subst, state.logl
+    nprop = jnp.zeros((), jnp.int32)
+    nacc = jnp.zeros((), jnp.int32)
+    for t, j in enumerate(cm.q_slots):
+        ks, ka = jax.random.split(jax.random.fold_in(key, t))
+        free_j = cm.q_free[:, j] & ctx.locus_mask
+        q = subst.qrates
+        qref = q[lidx, cm.q_ref]
+        s = q[:, j] + qref
+        lo = jnp.log(jnp.full((L,), 1e-5))
+        hi = jnp.log(s)
+        old_lg = jnp.log(q[:, j])
+        new_lg = rng.reflect(
+            old_lg + eps * rng.bactrian(ks, (L,), dtype=eps.dtype), lo, hi)
+        qnew = q.at[:, j].set(jnp.exp(new_lg))
+        qnew = qnew.at[lidx, cm.q_ref].set(s - jnp.exp(new_lg))
+        qnew = jnp.where(free_j[:, None], qnew, q)
+
+        subst_new = refresh_eigen(
+            _derive_kappas(subst._replace(qrates=qnew), cfg.model, cm),
+            cfg.model, cm)
+        logl_new = logl_fn(state.gt, subst_new, state.sp, state.clock)
+        aj = GTR_DIR_ALPHA[j]
+        ar = GTR_DIR_ALPHA[cm.q_ref]
+        ref_ratio = jnp.log(
+            jnp.where(free_j, qnew[lidx, cm.q_ref] / jnp.maximum(qref, 1e-300),
+                      1.0))
+        lnacc = (new_lg - old_lg) + (logl_new - logl) \
+            + (aj - 1.0) * (new_lg - old_lg) + (ar - 1.0) * ref_ratio
+        accept = rng.mh_accept(ka, lnacc) & free_j
+        subst = jax.tree.map(
+            lambda n, o: jnp.where(
+                accept.reshape((L,) + (1,) * (o.ndim - 1)), n, o),
+            subst_new, subst)
+        logl = jnp.where(accept, logl_new, logl)
+        nprop = nprop + free_j.sum(dtype=jnp.int32)
+        nacc = nacc + accept.sum(dtype=jnp.int32)
     return state._replace(subst=subst, logl=logl), (nprop, nacc)
 
 

@@ -53,6 +53,7 @@ def synthetic_run(
     n_species: int = 4,
     seed: int = 0,
     pad_loci_to: int | None = None,
+    locus_models=None,
     **cfg_kw,
 ) -> RunData:
     """Random (non-simulated) data; adequate for compile/shape testing."""
@@ -82,4 +83,5 @@ def synthetic_run(
         burnin=2, nsample=2, sampfreq=1,
         **cfg_kw,
     )
-    return RunData(cfg=cfg, batch=batch, stree=st, loci=loci)
+    return RunData(cfg=cfg, batch=batch, stree=st, loci=loci,
+                   locus_models=locus_models)
