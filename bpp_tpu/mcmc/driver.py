@@ -271,10 +271,6 @@ class Engine:
                     "theta integration ('e' flag) requires an inverse-"
                     "gamma thetaprior (the conjugate form the analytic "
                     "marginalization uses)")
-            if cfg.est_delimit:
-                raise NotImplementedError(
-                    "rjMCMC delimitation with integrated-out thetas is "
-                    "not yet supported; drop the 'e' flag")
             if run.stree.n_hybrids > 0:
                 raise NotImplementedError(
                     "MSC-I networks with integrated-out thetas are not "

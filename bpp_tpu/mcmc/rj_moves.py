@@ -182,18 +182,25 @@ def rj_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key, root_age0,
         tau_new = tau_upper * beta
         lnacc = -_log_pdf_beta_scaled(tau_new, 2.0, 8.0, tau_upper)
 
-        th_h = sp.theta[h]
-        th_l, f_l = _child_theta_split(cfg, k_thl, th_h)
-        th_r, f_r = _child_theta_split(cfg, k_thr, th_h)
-        lnacc += (_theta_prior_logpdf(cfg, th_l)
-                  + _theta_prior_logpdf(cfg, th_r) + f_l + f_r)
+        if cfg.theta_integrated:
+            # no thetas exist under the integrated-out path: the rj
+            # dimension change involves tau only (prop_rj.c:447 gates
+            # all theta mapping on opt_est_theta)
+            theta2 = sp.theta
+        else:
+            th_h = sp.theta[h]
+            th_l, f_l = _child_theta_split(cfg, k_thl, th_h)
+            th_r, f_r = _child_theta_split(cfg, k_thr, th_h)
+            lnacc += (_theta_prior_logpdf(cfg, th_l)
+                      + _theta_prior_logpdf(cfg, th_r) + f_l + f_r)
+            theta2 = sp.theta.at[sp.left[h]].set(
+                th_l).at[sp.right[h]].set(th_r)
 
         lnacc += jnp.where(
             h_is_root, _tau_prior_logpdf(cfg, tau_new),
             jnp.log(tau_count.astype(dtype) / root_tau))  # Eq 2 YR2010
 
         tau2 = sp.tau.at[h].set(tau_new)
-        theta2 = sp.theta.at[sp.left[h]].set(th_l).at[sp.right[h]].set(th_r)
         # feasible joins AFTER the split, on the updated taus
         l_ok2 = (sp.left < NS) | (tau2[jnp.maximum(sp.left, 0)] == 0)
         r_ok2 = (sp.right < NS) | (tau2[jnp.maximum(sp.right, 0)] == 0)
@@ -214,12 +221,15 @@ def rj_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key, root_age0,
         tau_old = sp.tau[h]
         lnacc = _log_pdf_beta_scaled(tau_old, 2.0, 8.0, tau_upper)
 
-        th_h = sp.theta[h]
-        f_l, bad_l = _child_theta_join(cfg, sp.theta[sp.left[h]], th_h)
-        f_r, bad_r = _child_theta_join(cfg, sp.theta[sp.right[h]], th_h)
-        lnacc += (f_l + f_r
-                  - _theta_prior_logpdf(cfg, sp.theta[sp.left[h]])
-                  - _theta_prior_logpdf(cfg, sp.theta[sp.right[h]]))
+        if cfg.theta_integrated:
+            bad_l = bad_r = jnp.zeros((), bool)
+        else:
+            th_h = sp.theta[h]
+            f_l, bad_l = _child_theta_join(cfg, sp.theta[sp.left[h]], th_h)
+            f_r, bad_r = _child_theta_join(cfg, sp.theta[sp.right[h]], th_h)
+            lnacc += (f_l + f_r
+                      - _theta_prior_logpdf(cfg, sp.theta[sp.left[h]])
+                      - _theta_prior_logpdf(cfg, sp.theta[sp.right[h]]))
 
         lnacc -= jnp.where(
             h_is_root, _tau_prior_logpdf(cfg, tau_old),
@@ -243,11 +253,26 @@ def rj_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key, root_age0,
     sp_new = sp._replace(tau=tau2, theta=theta2)
     gt_new = state.gt._replace(age=age_new)
     logl_new = logl_fn(gt_new, state.subst, sp_new, state.clock)
-    logpr_new, _, _ = logpr_fn(gt_new, sp_new, state.subst.heredity)
+    logpr_new, c_new, t2_new = logpr_fn(gt_new, sp_new, state.subst.heredity)
 
-    lnacc = lnacc + jnp.sum(jnp.where(
-        ctx.locus_mask,
-        lnterms + (logl_new - state.logl) + (logpr_new - state.logpr), 0.0))
+    if cfg.theta_integrated:
+        # integrated-out density couples loci; acceptance uses the
+        # total notheta_logpr delta (prop_rj.c:539 "logpr =
+        # stree->notheta_logpr" path)
+        from . import notheta
+        dpr = (notheta.total_integrated(cfg, c_new, t2_new,
+                                        state.subst.heredity, ctx.locus_mask)
+               - notheta.total_integrated(cfg, state.coal, state.t2h,
+                                          state.subst.heredity,
+                                          ctx.locus_mask))
+        lnacc = lnacc + dpr + jnp.sum(jnp.where(
+            ctx.locus_mask, lnterms + (logl_new - state.logl), 0.0))
+        logpr_new = state.logpr  # per-locus cache unused in this mode
+    else:
+        lnacc = lnacc + jnp.sum(jnp.where(
+            ctx.locus_mask,
+            lnterms + (logl_new - state.logl) + (logpr_new - state.logpr),
+            0.0))
     # species-model prior ratio (prop_rj.c:510 lnprior_species_model)
     from .stree_moves import log_species_model_prior
     lnacc = lnacc + (
@@ -267,6 +292,10 @@ def rj_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key, root_age0,
         sp=jax.tree.map(lambda n, o: jnp.where(accept, n, o), sp_new, sp),
         logl=jnp.where(accept, logl_new, state.logl),
         logpr=jnp.where(accept, logpr_new, state.logpr))
+    if cfg.theta_integrated:
+        new_state = new_state._replace(
+            coal=jnp.where(accept, c_new, state.coal),
+            t2h=jnp.where(accept, t2_new, state.t2h))
     if ctx.trait_fn is not None:
         new_state = new_state._replace(trait=state.trait._replace(
             logl=jnp.where(accept, tl_new, state.trait.logl)))
