@@ -216,10 +216,13 @@ class Engine:
             if run.stree.n_hybrids > 0:
                 raise NotImplementedError(
                     "relaxed clocks on MSC-I networks not yet supported")
-            if cfg.est_delimit or cfg.est_stree:
+            if cfg.est_delimit:
+                # the reference's rjMCMC (prop_rj.c) never adjusts the
+                # branch-rate prior either; block rather than sample a
+                # subtly wrong target
                 raise NotImplementedError(
-                    "relaxed clocks currently require a fixed species tree "
-                    "(A00)")
+                    "relaxed clocks cannot be combined with rjMCMC "
+                    "species delimitation (A10/A11)")
         if (cfg.est_locusrate == 1 and cfg.locusrate_prior == 3
                 and cfg.clock != Clock.GLOBAL):
             raise NotImplementedError(

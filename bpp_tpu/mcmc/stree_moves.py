@@ -28,7 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..config import BppConfig
+from ..config import BppConfig, Clock
 from ..trees.gtree import GTrees, SpeciesArrays, assign_populations, topo_scan
 from . import rng
 from .state import Ctx, McmcState, make_logl_fn, make_logpr_fn
@@ -421,6 +421,14 @@ def species_spr_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
              + jnp.sum(jnp.where(ctx.locus_mask,
                                  logl_new - state.logl, 0.0))
              + dpr + prior_ratio)
+    # correlated-clock branch-rate prior depends on the species
+    # topology + taus (stree.c:8839-8844 in propose SPR)
+    lnr_new = None
+    if state.clock is not None and cfg.clock == Clock.CORRELATED:
+        from .clock_moves import lnprior_rates
+        lnr_new = lnprior_rates(cfg, sp_new, state.subst.mu, state.clock)
+        lnacc = lnacc + jnp.sum(jnp.where(
+            ctx.locus_mask, lnr_new - state.clock.lnrates, 0.0))
     lnacc = jnp.where(bad_any, -jnp.inf, lnacc)
     accept = rng.mh_accept(k_acc, lnacc)
 
@@ -435,6 +443,9 @@ def species_spr_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         new_state = new_state._replace(
             coal=jnp.where(accept, c_new, state.coal),
             t2h=jnp.where(accept, t2_new, state.t2h))
+    if lnr_new is not None:
+        new_state = new_state._replace(clock=state.clock._replace(
+            lnrates=jnp.where(accept, lnr_new, state.clock.lnrates)))
     return new_state, (jnp.ones((), jnp.int32), accept.astype(jnp.int32))
 
 
@@ -862,6 +873,15 @@ def snl_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         lnacc = lnacc + dpr - jnp.sum(jnp.where(
             ctx.locus_mask, logpr_new - state.logpr, 0.0))
 
+    # correlated-clock branch-rate prior depends on the species
+    # topology + taus (stree.c:11314-11318 in SNL)
+    lnr_new = None
+    if state.clock is not None and cfg.clock == Clock.CORRELATED:
+        from .clock_moves import lnprior_rates
+        lnr_new = lnprior_rates(cfg, sp_new, state.subst.mu, state.clock)
+        lnacc = lnacc + jnp.sum(jnp.where(
+            ctx.locus_mask, lnr_new - state.clock.lnrates, 0.0))
+
     bad_any = bad | badmask.any() | ~jnp.isfinite(lnacc)
     lnacc = jnp.where(bad_any, -jnp.inf, lnacc)
     accept = rng.mh_accept(k_acc, lnacc)
@@ -877,4 +897,7 @@ def snl_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         new_state = new_state._replace(
             coal=jnp.where(accept, c_new, state.coal),
             t2h=jnp.where(accept, t2_new, state.t2h))
+    if lnr_new is not None:
+        new_state = new_state._replace(clock=state.clock._replace(
+            lnrates=jnp.where(accept, lnr_new, state.clock.lnrates)))
     return new_state, (jnp.ones((), jnp.int32), accept.astype(jnp.int32))

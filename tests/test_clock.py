@@ -188,3 +188,40 @@ def test_relaxed_lengths_match_pointer_walk():
             want += (t1 - t) * brate[li, p]
             np.testing.assert_allclose(got[li, u], want, rtol=2e-5,
                                        atol=1e-8)
+
+
+@pytest.mark.parametrize("extra,tag", [
+    ("locusrate = 1 2 10 5 iid\nclock = 3 10 100 5 iid LN", "a01_corr_ln"),
+    ("locusrate = 1 2 10 5 iid\nclock = 3 10 100 5 iid G", "a01_corr_g"),
+    ("locusrate = 1 2 10 5 iid\nclock = 2 10 100 5 iid LN", "a01_iid_ln"),
+])
+def test_a01_relaxed_clock_cache_honesty(extra, tag):
+    """A01 (species-tree SPR/SNL) under relaxed clocks: the correlated
+    rate prior depends on the species topology + taus (stree.c:8839,
+    11314), so accepted SPR/SNL moves must refresh clock.lnrates and
+    logl stays honest under the new topology."""
+    base = CTL.replace("usedata = 0", "usedata = 1").split("locusrate")[0]
+    base += "speciestree = 1\n"
+    cfg = parse_ctl_lines((base + extra).strip().splitlines())
+    cfg = cfg.replace(burnin=0, nsample=1)
+    eng = Engine(load_run(cfg), seed=11)
+    state = eng.init_state()
+    key = jax.random.PRNGKey(11)
+    topo0 = (np.asarray(state.sp.left).tolist(),
+             np.asarray(state.sp.right).tolist())
+    changed = False
+    for i in range(40):
+        key, sub = jax.random.split(key)
+        state, _ = eng.step(state, sub)
+        if (np.asarray(state.sp.left).tolist(),
+                np.asarray(state.sp.right).tolist()) != topo0:
+            changed = True
+        if changed and i >= 12:
+            break
+    ll = eng._logl_fn(state.gt, state.subst, state.sp, state.clock)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(state.logl),
+                               atol=1e-4)
+    from bpp_tpu.mcmc.clock_moves import lnprior_rates
+    lnr = lnprior_rates(cfg, state.sp, state.subst.mu, state.clock)
+    np.testing.assert_allclose(np.asarray(lnr),
+                               np.asarray(state.clock.lnrates), atol=1e-3)
