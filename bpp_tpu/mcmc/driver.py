@@ -251,10 +251,6 @@ class Engine:
                 raise NotImplementedError(
                     "heredity estimation with migration not yet supported")
             self.routes = mgmod.build_routes(cfg, run.stree)
-            if (self.routes.am > 0).any():
-                raise NotImplementedError(
-                    "per-locus variable migration rates (am) not yet "
-                    "supported")
             root = run.stree.root
             if (self.routes.si == root).any() or \
                     (self.routes.ti == root).any():
@@ -782,6 +778,17 @@ class Engine:
         state, (p, a) = mig_moves.migrate_move(
             ctx, cfg, routes, state, jax.random.fold_in(keys[3], 1))
         stats = stats.at[MV_MIGRATES].add(jnp.stack([p, a]))
+
+        # variable-rates routes (am > 0): per-locus Mi slides + the
+        # Mbar hyper-rate slide (prop_mig_vrates stree.c:11932,
+        # migrate_mbar_slide stree.c:11676)
+        if (routes.am > 0).any():
+            state, (p, a) = mig_moves.mig_vrates_move(
+                ctx, cfg, routes, state, jax.random.fold_in(keys[3], 2))
+            stats = stats.at[MV_MIGRATES].add(jnp.stack([p, a]))
+            state, (p, a) = mig_moves.mig_mbar_move(
+                ctx, cfg, routes, state, jax.random.fold_in(keys[3], 3))
+            stats = stats.at[MV_MIGRATES].add(jnp.stack([p, a]))
 
         state, (p, a) = mig_moves.mixing_mig(ctx, cfg, routes, state,
                                              keys[4])

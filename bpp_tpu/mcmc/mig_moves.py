@@ -46,7 +46,8 @@ def make_logpr_fn_mig(ctx: Ctx, routes: mg.MigRoutes):
         pops = mg.assign_populations_mig(gt, sp, ctx.tip_pop, mig, ctx.n_seq)
         coal, C2, W, mc, _ = mg.mig_stats(gt, sp, pops, mig, si, ti,
                                           ctx.n_seq)
-        lp = mg.msc_logprob_mig(coal, C2, W, mc, sp.theta, heredity, mig.M)
+        lp = mg.msc_logprob_mig(coal, C2, W, mc, sp.theta, heredity,
+                                mg.eff_rates(routes, mig))
         ok = mg.route_consistent_mig(gt, sp, mig, pops, ctx.n_seq)
         lp = jnp.where(ok & ctx.locus_mask, lp, jnp.where(
             ctx.locus_mask, -_INF, 0.0))
@@ -104,7 +105,12 @@ def theta_move_mig(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
 
 
 def migrate_move(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
-    """M_k | rest ~ Gamma(alpha + sum_l mc_lk, beta + sum_l W_lk)."""
+    """M_k | rest ~ Gamma(alpha + sum_l mc_lk, beta + sum_l W_lk).
+
+    Routes with a variable-rates shape (am > 0) are excluded — their
+    mean rate Mbar moves via :func:`mig_mbar_move` and the per-locus
+    Mi via :func:`mig_vrates_move` (migrate_gibbs asserts !spec->am,
+    stree.c:11636)."""
     logpr_fn = make_logpr_fn_mig(ctx, routes)
     _, _, _, W, mc, _ = logpr_fn(state.gt, state.sp, state.mig,
                                  state.subst.heredity)
@@ -115,11 +121,76 @@ def migrate_move(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
     b1 = jnp.asarray(routes.beta, W.dtype) + wsum
     M_new = jax.random.gamma(key, a1, dtype=W.dtype) / b1
     M_new = jnp.maximum(M_new, 1e-30)
+    has_am = jnp.asarray(routes.am > 0)
+    M_new = jnp.where(has_am, state.mig.M, M_new)
     mig_new = state.mig._replace(M=M_new)
     logpr, *_ = logpr_fn(state.gt, state.sp, mig_new, state.subst.heredity)
     K = M_new.shape[0]
     return (state._replace(mig=mig_new, logpr=logpr),
             (jnp.asarray(K, jnp.int32), jnp.asarray(K, jnp.int32)))
+
+
+def mig_mbar_move(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
+    """Mean-rate slide for variable-rate routes (migrate_mbar_slide
+    stree.c:11676): Mbar_k ~ Gamma(alpha, beta) prior, conditional on
+    Mi[l,k] ~ Gamma(am, am/Mbar_k) iid over loci.  No MSC-M density
+    term — the density consults Mi only."""
+    mig = state.mig
+    dtype = mig.M.dtype
+    K = mig.M.shape[0]
+    k1, k2 = jax.random.split(key)
+    eps = state.finetune[FT_MIGRATES]
+    lnc = eps * rng.bactrian(k1, (K,), dtype)
+    mbar_new = mig.M * jnp.exp(lnc)
+    alpha = jnp.asarray(routes.alpha, dtype)
+    beta = jnp.asarray(routes.beta, dtype)
+    am = jnp.asarray(routes.am, dtype)
+    lnacc = lnc + lnc * (alpha - 1.0) - (mbar_new - mig.M) * beta
+    bnew = am / mbar_new
+    bold = am / mig.M
+    n_real = _psum_if_sharded(
+        jnp.sum(ctx.locus_mask.astype(dtype)))
+    misum = _psum_if_sharded(jnp.sum(
+        jnp.where(ctx.locus_mask[:, None], mig.Mi, 0.0), axis=0))
+    lnacc = lnacc + n_real * am * jnp.log(bnew / bold) \
+        - (bnew - bold) * misum
+    has_am = jnp.asarray(routes.am > 0)
+    accept = rng.mh_accept(k2, jnp.where(has_am, lnacc, -jnp.inf))
+    M_fin = jnp.where(accept, mbar_new, mig.M)
+    return (state._replace(mig=mig._replace(M=M_fin)),
+            (has_am.sum().astype(jnp.int32),
+             accept.sum().astype(jnp.int32)))
+
+
+def mig_vrates_move(ctx: Ctx, cfg: BppConfig, routes, state: McmcState,
+                    key):
+    """Per-locus migration-rate slide (prop_mig_vrates_slide
+    stree.c:11822): Mi[l,k] *= e^(eps*z) with prior Gamma(am, am/Mbar_k)
+    and the per-(locus,route) separable density delta
+    mc*dlog(Mi) - dMi*W (the coal terms don't involve rates, so all
+    (l,k) coordinates update simultaneously)."""
+    mig = state.mig
+    dtype = mig.Mi.dtype
+    L, K = mig.Mi.shape
+    logpr_fn = make_logpr_fn_mig(ctx, routes)
+    _, _, _, W, mc, _ = logpr_fn(state.gt, state.sp, mig,
+                                 state.subst.heredity)
+    k1, k2 = jax.random.split(key)
+    eps = state.finetune[FT_MIGRATES]
+    lnc = eps * rng.bactrian(k1, (L, K), dtype)
+    mi_new = mig.Mi * jnp.exp(lnc)
+    am = jnp.asarray(routes.am, dtype)[None, :]
+    beta = am / jnp.maximum(mig.M, 1e-300)[None, :]
+    lnacc = lnc + lnc * (am - 1.0) - (mi_new - mig.Mi) * beta
+    lnacc = lnacc + mc * jnp.log(mi_new / mig.Mi) - (mi_new - mig.Mi) * W
+    has_am = jnp.asarray(routes.am > 0)[None, :] & ctx.locus_mask[:, None]
+    accept = rng.mh_accept(k2, jnp.where(has_am, lnacc, -jnp.inf))
+    mi_fin = jnp.where(accept, mi_new, mig.Mi)
+    mig_new = mig._replace(Mi=mi_fin)
+    logpr, *_ = logpr_fn(state.gt, state.sp, mig_new, state.subst.heredity)
+    return (state._replace(mig=mig_new, logpr=logpr),
+            (has_am.sum().astype(jnp.int32),
+             accept.sum().astype(jnp.int32)))
 
 
 # --------------------------------------------------------------------------
@@ -464,7 +535,7 @@ def spr_sim_move(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key,
     anc_e = sp.pptable[pop_lo]                              # [L, E, H]
     heredity = state.subst.heredity
 
-    route_M = mig0.M                                        # [K]
+    route_M = mg.eff_rates(routes, mig0)                    # [L, K]
 
     def n_and_bounds(t, p):
         """lineages in pop p at t, and next boundary time (> t)."""
@@ -490,7 +561,7 @@ def spr_sim_move(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key,
     def mrsum_of(t, p):
         alive = (tau[si] <= t[:, None]) & (t[:, None] < partau_f[si])
         ok = (ti[None, :] == p[:, None]) & alive
-        return jnp.sum(jnp.where(ok, route_M[None, :], 0.0), axis=1), ok
+        return jnp.sum(jnp.where(ok, route_M, 0.0), axis=1), ok
 
     CAP_NEW = ME
 
@@ -518,7 +589,7 @@ def spr_sim_move(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key,
         is_coal = hit & (u >= mrs)
         is_mig = hit & (u < mrs)
         # pick donor route: categorical over route_ok weights
-        w = jnp.where(route_ok, route_M[None, :], 0.0)
+        w = jnp.where(route_ok, route_M, 0.0)
         cum = jnp.cumsum(w, axis=1)
         r = jax.random.uniform(k3, (L,), dtype) * jnp.maximum(
             cum[:, -1], 1e-300)

@@ -103,7 +103,11 @@ class MigState(NamedTuple):
     node: jax.Array    # [L, ME] gene-tree edge (-1 empty)
     src: jax.Array     # [L, ME] population below the event
     dst: jax.Array     # [L, ME] population above the event
-    M: jax.Array       # [K] route rates (forward s->t)
+    M: jax.Array       # [K] route rates (forward s->t); for routes with
+                       # a variable-rates shape am>0 this is the MEAN
+                       # rate Mbar (migspec_t.M, bpp.h:1036)
+    Mi: jax.Array      # [L, K] per-locus rates (migspec_t.Mi); only
+                       # consulted where routes.am > 0
 
     @property
     def cap(self) -> int:
@@ -115,12 +119,21 @@ class MigState(NamedTuple):
 
 
 def empty_mig_state(L: int, cap: int, K: int, M0, dtype) -> MigState:
+    M = jnp.asarray(M0, dtype)
     return MigState(
         time=jnp.full((L, cap), BIG_AGE, dtype),
         node=jnp.full((L, cap), -1, jnp.int32),
         src=jnp.zeros((L, cap), jnp.int32),
         dst=jnp.zeros((L, cap), jnp.int32),
-        M=jnp.asarray(M0, dtype))
+        M=M,
+        Mi=jnp.broadcast_to(M[None, :], (L, K)).astype(dtype))
+
+
+def eff_rates(routes: MigRoutes, mig: MigState):
+    """Effective per-locus route rates [L, K]: Mi where the route has a
+    variable-rates shape (am > 0), the shared M otherwise."""
+    has_am = jnp.asarray(routes.am > 0)
+    return jnp.where(has_am[None, :], mig.Mi, mig.M[None, :])
 
 
 # --------------------------------------------------------------------------
@@ -362,13 +375,17 @@ def mig_stats(gt: GTrees, sp: SpeciesArrays, pops, mig: MigState,
 
 
 def msc_logprob_mig(coal, C2, W, mc, theta, heredity, M):
-    """Per-locus MSC-M log density [L] (gtree.c:3637-3663)."""
+    """Per-locus MSC-M log density [L] (gtree.c:3637-3663).
+
+    ``M`` is [K] (shared route rates) or [L, K] (per-locus effective
+    rates from :func:`eff_rates` when any route has am > 0)."""
     th = theta[None, :] * heredity[:, None]
     th = jnp.maximum(th, 1e-300)
     pop_terms = jnp.sum(coal * jnp.log(2.0 / th) - C2 / th, axis=1)
     Msafe = jnp.maximum(M, 1e-300)
-    mig_terms = jnp.sum(mc * jnp.log(Msafe)[None, :] - M[None, :] * W,
-                        axis=1)
+    if Msafe.ndim == 1:
+        Msafe = Msafe[None, :]
+    mig_terms = jnp.sum(mc * jnp.log(Msafe) - Msafe * W, axis=1)
     return pop_terms + mig_terms
 
 
