@@ -137,16 +137,30 @@ def _make_kernel(T: int, N: int, C: int, model: SubstModel, tiny: float):
                     rate = rates_ref[0, 0, c]
                     Pl = p_entries(tl * rate)
                     Pr = p_entries(tr * rate)
-                    for a in range(4):
-                        yl = (Pl[a][0] * xl[c, 0] + Pl[a][1] * xl[c, 1]
-                              + Pl[a][2] * xl[c, 2] + Pl[a][3] * xl[c, 3])
-                        yr = (Pr[a][0] * xr[c, 0] + Pr[a][1] * xr[c, 1]
-                              + Pr[a][2] * xr[c, 2] + Pr[a][3] * xr[c, 3])
-                        ys.append(yl * yr)
-                y = jnp.stack(ys).reshape(C, 4, -1)       # [C, A, S]
-                m = jnp.maximum(jnp.max(y, axis=(0, 1), keepdims=True), tiny)
-                clv[node] = y / m
-                cum[0] = cum[0] + jnp.log(m[0, 0])
+                    # vectorize the 4-state contraction over the output
+                    # state axis: 4 broadcast-FMAs of [A, S] shape (full
+                    # sublane use) instead of 16 one-sublane [S] ops
+                    yl = yr = None
+                    for b in range(4):
+                        cl = jnp.stack([Pl[a][b] for a in range(4)]
+                                       ).reshape(4, 1)
+                        cr = jnp.stack([Pr[a][b] for a in range(4)]
+                                       ).reshape(4, 1)
+                        yl = cl * xl[c, b][None, :] + (0.0 if yl is None
+                                                       else yl)
+                        yr = cr * xr[c, b][None, :] + (0.0 if yr is None
+                                                       else yr)
+                    ys.append(yl * yr)
+                y = jnp.stack(ys)                         # [C, A, S]
+                # rescale every 2nd level: the f32 exponent headroom
+                # comfortably covers two unscaled 4-state pruning steps
+                if k % 2 == 1 or k == T - 2:
+                    m = jnp.maximum(jnp.max(y, axis=(0, 1), keepdims=True),
+                                    tiny)
+                    clv[node] = y / m
+                    cum[0] = cum[0] + jnp.log(m[0, 0])
+                else:
+                    clv[node] = y
 
         # root = order[nseq - 2] (or tip 0 for single-sequence loci)
         root = jnp.where(nseq >= 2,

@@ -416,6 +416,9 @@ def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     has_trait = ctx.trait_fn is not None
     tlogl0 = (state.trait.logl if has_trait
               else jnp.zeros((), state.logl.dtype))
+    # gene-tree topology is fixed across the whole tau sweep: one mrca
+    # topo-scan up front replaces per-body assign_populations
+    msp = mrca_species(state.gt, sp0, ctx.tip_pop)
 
     def body(h_off, carry):
         age, tau, logl, logpr, lnrates, coal_c, t2_c, lpg, tlogl, kkey, \
@@ -447,8 +450,7 @@ def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         sp_new = sp0._replace(tau=tau_new)
 
         # affected gene nodes: in pops {h, lh, rh}, age in (minage, maxage)
-        gtc = state.gt._replace(age=age)
-        pops = assign_populations(gtc, sp_cur, ctx.tip_pop)
+        pops = lift_population(sp_cur, msp, jnp.clip(age, 0.0, BIG_AGE * 0.5))
         is_inner = (nodes_idx >= T) & (nodes_idx < T + ctx.n_seq[:, None] - 1)
         in_aff = (pops == h) | (pops == lh) | (pops == rh)
         window = (age > minage) & (age < maxage)
@@ -464,7 +466,8 @@ def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
         gtn = state.gt._replace(age=age_new)
         logl_new = logl_fn(gtn, state.subst, sp_new, state.clock)
-        logpr_new, c_new, t2_new = logpr_fn(gtn, sp_new, state.subst.heredity)
+        logpr_new, c_new, t2_new = logpr_fn(gtn, sp_new, state.subst.heredity,
+                                            msp=msp)
         if integ:
             lpg_new = notheta.total_integrated(
                 cfg, c_new, t2_new, state.subst.heredity, ctx.locus_mask)
@@ -557,6 +560,8 @@ def mixing_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     k1, k2, k3 = jax.random.split(key, 3)
     lnc = eps * rng.bactrian(k1, dtype=eps.dtype)
     c = jnp.exp(lnc)
+    # topology-only mrca: shared by the two density evaluations below
+    msp = None if sp.is_network else mrca_species(gt, sp, ctx.tip_pop)
 
     if sp.is_network:
         # only FREE taus count as dimensions (mirrors and htau==0-tied
@@ -595,7 +600,7 @@ def mixing_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         th_new = sp.theta
     else:
         # Gibbs-style theta refresh at the scaled waiting times
-        _, cc, t2 = logpr_fn(gt, sp, state.subst.heredity)
+        _, cc, t2 = logpr_fn(gt, sp, state.subst.heredity, msp=msp)
         mask_l = ctx.locus_mask[:, None]
         ksum = _psum_if_sharded(
             jnp.sum(jnp.where(mask_l, cc, 0), axis=0)).astype(t2.dtype)
@@ -640,7 +645,8 @@ def mixing_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     gtn = gt._replace(age=age_new)
     spn = sp._replace(tau=tau_new, theta=th_new)
     logl_new = logl_fn(gtn, state.subst, spn, state.clock)
-    logpr_new, c_new, t2_new = logpr_fn(gtn, spn, state.subst.heredity)
+    logpr_new, c_new, t2_new = logpr_fn(gtn, spn, state.subst.heredity,
+                                        msp=msp)
     lnacc = lnacc + _psum_if_sharded(jnp.sum(logl_new - state.logl))
     if cfg.theta_integrated:
         from . import notheta
@@ -752,7 +758,7 @@ def age_block_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         age_new = jnp.where(mask, tnew, age)
         gtn = gt._replace(age=age_new)
         logl_new = logl_fn(gtn, state.subst, sp, state.clock)
-        logpr_new, c_new, t2_new = logpr_fn(gtn, sp, hered)
+        logpr_new, c_new, t2_new = logpr_fn(gtn, sp, hered, msp=msp)
         amask = ctx.locus_mask & mask.any(1)
         if integ:
             from . import notheta
@@ -804,13 +810,13 @@ def spr_round_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     sel, _ = _select_uniform(ksel, cand_mask)
     i = sel                                                       # [L]
 
-    from ..trees.gtree import assign_populations, edge_passes
-    leaves = leaf_counts(gt0, ctx.n_seq)
+    from ..trees.gtree import assign_populations, edge_passes, mrca_and_leaves
     if sp.is_network:
+        leaves = leaf_counts(gt0, ctx.n_seq)
         pops = assign_populations(gt0, sp, ctx.tip_pop)
         passes = edge_passes(gt0, sp, pops)                   # [L, N, H]
     else:
-        msp = mrca_species(gt0, sp, ctx.tip_pop)
+        msp, leaves = mrca_and_leaves(gt0, sp, ctx.tip_pop, ctx.n_seq)
         pops = lift_population(sp, msp, jnp.clip(age, 0.0, BIG_AGE * 0.5))
 
     father = parent[lidx, i]

@@ -400,8 +400,18 @@ def make_logpr_fn(ctx: Ctx):
     reference maintains that invariant structurally; here inconsistent
     proposals are simply rejected)."""
 
-    def logpr_fn(gt: GTrees, sp: SpeciesArrays, heredity):
-        pops = assign_populations(gt, sp, ctx.tip_pop)
+    def logpr_fn(gt: GTrees, sp: SpeciesArrays, heredity, msp=None):
+        # msp: optional [L, N] species-MRCA of every gene node.  It is a
+        # topology-only quantity, so moves that fix the gene-tree
+        # topology (ages/taus/mixing) compute it ONCE and skip the
+        # per-evaluation mrca topo-scan (the per-row gathers of that
+        # scan dominate assign_populations at large L).
+        if msp is not None and not sp.is_network:
+            from ..trees.gtree import BIG_AGE, lift_population
+            age = jnp.clip(gt.age, 0.0, BIG_AGE * 0.5)
+            pops = lift_population(sp, msp, age)
+        else:
+            pops = assign_populations(gt, sp, ctx.tip_pop)
         if ctx.tip_dates is not None:
             c, t2, n_in = coal.per_pop_stats_dated(gt, sp, pops, ctx.n_seq)
         else:
