@@ -1,20 +1,34 @@
 """Pallas TPU kernel for the batched Felsenstein pruning pass.
 
-The XLA version (felsenstein.loglikelihood) pays ~100us of gather
-overhead per level step because every CLV select crosses HBM with
-per-locus indices.  Here each grid cell owns ONE locus (x one pattern
-tile) and keeps the whole CLV table in VMEM scratch, where dynamic
-node indexing is cheap:
+The XLA version (felsenstein.loglikelihood) pays ~10-20us of fixed
+per-op overhead for every per-locus gather in its level scan.  Here
+each grid cell owns ONE locus (x one pattern tile) and keeps the whole
+CLV table in VMEM scratch, where dynamic node indexing is a cheap
+address computation.
 
-  grid (L, S_tiles); scratch clv[(N, C, A, S_tile)] ~ 254 KB max
-  per level: P(t) entries computed as scalars from SMEM ages; the 4x4
-  contraction is 16 unrolled scalar*vector FMAs over [S] lanes (VPU).
+v2 design notes (the v1 kernel spent ~8 Mosaic ops per scalar stack
+building P(t) columns in vector registers):
+
+  * All transcendentals are hoisted OUT of the kernel: XLA precomputes
+    the per-(node, category) exponential factors (exp for JC69/TN93,
+    expm1(w t) for GTR) in one fused elementwise op and passes them as
+    SMEM scalars.
+  * The 4x4 contraction uses the spectral structure of each model
+    family instead of 16 generic FMAs: JC69 needs 2 vector ops + a
+    3-add row reduction; TN93 (covers K80/F81/HKY/T92/F84) needs ~15
+    row ops via its 4-eigenvalue decomposition; GTR uses the cached
+    eigen basis (T (em . (Ti x)) + x).
+  * CLVs are rescaled EVERY level by the per-site max (the v1
+    every-other-level parity scheme could compound unscaled magnitudes
+    along a lineage and underflow f32 on divergent loci).
 
 The kernel emits per-pattern site log-likelihoods [L, S]; pattern
 weighting and diploid resolution-averaging stay in XLA (reduce_root).
 
-Models: JC69, K80/F81/HKY/T92/F84 (TN93 closed form), GTR (cached
-eigendecomposition).  Gamma rate categories loop statically.
+Replaces the reference's SIMD CLV kernels (src/core_partials_*.c
+pll_core_update_partial_ii, src/core_likelihood.c
+pll_core_root_loglikelihood) and per-branch P(t) construction
+(src/core_pmatrix.c:299-587 closed forms).
 """
 
 from __future__ import annotations
@@ -30,73 +44,60 @@ from ..config import SubstModel
 
 S_TILE = 128
 
-
-def _p_entries_jc69(t):
-    """Return P as a 4x4 nested tuple of scalars for branch length t."""
-    e = jnp.exp(-4.0 / 3.0 * t)
-    diag = 0.25 + 0.75 * e
-    off = 0.25 - 0.25 * e
-    return tuple(tuple(diag if i == j else off for j in range(4))
-                 for i in range(4))
+# number of precomputed exponential factors per (node, category)
+_KFAC = {"jc69": 1, "tn93": 3, "gtr": 4}
 
 
-def _p_entries_tn93(t, fr, kappa1, kappa2):
-    """TN93 closed form as scalars; fr is a tuple of 4 scalars."""
-    pa, pc, pg, pt = fr
+def model_family(model: SubstModel) -> str:
+    if model == SubstModel.JC69:
+        return "jc69"
+    if model == SubstModel.GTR:
+        return "gtr"
+    return "tn93"           # K80/F81/HKY/T92/F84/TN93 closed form
+
+
+def efactors(model: SubstModel, t_eff, freqs, kappa1, kappa2, eigw):
+    """Per-(locus, node, cat) exponential factors [L, N, C, K] + the
+    per-locus contraction coefficients [L, 10] (TN93 family only).
+
+    ``t_eff [L, N, C]`` are rate-scaled branch lengths.  Computing
+    these OUTSIDE the kernel turns per-level scalar transcendental
+    chains into one fused XLA elementwise op.
+    """
+    fam = model_family(model)
+    if fam == "jc69":
+        e = jnp.exp(-4.0 / 3.0 * t_eff)
+        return e[..., None], None
+    if fam == "gtr":
+        em = jnp.expm1(eigw[:, None, None, :] * t_eff[..., None])
+        return em, None
+    # TN93 family: eigenvalue factors e2 (any), e3 (purine), e4 (pyr)
+    pa, pc, pg, pt = (freqs[:, a] for a in range(4))
     R = pa + pg
     Y = pc + pt
     m = 2.0 * (pa * pg * kappa1 + pc * pt * kappa2 + R * Y)
-    ts = t / m
+    ts = t_eff / m[:, None, None]
     e2 = jnp.exp(-ts)
-    e3 = jnp.exp(-(R * kappa1 + Y) * ts)
-    e4 = jnp.exp(-(Y * kappa2 + R) * ts)
-    cross = 1.0 - e2
-
-    def same(pi, pother, pgroup, eg):
-        return pi + pi * (1.0 - pgroup) / pgroup * e2 + pother / pgroup * eg
-
-    def within(pj, pgroup, eg):
-        return pj + pj * (1.0 - pgroup) / pgroup * e2 - pj / pgroup * eg
-
-    paa = same(pa, pg, R, e3)
-    pgg = same(pg, pa, R, e3)
-    pcc = same(pc, pt, Y, e4)
-    ptt = same(pt, pc, Y, e4)
-    pag = within(pg, R, e3)
-    pga = within(pa, R, e3)
-    pct = within(pt, Y, e4)
-    ptc = within(pc, Y, e4)
-    return ((paa, pc * cross, pag, pt * cross),
-            (pa * cross, pcc, pg * cross, pct),
-            (pga, pc * cross, pgg, pt * cross),
-            (pa * cross, ptc, pg * cross, ptt))
+    e3 = jnp.exp(-(R * kappa1 + Y)[:, None, None] * ts)
+    e4 = jnp.exp(-(Y * kappa2 + R)[:, None, None] * ts)
+    efac = jnp.stack([e2, e3, e4], axis=-1)
+    coefs = jnp.stack([
+        pa, pc, pg, pt,
+        (1.0 - R) / R, (1.0 - Y) / Y,
+        pg / R, pa / R, pt / Y, pc / Y,
+    ], axis=-1)
+    return efac, coefs
 
 
-def _p_entries_gtr(t, eigw, eigT, eigTi):
-    """P(t) = T expm1(w t) Ti + I with per-locus eigens (scalars)."""
-    em = [jnp.expm1(eigw[k] * t) for k in range(4)]
-    P = []
-    for i in range(4):
-        row = []
-        for j in range(4):
-            acc = 1.0 if i == j else 0.0
-            for k in range(4):
-                acc = acc + eigT[i][k] * em[k] * eigTi[k][j]
-            row.append(acc)
-        P.append(tuple(row))
-    return tuple(P)
-
-
-def _make_kernel(T: int, N: int, C: int, model: SubstModel, tiny: float):
+def _make_kernel(T: int, N: int, C: int, fam: str, K: int, tiny: float):
     """Kernel body; per-locus parameters arrive as [1, 1, X] SMEM blocks
     (one locus row each; whole-array SMEM prefetch would blow the 1 MB
     SMEM budget past a few hundred loci)."""
 
-    def kernel(order_ref, left_ref, right_ref, n_seq_ref, age_ref, mu_ref,
-               rates_ref, freqs_ref, eigw_ref, eigT_ref, eigTi_ref,
+    def kernel(order_ref, left_ref, right_ref, n_seq_ref, efac_ref,
+               freqs_ref, coef_ref, eigT_ref, eigTi_ref,
                tips_ref, out_ref, clv, cum):
         nseq = n_seq_ref[0, 0, 0]
-        mu = mu_ref[0, 0, 0]
         fr = tuple(freqs_ref[0, 0, a] for a in range(4))
 
         # load tips into scratch: tips_ref block is [1, T, A, S_tile];
@@ -106,19 +107,46 @@ def _make_kernel(T: int, N: int, C: int, model: SubstModel, tiny: float):
                                       (C,) + tips_ref.shape[2:])
         cum[:] = jnp.zeros_like(cum)
 
-        def p_entries(t_eff):
-            if model == SubstModel.JC69:
-                return _p_entries_jc69(t_eff)
-            if model == SubstModel.GTR:
-                eigw = tuple(eigw_ref[0, 0, k] for k in range(4))
-                eigT = tuple(tuple(eigT_ref[0, 0, i * 4 + k]
-                                   for k in range(4)) for i in range(4))
-                eigTi = tuple(tuple(eigTi_ref[0, 0, k * 4 + j]
-                                    for j in range(4)) for k in range(4))
-                return _p_entries_gtr(t_eff, eigw, eigT, eigTi)
-            k1 = rates_ref[0, 0, C]  # kappa1/kappa2 appended after rates
-            k2 = rates_ref[0, 0, C + 1]
-            return _p_entries_tn93(t_eff, fr, k1, k2)
+        if fam == "tn93":
+            pa, pc, pg, pt, rR, rY, cA, cG, cC, cT = (
+                coef_ref[0, 0, i] for i in range(10))
+        if fam == "gtr":
+            eigT = tuple(tuple(eigT_ref[0, 0, i * 4 + k]
+                               for k in range(4)) for i in range(4))
+            eigTi = tuple(tuple(eigTi_ref[0, 0, k * 4 + j]
+                                for j in range(4)) for k in range(4))
+
+        def contract(x, node, c):
+            """y[a, S] = sum_b P(t_node,c)[a, b] x[b, S] per model family."""
+            base = node * (C * K) + c * K
+            if fam == "jc69":
+                e = efac_ref[0, 0, base]
+                s = (x[0] + x[1]) + (x[2] + x[3])        # [S]
+                t1 = (0.25 * (1.0 - e)) * s
+                return e * x + t1[None, :]               # [A, S]
+            if fam == "tn93":
+                e2 = efac_ref[0, 0, base]
+                e3 = efac_ref[0, 0, base + 1]
+                e4 = efac_ref[0, 0, base + 2]
+                xA, xC, xG, xT = x[0], x[1], x[2], x[3]
+                WR = pa * xA + pg * xG
+                WY = pc * xC + pt * xT
+                W = WR + WY
+                UR = W + e2 * (rR * WR - WY)
+                UY = W + e2 * (rY * WY - WR)
+                dRG = e3 * (xA - xG)
+                dCT = e4 * (xC - xT)
+                return jnp.stack([UR + cA * dRG, UY + cC * dCT,
+                                  UR - cG * dRG, UY - cT * dCT])
+            # gtr: y = T (em . (Ti x)) + x
+            em = [efac_ref[0, 0, base + k] for k in range(4)]
+            z = [em[k] * (eigTi[k][0] * x[0] + eigTi[k][1] * x[1]
+                          + eigTi[k][2] * x[2] + eigTi[k][3] * x[3])
+                 for k in range(4)]
+            return jnp.stack(
+                [x[i] + eigT[i][0] * z[0] + eigT[i][1] * z[1]
+                 + eigT[i][2] * z[2] + eigT[i][3] * z[3]
+                 for i in range(4)])
 
         for k in range(T - 1):      # static unroll over levels
             @pl.when(k < nseq - 1)
@@ -126,41 +154,20 @@ def _make_kernel(T: int, N: int, C: int, model: SubstModel, tiny: float):
                 node = order_ref[0, 0, k]
                 lc = left_ref[0, 0, node]
                 rc = right_ref[0, 0, node]
-                na = age_ref[0, 0, node]
-                tl = jnp.maximum(na - age_ref[0, 0, lc], 0.0) * mu
-                tr = jnp.maximum(na - age_ref[0, 0, rc], 0.0) * mu
-
                 xl = clv[lc]                              # [C, A, S]
                 xr = clv[rc]
                 ys = []
                 for c in range(C):
-                    rate = rates_ref[0, 0, c]
-                    Pl = p_entries(tl * rate)
-                    Pr = p_entries(tr * rate)
-                    # vectorize the 4-state contraction over the output
-                    # state axis: 4 broadcast-FMAs of [A, S] shape (full
-                    # sublane use) instead of 16 one-sublane [S] ops
-                    yl = yr = None
-                    for b in range(4):
-                        cl = jnp.stack([Pl[a][b] for a in range(4)]
-                                       ).reshape(4, 1)
-                        cr = jnp.stack([Pr[a][b] for a in range(4)]
-                                       ).reshape(4, 1)
-                        yl = cl * xl[c, b][None, :] + (0.0 if yl is None
-                                                       else yl)
-                        yr = cr * xr[c, b][None, :] + (0.0 if yr is None
-                                                       else yr)
+                    yl = contract(xl[c], lc, c)
+                    yr = contract(xr[c], rc, c)
                     ys.append(yl * yr)
-                y = jnp.stack(ys)                         # [C, A, S]
-                # rescale every 2nd level: the f32 exponent headroom
-                # comfortably covers two unscaled 4-state pruning steps
-                if k % 2 == 1 or k == T - 2:
-                    m = jnp.maximum(jnp.max(y, axis=(0, 1), keepdims=True),
-                                    tiny)
-                    clv[node] = y / m
-                    cum[0] = cum[0] + jnp.log(m[0, 0])
-                else:
-                    clv[node] = y
+                y = jnp.stack(ys) if C > 1 else ys[0][None]  # [C, A, S]
+                # rescale every level: per-site max renormalization
+                # (core_partials.c:682-755 scaler analog, value-exact)
+                m = jnp.maximum(jnp.max(y, axis=(0, 1), keepdims=True),
+                                tiny)
+                clv[node] = y / m
+                cum[0] = cum[0] + jnp.log(m[0, 0])
 
         # root = order[nseq - 2] (or tip 0 for single-sequence loci)
         root = jnp.where(nseq >= 2,
@@ -177,9 +184,9 @@ def _make_kernel(T: int, N: int, C: int, model: SubstModel, tiny: float):
 
 
 @functools.partial(jax.jit, static_argnames=("model", "n_cats"))
-def site_logl_pallas(order, left, right, n_seq, age, mu, rates_kappa,
-                     freqs, eigw, eigT, eigTi, tips, *, model: SubstModel,
-                     n_cats: int):
+def site_logl_pallas(order, left, right, parent, n_seq, age, mu,
+                     rates_kappa, freqs, eigw, eigT, eigTi, tips, *,
+                     model: SubstModel, n_cats: int):
     """Per-pattern site log-likelihoods [L, S] via the VMEM kernel.
 
     ``tips`` must be [L, T, A, S] (A-major layout), S a multiple of 128.
@@ -190,8 +197,23 @@ def site_logl_pallas(order, left, right, n_seq, age, mu, rates_kappa,
     N = left.shape[1]
     C = n_cats
     tiny = 1e-30
-    kernel = _make_kernel(T, N, C, model, tiny)
+    fam = model_family(model)
+    K = _KFAC[fam]
+    kernel = _make_kernel(T, N, C, fam, K, tiny)
     n_tiles = S // S_TILE
+
+    # rate-scaled branch lengths -> exponential factors, in XLA
+    rates = rates_kappa[:, :C]
+    kappa1 = rates_kappa[:, C]
+    kappa2 = rates_kappa[:, C + 1]
+    page = jnp.take_along_axis(age, jnp.maximum(parent, 0), axis=1)
+    blen = jnp.where(parent >= 0, jnp.maximum(page - age, 0.0), 0.0) \
+        * mu[:, None]
+    t_eff = blen[:, :, None] * rates[:, None, :]            # [L, N, C]
+    efac, coefs = efactors(model, t_eff, freqs, kappa1, kappa2, eigw)
+    efac = efac.reshape(L, 1, N * C * K)
+    if coefs is None:
+        coefs = jnp.zeros((L, 10), efac.dtype)
 
     # per-locus parameter arrays are reshaped [L, 1, X] and fed as
     # (1, 1, X) SMEM blocks: block dims (1, X) match the trailing array
@@ -207,8 +229,7 @@ def site_logl_pallas(order, left, right, n_seq, age, mu, rates_kappa,
 
     smem_args = [r3(order.astype(jnp.int32)), r3(left.astype(jnp.int32)),
                  r3(right.astype(jnp.int32)), r3(n_seq.astype(jnp.int32)),
-                 r3(age), r3(mu), r3(rates_kappa), r3(freqs), r3(eigw),
-                 r3(eigT), r3(eigTi)]
+                 efac, r3(freqs), r3(coefs), r3(eigT), r3(eigTi)]
     in_specs = [smem_spec(a) for a in smem_args] + [
         pl.BlockSpec((1, T, A, S_TILE), lambda l, s: (l, 0, 0, s)),
     ]

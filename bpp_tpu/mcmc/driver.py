@@ -18,7 +18,6 @@ import numpy as np
 
 from ..config import BppConfig, Method
 from ..core import felsenstein as fe
-from ..core import incremental
 from ..loader import RunData, init_tau_theta
 from ..trees import coalescent as coalmod
 from ..trees.gtree import GTrees, init_gtrees, species_arrays
@@ -270,10 +269,6 @@ class Engine:
                     "theta integration ('e' flag) requires an inverse-"
                     "gamma thetaprior (the conjugate form the analytic "
                     "marginalization uses)")
-            if run.stree.n_hybrids > 0:
-                raise NotImplementedError(
-                    "MSC-I networks with integrated-out thetas are not "
-                    "yet supported; drop the 'e' flag")
         if cfg.datefile:
             # reference restrictions (cfile.c:2878-2891, 3486-3490):
             # A00 only, global clock, locusrate = 3 (MUTRATE_ONLY)
@@ -384,6 +379,7 @@ class Engine:
             theta_link=theta_link,
             prior_a11_log=prior_a11_log,
             custom=custom,
+            integrated=bool(cfg.theta_integrated),
         )
         self._logl_fn = make_logl_fn(self.ctx, cfg)
         self._logpr_fn = make_logpr_fn(self.ctx)
@@ -575,8 +571,9 @@ class Engine:
         logpr, c0, t20 = self._logpr_fn(gt, sp, subst.heredity)
         coal = t2h = None
         if cfg.theta_integrated:
+            # logpr holds the theta-FREE per-locus part (MSC-I phi
+            # terms; zeros for trees) — see make_logpr_fn
             coal, t2h = c0, t20
-            logpr = jnp.zeros_like(logpr)     # per-locus cache unused
         trait = None
         if self.ctx.trait_fn is not None:
             # brates start at 1 (trait_init morph.c:832)
@@ -740,12 +737,11 @@ class Engine:
                 ctx, cfg, state, jax.random.fold_in(keys[9], 1))
             stats = stats.at[MV_TRAIT].add(jnp.stack([p, a]))
 
-        # float32 tie repair (see trees.gtree.detie_ages): the rubber-band
-        # maps can collapse parent-child age gaps to exact ties; bump by
-        # ulps so the next iteration's sweeps see strict ordering
-        from ..trees.gtree import detie_ages
-        state = state._replace(gt=detie_ages(state.gt, ctx.n_seq))
-
+        # float32 ties (rubber-band maps collapsing parent-child gaps
+        # below one ulp) are tolerated rather than repaired: the
+        # age-sorted traversal breaks ties by depth (inner_order) and
+        # the age move skips degenerate windows, so the next proposal
+        # separates them again
         return state, stats
 
     def _step_mig(self, state: McmcState, keys, stats):
@@ -811,8 +807,6 @@ class Engine:
                                                        keys[5])
             stats = stats.at[MV_LRHT].add(jnp.stack([p, a]))
 
-        from ..trees.gtree import detie_ages
-        state = state._replace(gt=detie_ages(state.gt, ctx.n_seq))
         return state, stats
 
     def step(self, state: McmcState, key):

@@ -27,7 +27,6 @@ from ..trees.gtree import (
     BIG_AGE, GTrees, SpeciesArrays, assign_populations, lift_population,
     lift_population_net, mrca_species, topo_scan,
 )
-from ..core.incremental import ClvCache, stale_walk
 from . import rng
 from .gibbs import gamma_conditional_approx
 from .state import (
@@ -42,249 +41,6 @@ def _psum_if_sharded(x):
     """Cross-shard reduction hook; identity for single-process jit (XLA
     computes global sums across sharded axes automatically under jit)."""
     return x
-
-
-# --------------------------------------------------------------------------
-# gene-node age sweep (gtree.c:4585)
-# --------------------------------------------------------------------------
-
-
-def age_sweep(ctx: Ctx, cfg: BppConfig, state: McmcState, key,
-              cache: ClvCache):
-    gt, sp = state.gt, state.sp
-    L, N, T = gt.n_loci, gt.n_nodes, gt.n_tips
-    lidx = jnp.arange(L)
-    logpr_fn = make_logpr_fn(ctx)
-    msp = mrca_species(gt, sp, ctx.tip_pop)      # topology-static in this sweep
-    eps = state.finetune[FT_GTAGE]
-    walk_kw = dict(subst=state.subst, model=cfg.model, weights=ctx.weights,
-                   res_map=ctx.res_map, res_count=ctx.res_count)
-
-    def step(carry, inp):
-        age, cache, logl, logpr, nprop, nacc = carry
-        k, kkey = inp
-        node = T + k
-        valid = (k < ctx.n_seq - 1) & ctx.locus_mask
-
-        lc = gt.left[:, node]
-        rc = gt.right[:, node]
-        la = age[lidx, lc]
-        ra = age[lidx, rc]
-        pop_lc = lift_population(sp, msp[lidx, lc], la)
-        pop_rc = lift_population(sp, msp[lidx, rc], ra)
-        mrca_pop = sp.mrca[pop_lc, pop_rc]
-        minage = jnp.maximum(jnp.maximum(la, ra), sp.tau[mrca_pop])
-        par = gt.parent[:, node]
-        maxage = jnp.where(par >= 0, age[lidx, jnp.maximum(par, 0)],
-                           MAXAGE_CAP)
-
-        k1, k2 = jax.random.split(kkey)
-        tnew = rng.reflect(age[:, node] + eps * rng.bactrian(k1, (L,), dtype=eps.dtype),
-                           minage, maxage)
-        age_new = age.at[:, node].set(jnp.where(valid, tnew, age[:, node]))
-
-        gtn = gt._replace(age=age_new)
-        node_arr = jnp.full((L,), node, jnp.int32)
-        if cfg.usedata:
-            logl_new, _ = stale_walk(gtn, sp, cache, node_arr, valid=valid,
-                                     **walk_kw)
-        else:
-            logl_new = jnp.zeros_like(logl)
-        logpr_new, _, _ = logpr_fn(gtn, sp, state.subst.heredity)
-
-        lnacc = (logl_new - logl) + (logpr_new - logpr)
-        accept = rng.mh_accept(k2, lnacc) & valid
-        # commit walk also maintains the cache's msp/leaves bookkeeping,
-        # so it runs even when the likelihood is off
-        _, cache = stale_walk(gtn, sp, cache, node_arr, valid=valid,
-                              commit_mask=accept, **walk_kw)
-        age = jnp.where(accept[:, None], age_new, age)
-        logl = jnp.where(accept, logl_new, logl)
-        logpr = jnp.where(accept, logpr_new, logpr)
-        nprop = nprop + valid.sum(dtype=jnp.int32)
-        nacc = nacc + accept.sum(dtype=jnp.int32)
-        return (age, cache, logl, logpr, nprop, nacc), None
-
-    keys = jax.random.split(key, T - 1)
-    init = (gt.age, cache, state.logl, state.logpr,
-            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    (age, cache, logl, logpr, nprop, nacc), _ = jax.lax.scan(
-        step, init, (jnp.arange(T - 1, dtype=jnp.int32), keys))
-    new_state = state._replace(gt=gt._replace(age=age), logl=logl, logpr=logpr)
-    return new_state, (nprop, nacc), cache
-
-
-# --------------------------------------------------------------------------
-# gene-tree SPR sweep (gtree.c:6531)
-# --------------------------------------------------------------------------
-
-
-def _select_uniform(key, mask):
-    """Uniformly select one True index per row of mask [L, N]."""
-    L = mask.shape[0]
-    count = mask.sum(axis=1)
-    r = jax.random.uniform(key, (L,))
-    sel_rank = jnp.floor(r * count).astype(jnp.int32)
-    sel_rank = jnp.minimum(sel_rank, jnp.maximum(count - 1, 0))
-    cum = jnp.cumsum(mask, axis=1) - mask  # rank of each True element
-    hit = mask & (cum == sel_rank[:, None])
-    return jnp.argmax(hit, axis=1).astype(jnp.int32), count
-
-
-def spr_sweep(ctx: Ctx, cfg: BppConfig, state: McmcState, key,
-              cache: ClvCache):
-    gt0, sp = state.gt, state.sp
-    L, N, T = gt0.n_loci, gt0.n_nodes, gt0.n_tips
-    lidx = jnp.arange(L)
-    nodes_idx = jnp.arange(N)[None, :]
-    logpr_fn = make_logpr_fn(ctx)
-    eps = state.finetune[FT_GTSPR]
-    walk_kw = dict(subst=state.subst, model=cfg.model, weights=ctx.weights,
-                   res_map=ctx.res_map, res_count=ctx.res_count)
-
-    # gene leaves per population: number of sampled tips whose species is
-    # a descendant-or-self of h (static through the sweep)
-    tipmask = nodes_idx[:, :T] < ctx.n_seq[:, None]
-    glv = (sp.pptable[ctx.tip_pop] & tipmask[..., None]).sum(1)   # [L, H]
-    depth = sp.pptable.sum(-1).astype(jnp.int32)                  # [H]
-
-    def step(carry, inp):
-        left, right, parent, age, cache, logl, logpr, nprop, nacc = carry
-        i, kkey = inp                  # i: candidate curnode index 0..N-1
-        valid_nodes = (nodes_idx < ctx.n_seq[:, None]) | (
-            (nodes_idx >= T) & (nodes_idx < T + ctx.n_seq[:, None] - 1))
-
-        father = parent[:, i]
-        is_valid = (parent[:, i] >= 0) & valid_nodes[:, i] & ctx.locus_mask
-        father_s = jnp.maximum(father, 0)
-        fleft = left[lidx, father_s]
-        sibling = jnp.where(fleft == i, right[lidx, father_s], fleft)
-
-        # populations from cached species-MRCAs + ages (no tree traversal)
-        pops = lift_population(
-            sp, cache.msp, jnp.clip(age, 0.0, BIG_AGE * 0.5))
-        leaves = cache.leaves
-
-        # youngest ancestor population of curnode's pop with other lineages
-        cur_pop = pops[:, i]
-        cand = sp.pptable[cur_pop] & (glv > leaves[:, i][:, None])
-        score = jnp.where(cand, depth[None, :], -1)
-        pop_min = jnp.argmax(score, axis=1)
-        minage = jnp.maximum(age[:, i], sp.tau[pop_min])
-
-        k1, k2, k3 = jax.random.split(kkey, 3)
-        f_age = age[lidx, father_s]
-        tnew = rng.reflect(f_age + eps * rng.bactrian(k1, (L,), dtype=eps.dtype),
-                           minage, MAXAGE_CAP)
-        pop_target = lift_population(sp, cur_pop, tnew)
-
-        # --- target branches ------------------------------------------------
-        page = jnp.where(parent >= 0,
-                         jnp.take_along_axis(age, jnp.maximum(parent, 0), 1),
-                         -jnp.inf)
-        order_root = jnp.argmax(
-            jnp.where(valid_nodes & (nodes_idx >= T), age, -jnp.inf),
-            axis=1).astype(jnp.int32)
-        root_age = age[lidx, order_root]
-        spans = (age <= tnew[:, None]) & (tnew[:, None] < page)
-        in_pop = sp.pptable[pops, pop_target[:, None]]
-        tmask = (valid_nodes & spans & in_pop
-                 & (nodes_idx != i)
-                 & (nodes_idx != order_root[:, None]))
-        above_root = tnew >= root_age
-        sel, tcount = _select_uniform(k2, tmask)
-        target = jnp.where(above_root, order_root, sel)
-        tcount = jnp.where(above_root, 1, tcount)
-        target = jnp.where(target == father, sibling, target)
-
-        # --- source branches (reverse-move targets) -------------------------
-        f_pop = pops[lidx, father_s]
-        sspans = (age <= f_age[:, None]) & (f_age[:, None] < page)
-        s_in_pop = sp.pptable[pops, f_pop[:, None]]
-        smask = (valid_nodes & sspans & s_in_pop
-                 & (nodes_idx != i) & (nodes_idx != order_root[:, None])
-                 & (nodes_idx != sibling[:, None])
-                 & (nodes_idx != father_s[:, None]))
-        father_is_root = father_s == order_root
-        scount = 1 + jnp.where(father_is_root, 0, smask.sum(axis=1))
-
-        ok = is_valid & (tcount > 0)
-
-        # --- build proposed arrays ------------------------------------------
-        do_topo = ok & (target != sibling) & (target != father_s)
-
-        def write(arr, row_ok, col, val):
-            col_s = jnp.where(row_ok, col, 0)
-            old = arr[lidx, col_s]
-            return arr.at[lidx, col_s].set(jnp.where(row_ok, val, old))
-
-        grandpa = parent[lidx, father_s]
-        has_gp = grandpa >= 0
-        gp_s = jnp.maximum(grandpa, 0)
-
-        nl, nr, np_, na = left, right, parent, age
-        # detach: replace father by sibling under grandpa
-        repl_l = do_topo & has_gp & (left[lidx, gp_s] == father_s)
-        repl_r = do_topo & has_gp & (right[lidx, gp_s] == father_s)
-        nl = write(nl, repl_l, gp_s, sibling)
-        nr = write(nr, repl_r, gp_s, sibling)
-        np_ = write(np_, do_topo, sibling, grandpa)
-        # attach father above target
-        tpar = parent[lidx, jnp.where(do_topo, target, 0)]
-        tpar = jnp.where(do_topo, tpar, 0)
-        tpar_s = jnp.maximum(tpar, 0)
-        repl_tl = do_topo & (tpar >= 0) & (nl[lidx, tpar_s] == target)
-        repl_tr = do_topo & (tpar >= 0) & (nr[lidx, tpar_s] == target)
-        nl = write(nl, repl_tl, tpar_s, father_s)
-        nr = write(nr, repl_tr, tpar_s, father_s)
-        np_ = write(np_, do_topo, father_s, tpar)
-        nl = write(nl, do_topo, father_s, jnp.broadcast_to(i.astype(jnp.int32), father_s.shape))
-        nr = write(nr, do_topo, father_s, target)
-        np_ = write(np_, do_topo, target, father_s)
-        # father's new age (also when no topology change)
-        na = write(na, ok, father_s, tnew)
-
-        gtn = GTrees(nl, nr, np_, na, state.gt.hpath)
-        # stale chains: B = father (new children/age); A = old grandparent
-        # (its children changed by the detach), where a detach happened
-        activeA = do_topo & has_gp
-        if cfg.usedata:
-            logl_new, _ = stale_walk(
-                gtn, sp, cache, father_s, startA=gp_s, activeA=activeA,
-                valid=ok, **walk_kw)
-        else:
-            logl_new = jnp.zeros_like(logl)
-        logpr_new, _, _ = logpr_fn(gtn, sp, state.subst.heredity)
-
-        lnacc = (logl_new - logl) + (logpr_new - logpr) + jnp.log(
-            jnp.maximum(tcount, 1) / jnp.maximum(scount, 1))
-        accept = rng.mh_accept(k3, lnacc) & ok
-        # commit walk also maintains msp/leaves; runs even with data off
-        _, cache = stale_walk(
-            gtn, sp, cache, father_s, startA=gp_s, activeA=activeA,
-            valid=ok, commit_mask=accept, **walk_kw)
-        am = accept[:, None]
-        left = jnp.where(am, nl, left)
-        right = jnp.where(am, nr, right)
-        parent = jnp.where(am, np_, parent)
-        age = jnp.where(am, na, age)
-        logl = jnp.where(accept, logl_new, logl)
-        logpr = jnp.where(accept, logpr_new, logpr)
-        nprop = nprop + is_valid.sum(dtype=jnp.int32)
-        nacc = nacc + accept.sum(dtype=jnp.int32)
-        return (left, right, parent, age, cache, logl, logpr, nprop, nacc), None
-
-    keys = jax.random.split(key, N)
-    iters = jnp.arange(N, dtype=jnp.int32)
-    init = (gt0.left, gt0.right, gt0.parent, gt0.age, cache,
-            state.logl, state.logpr,
-            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    (left, right, parent, age, cache, logl, logpr, nprop, nacc), _ = \
-        jax.lax.scan(step, init, (iters, keys))
-    new_state = state._replace(
-        gt=GTrees(left, right, parent, age, state.gt.hpath), logl=logl,
-        logpr=logpr)
-    return new_state, (nprop, nacc), cache
 
 
 # --------------------------------------------------------------------------
@@ -380,6 +136,16 @@ def theta_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
 
 def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
+    """Blocked tau rubber-band move (stree.c:5512 + 4338), TPU-first.
+
+    Species inner nodes at even/odd depth form independent sets: a
+    node's window is [max(tau_children), tau_parent], all of the other
+    parity, and the affected gene-node sets {h, left(h), right(h)} of
+    same-parity nodes are disjoint.  So the NS-1 per-node passes of the
+    reference collapse into TWO jointly-proposed phases with one
+    likelihood pass each (the products of the independent per-node
+    Jacobians and proposal ratios simply add in log space).
+    """
     sp0 = state.sp
     H = sp0.n_nodes
     NS = sp0.n_tips
@@ -388,107 +154,142 @@ def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     L = state.gt.n_loci
     T = state.gt.n_tips
     N = state.gt.n_nodes
-    lidx = jnp.arange(L)
     logl_fn = make_logl_fn(ctx, cfg)
     logpr_fn = make_logpr_fn(ctx)
     gamma_tau = cfg.tauprior.dist == PriorDist.GAMMA
     a, b = cfg.tauprior.alpha, cfg.tauprior.beta
     eps = state.finetune[FT_TAU]
     nodes_idx = jnp.arange(N)[None, :]
+    hidx = jnp.arange(H)
     # correlated-LN branch-rate prior depends on the taus (branch
     # midpoints): include its delta like stree.c:4763-4768
     from ..config import Clock
     corr_ln = (state.clock is not None and cfg.clock == Clock.CORRELATED
                and cfg.clock_rate_prior == 0)
-    lnrates0 = (state.clock.lnrates if state.clock is not None
-                else jnp.zeros_like(state.logl))
     integ = cfg.theta_integrated
     if integ:
         from . import notheta
-        coal0, t20 = state.coal, state.t2h
-        lpg0 = notheta.total_integrated(cfg, coal0, t20,
-                                        state.subst.heredity, ctx.locus_mask)
-    else:
-        coal0 = t20 = jnp.zeros((), state.logl.dtype)
-        lpg0 = jnp.zeros((), state.logl.dtype)
-    # morphological trait likelihood depends on the taus (stree.c:6268
-    # opt_traitfile block in propose_tau)
     has_trait = ctx.trait_fn is not None
-    tlogl0 = (state.trait.logl if has_trait
-              else jnp.zeros((), state.logl.dtype))
-    # gene-tree topology is fixed across the whole tau sweep: one mrca
-    # topo-scan up front replaces per-body assign_populations
+    # gene-tree topology is fixed across the whole move: one species-MRCA
+    # pass replaces per-phase assign_populations
     msp = mrca_species(state.gt, sp0, ctx.tip_pop)
+    # depth parity from the ancestry table (pptable row-sum = depth + 1)
+    parity = (sp0.pptable.sum(1).astype(jnp.int32) + 1) % 2
+    is_inner_sp = hidx >= NS
+    is_inner_g = (nodes_idx >= T) & (nodes_idx < T + ctx.n_seq[:, None] - 1)
+    gmask = is_inner_g & ctx.locus_mask[:, None]
 
-    def body(h_off, carry):
-        age, tau, logl, logpr, lnrates, coal_c, t2_c, lpg, tlogl, kkey, \
-            nprop, nacc = carry
-        h = NS + h_off
-        kkey, k1, k2 = jax.random.split(kkey, 3)
-        told = tau[h]
-        active = told > 0.0
+    age, tau = state.gt.age, sp0.tau
+    logl, logpr = state.logl, state.logpr
+    lnrates = (state.clock.lnrates if state.clock is not None
+               else jnp.zeros_like(state.logl))
+    coal_c, t2_c = state.coal, state.t2h
+    tlogl = (state.trait.logl if has_trait
+             else jnp.zeros((), state.logl.dtype))
+    nprop = jnp.zeros((), jnp.int32)
+    nacc = jnp.zeros((), jnp.int32)
 
-        lh = sp0.left[h]
-        rh = sp0.right[h]
-        ph = sp0.parent[h]
+    n_phases = 1 if NS == 2 else 2
+    for phase in range(n_phases):
+        key, k1, k2 = jax.random.split(key, 3)
+        prop = is_inner_sp & (parity == phase) & (tau > 0.0)
+
+        lh = jnp.maximum(sp0.left, 0)
+        rh = jnp.maximum(sp0.right, 0)
         minage = jnp.maximum(tau[lh], tau[rh])
         if ctx.date_lmax is not None:
             # tip dating: tau must stay above the oldest dated sample
             # below this node (stree.c:5619 l_constraint check)
-            minage = jnp.maximum(minage, ctx.date_lmax[h] * state.mubar)
-        maxage = jnp.where(ph >= 0, tau[jnp.maximum(ph, 0)], MAXAGE_CAP)
-        tnew = rng.reflect(told + eps * rng.bactrian(k1, dtype=eps.dtype), minage, maxage)
-
-        # (ulp(999) ~ 6e-5 >> age gaps), collapsing distinct ages; the
-        # delta form rounds at ulp(age) instead
+            minage = jnp.maximum(minage, ctx.date_lmax * state.mubar)
+        maxage = jnp.where(sp0.parent >= 0,
+                           tau[jnp.maximum(sp0.parent, 0)], MAXAGE_CAP)
+        # a degenerate window (parent tau == child tau from float
+        # rounding) would make reflect() divide by zero; skip the node
+        prop = prop & (maxage > minage)
+        tnew = rng.reflect(tau + eps * rng.bactrian(k1, (H,),
+                                                    dtype=eps.dtype),
+                           minage, maxage)
+        tnew = jnp.where(prop, tnew, tau)
         # delta-form rubber band: "maxage + maxf*(age-maxage)" cancels
         # catastrophically in float32 when maxage is the 999 cap
-        dt = tnew - told
-
-        tau_new = tau.at[h].set(tnew)
+        dt = tnew - tau
+        tau_new = jnp.where(prop, tnew, tau)
         sp_cur = sp0._replace(tau=tau)
         sp_new = sp0._replace(tau=tau_new)
 
-        # affected gene nodes: in pops {h, lh, rh}, age in (minage, maxage)
+        # governing proposed node per population: itself, or its parent
+        # (children of a proposing node are the other parity, so the
+        # assignment is unique)
+        par_s = jnp.maximum(sp0.parent, 0)
+        gov = jnp.where(prop, hidx,
+                        jnp.where((sp0.parent >= 0) & prop[par_s],
+                                  par_s, -1))
+        # per-gene-node rubber-band parameters, gathered via one-hot
+        # over the (tiny) population axis
         pops = lift_population(sp_cur, msp, jnp.clip(age, 0.0, BIG_AGE * 0.5))
-        is_inner = (nodes_idx >= T) & (nodes_idx < T + ctx.n_seq[:, None] - 1)
-        in_aff = (pops == h) | (pops == lh) | (pops == rh)
-        window = (age > minage) & (age < maxage)
-        cond = is_inner & in_aff & window & ctx.locus_mask[:, None]
-        above = cond & (age >= told)
-        below = cond & (age < told)
+        gov_ok = gov >= 0
+        gov_s = jnp.maximum(gov, 0)
+        # log min/max rubber factors per species node (stable log1p form)
+        ln_maxf = jnp.log1p(dt / jnp.where(prop, tau - maxage, 1.0))
+        ln_minf = jnp.log1p(dt / jnp.where(prop, tau - minage, 1.0))
+        params = jnp.stack([
+            jnp.where(gov_ok, minage[gov_s], 0.0),
+            jnp.where(gov_ok, maxage[gov_s], 1.0),
+            jnp.where(gov_ok, tau[gov_s], 0.5),
+            jnp.where(gov_ok, dt[gov_s], 0.0),
+            gov_ok.astype(tau.dtype),
+            jnp.where(gov_ok, ln_maxf[gov_s], 0.0),
+            jnp.where(gov_ok, ln_minf[gov_s], 0.0),
+        ], axis=-1)                                        # [H, 7]
+        oh = (pops[..., None] == hidx).astype(tau.dtype)   # [L, N, H]
+        gp = jnp.einsum("lnh,hp->lnp", oh, params)         # [L, N, 7]
+        g_min, g_max, g_told, g_dt, g_gov, g_lmaxf, g_lminf = (
+            gp[..., i] for i in range(7))
+
+        cond = gmask & (g_gov > 0.5) & (age > g_min) & (age < g_max)
+        above = cond & (age >= g_told)
+        below = cond & (age < g_told)
         age_new = jnp.where(
-            above, age + dt * (maxage - age) / (maxage - told),
-            jnp.where(below, age + dt * (age - minage) / (told - minage),
-                      age))
-        ca = _psum_if_sharded(above.sum())
-        cb = _psum_if_sharded(below.sum())
+            above, age + g_dt * (g_max - age) / (g_max - g_told),
+            jnp.where(below,
+                      age + g_dt * (age - g_min) / (g_told - g_min), age))
+        # Jacobian: sum over moved gene nodes of their governing node's
+        # log min/max factor (= count_above*log maxf + count_below*log
+        # minf per species node, threads.c:544-582 reduction)
+        jac = _psum_if_sharded(jnp.sum(
+            jnp.where(above, g_lmaxf, 0.0)
+            + jnp.where(below, g_lminf, 0.0)))
 
         gtn = state.gt._replace(age=age_new)
         logl_new = logl_fn(gtn, state.subst, sp_new, state.clock)
-        logpr_new, c_new, t2_new = logpr_fn(gtn, sp_new, state.subst.heredity,
-                                            msp=msp)
+        logpr_new, c_new, t2_new = logpr_fn(gtn, sp_new,
+                                            state.subst.heredity, msp=msp)
         if integ:
             lpg_new = notheta.total_integrated(
                 cfg, c_new, t2_new, state.subst.heredity, ctx.locus_mask)
-            dpr = lpg_new - lpg
+            lpg_old = notheta.total_integrated(
+                cfg, coal_c, t2_c, state.subst.heredity, ctx.locus_mask)
+            # logpr carries the theta-free per-locus part (MSC-I phi
+            # terms; zeros for trees)
+            dpr = (lpg_new - lpg_old
+                   + _psum_if_sharded(jnp.sum(logpr_new - logpr)))
         else:
-            lpg_new = lpg
             dpr = _psum_if_sharded(jnp.sum(logpr_new - logpr))
 
-        ln_maxf = jnp.log1p(dt / (told - maxage))   # = log(maxf), stable
-        ln_minf = jnp.log1p(dt / (told - minage))   # = log(minf), stable
-        lnacc = (ca * ln_maxf + cb * ln_minf
-                 + _psum_if_sharded(jnp.sum(logl_new - logl)) + dpr)
-        is_root = ph < 0
+        lnacc = jac + _psum_if_sharded(jnp.sum(logl_new - logl)) + dpr
+        # root-tau prior term (only when the root proposes this phase)
+        root = sp0.root
         cand = jnp.sum(tau[NS:] > 0).astype(tau.dtype)
+        t_r, tn_r = tau[root], tau_new[root]
+        t_rs = jnp.maximum(t_r, 1e-300)
+        tn_rs = jnp.maximum(tn_r, 1e-300)
         if gamma_tau:
-            root_term = (a - 1.0 - cand + 1.0) * jnp.log(tnew / told) \
-                - b * (tnew - told)
+            root_term = (a - 1.0 - cand + 1.0) * jnp.log(tn_rs / t_rs) \
+                - b * (tn_r - t_r)
         else:
-            root_term = (-a - 1.0 - cand + 1.0) * jnp.log(tnew / told) \
-                - b * (1.0 / tnew - 1.0 / told)
-        lnacc = lnacc + jnp.where(is_root, root_term, 0.0)
+            root_term = (-a - 1.0 - cand + 1.0) * jnp.log(tn_rs / t_rs) \
+                - b * (1.0 / tn_rs - 1.0 / t_rs)
+        lnacc = lnacc + jnp.where(prop[root], root_term, 0.0)
 
         if corr_ln:
             from .clock_moves import lnprior_rates
@@ -503,7 +304,8 @@ def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         else:
             tl_new = tlogl
 
-        accept = rng.mh_accept(k2, lnacc) & active
+        any_prop = prop.any()
+        accept = rng.mh_accept(k2, lnacc) & any_prop
         age = jnp.where(accept, age_new, age)
         tau = jnp.where(accept, tau_new, tau)
         logl = jnp.where(accept, logl_new, logl)
@@ -513,17 +315,10 @@ def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         if integ:
             coal_c = jnp.where(accept, c_new, coal_c)
             t2_c = jnp.where(accept, t2_new, t2_c)
-            lpg = jnp.where(accept, lpg_new, lpg)
-        nprop = nprop + active.astype(jnp.int32)
-        nacc = nacc + accept.astype(jnp.int32)
-        return (age, tau, logl, logpr, lnrates, coal_c, t2_c, lpg, tlogl,
-                kkey, nprop, nacc)
+        np_ = prop.sum(dtype=jnp.int32)
+        nprop = nprop + np_
+        nacc = nacc + jnp.where(accept, np_, 0)
 
-    init = (state.gt.age, sp0.tau, state.logl, state.logpr, lnrates0,
-            coal0, t20, lpg0, tlogl0, key,
-            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    age, tau, logl, logpr, lnrates, coal_c, t2_c, _, tlogl, _, nprop, \
-        nacc = jax.lax.fori_loop(0, NS - 1, body, init)
     new_state = state._replace(
         gt=state.gt._replace(age=age), sp=sp0._replace(tau=tau),
         logl=logl, logpr=logpr)
@@ -650,6 +445,8 @@ def mixing_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     lnacc = lnacc + _psum_if_sharded(jnp.sum(logl_new - state.logl))
     if cfg.theta_integrated:
         from . import notheta
+        # per-locus theta-free part (MSC-I phi terms) + coupled part
+        lnacc = lnacc + _psum_if_sharded(jnp.sum(logpr_new - state.logpr))
         lnacc = lnacc + (
             notheta.total_integrated(cfg, c_new, t2_new,
                                      state.subst.heredity, ctx.locus_mask)
@@ -671,7 +468,7 @@ def mixing_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     if ctx.trait_fn is not None:
         cand = cand._replace(trait=state.trait._replace(logl=tl_new))
     if cfg.theta_integrated:
-        cand = cand._replace(coal=c_new, t2h=t2_new, logpr=state.logpr)
+        cand = cand._replace(coal=c_new, t2h=t2_new)
     if (state.clock is not None and cfg.clock == Clock.CORRELATED
             and cfg.clock_rate_prior == 0):
         from .clock_moves import lnprior_rates
@@ -752,6 +549,10 @@ def age_block_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         maxage = jnp.where(gt.parent >= 0,
                            jnp.take_along_axis(age, par_s, 1), MAXAGE_CAP)
 
+        # degenerate window (float32 parent==child tie): reflect() would
+        # divide by zero; skip such nodes this round (their parent's or
+        # children's proposals re-open the window)
+        mask = mask & (maxage > minage)
         tnew = rng.reflect(age + eps * rng.bactrian(k1, (L, N),
                                                     dtype=eps.dtype),
                            minage, maxage)
@@ -762,15 +563,18 @@ def age_block_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         amask = ctx.locus_mask & mask.any(1)
         if integ:
             from . import notheta
+            # logpr holds the theta-free part (MSC-I phi terms / route
+            # validity; zeros on trees) — it factorizes over loci
             accept = notheta.scan_accept(
-                k2, cfg, logl_new - logl, coal_c, t2_c, hered,
+                k2, cfg, (logl_new - logl) + (logpr_new - logpr),
+                coal_c, t2_c, hered,
                 c_new, t2_new, hered, amask, ctx.locus_mask)
             coal_c = jnp.where(accept[:, None], c_new, coal_c)
             t2_c = jnp.where(accept[:, None], t2_new, t2_c)
         else:
             lnacc = (logl_new - logl) + (logpr_new - logpr)
             accept = rng.mh_accept(k2, lnacc) & amask
-            logpr = jnp.where(accept, logpr_new, logpr)
+        logpr = jnp.where(accept, logpr_new, logpr)
         age = jnp.where(accept[:, None], age_new, age)
         logl = jnp.where(accept, logl_new, logl)
         nprop = nprop + amask.sum(dtype=jnp.int32)
@@ -781,6 +585,18 @@ def age_block_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     if integ:
         new_state = new_state._replace(coal=coal_c, t2h=t2_c)
     return new_state, (nprop, nacc)
+
+
+def _select_uniform(key, mask):
+    """Uniformly select one True index per row of mask [L, N]."""
+    L = mask.shape[0]
+    count = mask.sum(axis=1)
+    r = jax.random.uniform(key, (L,))
+    sel_rank = jnp.floor(r * count).astype(jnp.int32)
+    sel_rank = jnp.minimum(sel_rank, jnp.maximum(count - 1, 0))
+    cum = jnp.cumsum(mask, axis=1) - mask  # rank of each True element
+    hit = mask & (cum == sel_rank[:, None])
+    return jnp.argmax(hit, axis=1).astype(jnp.int32), count
 
 
 def spr_round_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
@@ -928,7 +744,8 @@ def spr_round_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         from . import notheta
         hered = state.subst.heredity
         accept = notheta.scan_accept(
-            k3, cfg, (logl_new - logl) + dprop, state.coal, state.t2h,
+            k3, cfg, (logl_new - logl) + (logpr_new - logpr) + dprop,
+            state.coal, state.t2h,
             hered, c_new, t2_new, hered, ok, ctx.locus_mask)
         new_state = new_state._replace(
             coal=jnp.where(accept[:, None], c_new, state.coal),
@@ -936,7 +753,7 @@ def spr_round_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     else:
         lnacc = (logl_new - logl) + (logpr_new - logpr) + dprop
         accept = rng.mh_accept(k3, lnacc) & ok
-        logpr = jnp.where(accept, logpr_new, logpr)
+    logpr = jnp.where(accept, logpr_new, logpr)
     am = accept[:, None]
     left = jnp.where(am, nl, left)
     right = jnp.where(am, nr, right)

@@ -124,8 +124,12 @@ def tau_move_net(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
                                         dtype=jnp.bool_) & tie)
         return grp
 
+    integ = cfg.theta_integrated
+    if integ:
+        from . import notheta
+
     def body(off, carry):
-        age, tau, logl, logpr, kkey, nprop, nacc = carry
+        age, tau, logl, logpr, coal_c, t2_c, kkey, nprop, nacc = carry
         h = NS + off
         kkey, k1, k2 = jax.random.split(kkey, 3)
         free = sp0.tau_free[h]
@@ -174,7 +178,21 @@ def tau_move_net(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
         gtn = state.gt._replace(age=age_new)
         logl_new = logl_fn(gtn, state.subst, sp_new, state.clock)
-        logpr_new, _, _ = logpr_fn(gtn, sp_new, state.subst.heredity)
+        logpr_new, c_new, t2_new = logpr_fn(gtn, sp_new,
+                                            state.subst.heredity)
+        if integ:
+            # logpr is the theta-free per-locus part (phi terms /
+            # validity); the coupled theta-marginalized part comes from
+            # the (coal, t2h) caches (gtree.c:3780 analog)
+            dpr = (_psum_if_sharded(jnp.sum(logpr_new - logpr))
+                   + notheta.total_integrated(
+                       cfg, c_new, t2_new, state.subst.heredity,
+                       ctx.locus_mask)
+                   - notheta.total_integrated(
+                       cfg, coal_c, t2_c, state.subst.heredity,
+                       ctx.locus_mask))
+        else:
+            dpr = _psum_if_sharded(jnp.sum(logpr_new - logpr))
 
         ln_maxf = jnp.log1p(dt / (told - maxage))
         ln_minf = jnp.log1p(dt / (told - minage))
@@ -187,7 +205,7 @@ def tau_move_net(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
                 - b * (1.0 / tnew - 1.0 / told)
         lnacc = (ca * ln_maxf + cb * ln_minf
                  + _psum_if_sharded(jnp.sum(logl_new - logl))
-                 + _psum_if_sharded(jnp.sum(logpr_new - logpr))
+                 + dpr
                  + jnp.where(is_root, root_term, 0.0))
 
         accept = rng.mh_accept(k2, lnacc) & free & (told > 0)
@@ -195,17 +213,25 @@ def tau_move_net(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         tau = jnp.where(accept, tau_new, tau)
         logl = jnp.where(accept, logl_new, logl)
         logpr = jnp.where(accept, logpr_new, logpr)
+        if integ:
+            coal_c = jnp.where(accept, c_new, coal_c)
+            t2_c = jnp.where(accept, t2_new, t2_c)
         nprop = nprop + free.astype(jnp.int32)
         nacc = nacc + accept.astype(jnp.int32)
-        return (age, tau, logl, logpr, kkey, nprop, nacc)
+        return (age, tau, logl, logpr, coal_c, t2_c, kkey, nprop, nacc)
 
-    init = (state.gt.age, sp0.tau, state.logl, state.logpr, key,
-            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    age, tau, logl, logpr, _, nprop, nacc = jax.lax.fori_loop(
+    zero_lh = jnp.zeros((), state.logl.dtype)
+    coal0 = state.coal if integ else zero_lh
+    t20 = state.t2h if integ else zero_lh
+    init = (state.gt.age, sp0.tau, state.logl, state.logpr, coal0, t20,
+            key, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    age, tau, logl, logpr, coal_c, t2_c, _, nprop, nacc = jax.lax.fori_loop(
         0, n_inner, body, init)
     new_state = state._replace(
         gt=state.gt._replace(age=age), sp=sp0._replace(tau=tau),
         logl=logl, logpr=logpr)
+    if integ:
+        new_state = new_state._replace(coal=coal_c, t2h=t2_c)
     return new_state, (nprop, nacc)
 
 
@@ -330,6 +356,10 @@ def repath_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
     hpath = gt.hpath
     logpr = state.logpr
+    integ = cfg.theta_integrated
+    if integ:
+        from . import notheta
+        coal_c, t2_c = state.coal, state.t2h
     nprop = jnp.zeros((), jnp.int32)
     nacc = jnp.zeros((), jnp.int32)
 
@@ -391,13 +421,28 @@ def repath_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         q_rev = jnp.sum(jnp.where(ok, ql_r + qr_r + qu_r, 0.0), axis=-1)
 
         gtn = gt._replace(hpath=hp_new)
-        logpr_new, _, _ = logpr_fn(gtn, sp, state.subst.heredity)
-        lnacc = (logpr_new - logpr) + (q_rev - q_fwd)
-        accept = rng.mh_accept(ka, lnacc) & ctx.locus_mask & ok.any(1)
+        logpr_new, c_new, t2_new = logpr_fn(gtn, sp, state.subst.heredity)
+        amask = ctx.locus_mask & ok.any(1)
+        if integ:
+            # repathing moves coalescences between populations: the
+            # per-locus accepts couple through the aggregated K/C sums,
+            # so run the exact serial accept chain (notheta.scan_accept)
+            hered = state.subst.heredity
+            accept = notheta.scan_accept(
+                ka, cfg, (logpr_new - logpr) + (q_rev - q_fwd),
+                coal_c, t2_c, hered, c_new, t2_new, hered,
+                amask, ctx.locus_mask)
+            coal_c = jnp.where(accept[:, None], c_new, coal_c)
+            t2_c = jnp.where(accept[:, None], t2_new, t2_c)
+        else:
+            lnacc = (logpr_new - logpr) + (q_rev - q_fwd)
+            accept = rng.mh_accept(ka, lnacc) & amask
         hpath = jnp.where(accept[:, None, None], hp_new, hpath)
         logpr = jnp.where(accept, logpr_new, logpr)
-        nprop = nprop + (ctx.locus_mask & ok.any(1)).sum(dtype=jnp.int32)
+        nprop = nprop + amask.sum(dtype=jnp.int32)
         nacc = nacc + accept.sum(dtype=jnp.int32)
 
     new_state = state._replace(gt=gt._replace(hpath=hpath), logpr=logpr)
+    if integ:
+        new_state = new_state._replace(coal=coal_c, t2h=t2_c)
     return new_state, (nprop, nacc)

@@ -297,6 +297,11 @@ class Ctx(NamedTuple):
     prior_a11_log: jax.Array | None = None   # [NS]
     # per-locus substitution models (model = custom partition file)
     custom: CustomModels | None = None
+    # thetas integrated out ('e' flag): logpr_fn returns only the
+    # theta-FREE per-locus density part (MSC-I phi terms + route
+    # validity); the theta-marginalized lgamma terms live in
+    # notheta.total_integrated over the (coal, t2h) caches
+    integrated: bool = False
 
 
 def compute_pmats(gt: GTrees, subst: SubstState, model: SubstModel,
@@ -370,8 +375,8 @@ def make_logl_fn(ctx: Ctx, cfg: BppConfig):
                 [subst.rates, subst.kappa1[:, None], subst.kappa2[:, None]],
                 axis=1)
             site_logl = site_logl_pallas(
-                inner_order(gt), gt.left, gt.right, ctx.n_seq, gt.age,
-                subst.mu, rk, subst.freqs, subst.eigw, subst.eigT,
+                inner_order(gt), gt.left, gt.right, gt.parent, ctx.n_seq,
+                gt.age, subst.mu, rk, subst.freqs, subst.eigw, subst.eigT,
                 subst.eigTi, ctx.tips_am, model=model,
                 n_cats=subst.rates.shape[1])
             ll = fe.reduce_root(site_logl.astype(ctx.weights.dtype),
@@ -398,7 +403,14 @@ def make_logpr_fn(ctx: Ctx):
     seqin*log(phi) terms (gtree.c:3925-3931) and an -inf validity
     indicator when a coalescence's two child routes disagree (the
     reference maintains that invariant structurally; here inconsistent
-    proposals are simply rejected)."""
+    proposals are simply rejected).
+
+    When ``ctx.integrated`` (thetas integrated out, gtree.c:3780
+    update_logpg_contrib), the per-locus value contains ONLY the
+    theta-free terms — the MSC-I phi terms (the reference's hphi_sum)
+    and the validity indicator; zeros for plain trees.  The
+    theta-marginalized part couples loci and is computed from the
+    returned (coal, T2h) by notheta.total_integrated."""
 
     def logpr_fn(gt: GTrees, sp: SpeciesArrays, heredity, msp=None):
         # msp: optional [L, N] species-MRCA of every gene node.  It is a
@@ -416,8 +428,11 @@ def make_logpr_fn(ctx: Ctx):
             c, t2, n_in = coal.per_pop_stats_dated(gt, sp, pops, ctx.n_seq)
         else:
             c, t2, n_in = coal.per_pop_stats(gt, sp, pops, ctx.n_seq)
-        contrib = coal.msc_contrib(c, t2, sp.theta, heredity)
-        lp = contrib.sum(1)
+        if ctx.integrated:
+            lp = jnp.zeros(c.shape[0], t2.dtype)
+        else:
+            contrib = coal.msc_contrib(c, t2, sp.theta, heredity)
+            lp = contrib.sum(1)
         if sp.is_network:
             from ..trees.gtree import route_consistent
             lphi = jnp.where(sp.hindex >= 0,

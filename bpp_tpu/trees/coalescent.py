@@ -40,6 +40,17 @@ def per_pop_stats(gt: GTrees, sp: SpeciesArrays, pops, n_seq):
 
     Returns:
       (coal_count ``[L, H]`` int32, T2h ``[L, H]`` float, n_in ``[L, H]`` int32)
+
+    T2h = integral of n_h(t)(n_h(t)-1) dt over population h's interval
+    equals the summed pairwise coexistence time of distinct lineage
+    edges inside the interval (each ordered pair (u, v) is jointly
+    present for |I_u ∩ I_v ∩ [tau_h, end_h)|).  That pairwise form is
+    sort-free — pure elementwise min/max/relu over ``[L, N, N, H]`` —
+    where the reference's event sweep (``gtree.c:3859`` sorted
+    coal-times) would cost O(N log^2 N) bitonic sorting passes on TPU.
+    It also handles serial sampling (dated tips entering populations
+    mid-interval, ``stree.c:5278-5330`` epoch lists) with no extra
+    machinery: a dated tip's presence simply starts at its age.
     """
     from .gtree import edge_passes
 
@@ -54,114 +65,54 @@ def per_pop_stats(gt: GTrees, sp: SpeciesArrays, pops, n_seq):
     tau = sp.tau
     par = sp.parent
     partau = jnp.where(par >= 0, tau[jnp.maximum(par, 0)], jnp.inf)
-
-    # --- lineages entering each population -----------------------------------
-    # edge of node u spans [age_u, age_parent_u); root edge spans to +inf
-    has_par = gt.parent >= 0
-    page = jnp.where(
-        has_par,
-        jnp.take_along_axis(gt.age, jnp.maximum(gt.parent, 0), axis=1),
-        jnp.inf)
-    # lineage is in h at time tau_h iff the edge's route visits h
-    # (ancestry for trees, hpath-dependent walk for MSC-I networks)
-    # and age_u <= tau_h < age_parent_u
-    if sp.is_network:
-        anc = edge_passes(gt, sp, pops)                      # [L, N, H]
-    else:
-        anc = sp.pptable[pops]                               # [L, N, H]
-    inh = anc & (gt.age[..., None] <= tau) & (tau < page[..., None])
-    inh = inh & valid[..., None]
-    n_in = inh.sum(axis=1).astype(jnp.int32)                 # [L, H]
-
-    # --- coalescent events in each population --------------------------------
-    is_event = is_inner & valid                              # [L, N]
-    ev_pop = jnp.where(is_event, pops, -1)
-    ev_in_h = ev_pop[..., None] == jnp.arange(H)             # [L, N, H]
-    coal = ev_in_h.sum(axis=1).astype(jnp.int32)             # [L, H]
-
-    # sorted event times per (l, h): mask then sort along node axis
-    times = jnp.where(ev_in_h, gt.age[..., None], BIG_AGE)   # [L, N, H]
-    times = jnp.sort(times, axis=1)
-    times = jnp.swapaxes(times, 1, 2)                        # [L, H, N]
-
-    # clamp padded events to the population end time
-    end = jnp.minimum(partau, _FINITE_BIG)                   # [H]
-    endb = jnp.broadcast_to(end, (L, H))
-    kidx = jnp.arange(N)[None, None, :]
-    t_ev = jnp.where(kidx < coal[..., None], times, endb[..., None])
-    t_all = jnp.concatenate(
-        [jnp.broadcast_to(tau, (L, H))[..., None], t_ev, endb[..., None]],
-        axis=-1)                                             # [L, H, N+2]
-    dt = jnp.diff(t_all, axis=-1)                            # [L, H, N+1]
-    ni = n_in[..., None] - kidx                              # lineages in segment i
-    ni = jnp.concatenate(
-        [ni, (n_in - coal)[..., None]], axis=-1)
-    coeff = (ni * (ni - 1)).astype(t_all.dtype)
-    coeff = jnp.maximum(coeff, 0.0)
-    T2h = jnp.sum(coeff * jnp.maximum(dt, 0.0), axis=-1)     # [L, H]
-    return coal, T2h, n_in
-
-
-def per_pop_stats_dated(gt: GTrees, sp: SpeciesArrays, pops, n_seq):
-    """`per_pop_stats` generalized to serial sampling (tip dating).
-
-    With dated tips, lineages can ENTER a population mid-interval (a
-    tip whose age falls inside [tau_h, tau_parent_h)), so the lineage
-    count n_h(t) is no longer "n_in at tau_h minus coalescences".  The
-    reference handles this with per-population epoch lists
-    (``snode->tip_date``, stree.c:5278-5330); here every edge simply
-    contributes a +1 entry event at max(age_u, tau_h) and a -1 exit at
-    min(age_parent_u, tau_parent_h), and T2h = sum n(n-1) dt over the
-    sorted event sweep.  Exact for undated data too (slower: 2N-event
-    sort instead of N), so it is only used when a datefile is present.
-    """
-    L, N = pops.shape
-    T = gt.n_tips
-    H = sp.n_nodes
-    node_idx = jnp.arange(N)[None, :]
-    is_tip = node_idx < n_seq[:, None]
-    is_inner = (node_idx >= T) & (node_idx < T + n_seq[:, None] - 1)
-    valid = is_tip | is_inner
-
-    tau = sp.tau
-    partau = jnp.where(sp.parent >= 0, tau[jnp.maximum(sp.parent, 0)],
-                       jnp.inf)
     end = jnp.minimum(partau, _FINITE_BIG)                   # [H]
 
+    # edge of node u spans [age_u, age_parent_u); root edge to +inf
     has_par = gt.parent >= 0
     page = jnp.where(
         has_par,
         jnp.take_along_axis(gt.age, jnp.maximum(gt.parent, 0), axis=1),
         _FINITE_BIG)
-    anc = sp.pptable[pops]                                   # [L, N, H]
-    # edge u overlaps population h's interval
-    passes = anc & valid[..., None] \
-        & (gt.age[..., None] < end) & (page[..., None] > tau)
-    t_in = jnp.clip(gt.age[..., None], tau, end)             # [L, N, H]
-    t_out = jnp.clip(page[..., None], tau, end)
-    t_in = jnp.where(passes, t_in, end)
-    t_out = jnp.where(passes, t_out, end)
-    delta = jnp.concatenate(
-        [jnp.where(passes, 1, 0), jnp.where(passes, -1, 0)],
-        axis=1)                                              # [L, 2N, H]
-    t_ev = jnp.concatenate([t_in, t_out], axis=1)            # [L, 2N, H]
-    order = jnp.argsort(t_ev, axis=1)
-    t_s = jnp.take_along_axis(t_ev, order, axis=1)
-    d_s = jnp.take_along_axis(delta, order, axis=1)
-    n_t = jnp.cumsum(d_s, axis=1)                            # n after event i
-    dt = jnp.diff(t_s, axis=1, append=end[None, None, :]
-                  * jnp.ones_like(t_s[:, :1, :]))
-    coeff = (n_t * (n_t - 1)).astype(t_s.dtype)
-    T2h = jnp.sum(jnp.maximum(coeff, 0.0)
-                  * jnp.maximum(dt, 0.0), axis=1)            # [L, H]
+    # the edge's route visits h (ancestry for trees, hpath-routed walk
+    # for MSC-I networks)
+    if sp.is_network:
+        anc = edge_passes(gt, sp, pops)                      # [L, N, H]
+    else:
+        anc = sp.pptable[pops]                               # [L, N, H]
+    pres = anc & valid[..., None]
 
-    # coalescent counts and entry counts (for phi terms) as before
+    # --- lineages entering each population (at tau_h) -------------------------
+    inh = pres & (gt.age[..., None] <= tau) & (tau < page[..., None])
+    n_in = inh.sum(axis=1).astype(jnp.int32)                 # [L, H]
+
+    # --- coalescent events in each population ---------------------------------
     ev_in_h = (jnp.where(is_inner & valid, pops, -1)[..., None]
-               == jnp.arange(H))
-    coal = ev_in_h.sum(axis=1).astype(jnp.int32)
-    inh = anc & (gt.age[..., None] <= tau) & (page[..., None] > tau)
-    n_in = (inh & valid[..., None]).sum(axis=1).astype(jnp.int32)
+               == jnp.arange(H))                             # [L, N, H]
+    coal = ev_in_h.sum(axis=1).astype(jnp.int32)             # [L, H]
+
+    # --- pairwise coexistence T2h ---------------------------------------------
+    # presence interval of edge u inside pop h (empty -> lo == hi)
+    lo = jnp.clip(gt.age[..., None], tau, end)               # [L, N, H]
+    hi = jnp.clip(page[..., None], tau, end)
+    lo = jnp.where(pres, lo, end)
+    hi = jnp.where(pres, hi, end)
+    ov = jnp.maximum(
+        jnp.minimum(hi[:, :, None], hi[:, None, :, :])
+        - jnp.maximum(lo[:, :, None], lo[:, None, :, :]), 0.0)
+    # the diagonal (u == v) is excluded directly rather than subtracted
+    # afterwards: root-population intervals are clamped at 1e12 and a
+    # subtract-the-diagonal formulation would cancel catastrophically
+    # in float32 (ulp(1e12) = 65536)
+    ov = ov * (1.0 - jnp.eye(N, dtype=ov.dtype))[None, :, :, None]
+    T2h = ov.sum((1, 2))                                     # [L, H]
     return coal, T2h, n_in
+
+
+def per_pop_stats_dated(gt: GTrees, sp: SpeciesArrays, pops, n_seq):
+    """Alias of :func:`per_pop_stats`: the pairwise-coexistence form is
+    exact under serial sampling (dated tips) too — a dated tip's
+    presence interval simply starts at its age, mid-interval."""
+    return per_pop_stats(gt, sp, pops, n_seq)
 
 
 def phi_entry_counts(sp: SpeciesArrays, n_in):

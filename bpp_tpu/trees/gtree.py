@@ -273,48 +273,76 @@ def topo_scan(gt: GTrees, tip_vals, combine, order=None):
     return buf
 
 
-def mrca_species(gt: GTrees, sp: SpeciesArrays, tip_pop, order=None):
-    """Species-MRCA of the tips below every gene node: ``[L, N]`` int32."""
-    def combine(a, b):
-        return sp.mrca[a, b]
-    return topo_scan(gt, tip_pop, combine, order=order)
+def anc_matrix(gt: GTrees):
+    """Ancestor-or-self indicator ``M [L, N, N]`` float32.
 
-
-def leaf_counts(gt: GTrees, n_seq, order=None):
-    """Number of gene-tree tips below each node: ``[L, N]`` int32."""
-    L, T = gt.n_loci, gt.n_tips
-    tip_vals = (jnp.arange(T)[None, :] < n_seq[:, None]).astype(jnp.int32)
-    return topo_scan(gt, tip_vals, lambda a, b: a + b, order=order)
+    ``M[l, v, a] = 1`` iff node a is v or an ancestor of v.  Built by
+    log-depth squaring of the (parent + identity) adjacency on the MXU
+    — a handful of small batched matmuls instead of a T-step sequential
+    gather scan (each tiny per-locus gather costs ~10-20 us of fixed
+    per-op overhead on TPU; see mrca_species docstring)."""
+    N = gt.n_nodes
+    T = gt.n_tips
+    A = (gt.parent[:, :, None] == jnp.arange(N)[None, None, :]) \
+        .astype(jnp.float32)
+    M = A + jnp.eye(N, dtype=jnp.float32)
+    # (A+I)^(2^k) reaches ancestors at distance <= 2^k; max depth = T-1
+    steps = max(1, int(np.ceil(np.log2(max(T, 2)))))
+    for _ in range(steps):
+        M = jnp.minimum(M @ M, 1.0)
+    return M
 
 
 def mrca_and_leaves(gt: GTrees, sp: SpeciesArrays, tip_pop, n_seq,
-                    order=None):
-    """(msp [L, N], leaves [L, N]) in ONE bottom-up scan.
+                    order=None, M=None):
+    """(msp [L, N], leaves [L, N]) — species-MRCA of and #tips below
+    every gene node, derived from the ancestor matrix (no scan).
 
-    The per-row gathers of a topo-scan dominate its cost at large L, so
-    fusing the two topology-only quantities the SPR move needs halves
-    that cost versus separate mrca_species + leaf_counts passes.
+    A species node h covers gene node u iff every valid tip below u
+    maps to a species that is h or a descendant of h; the MRCA is the
+    deepest such h (pptable rows of the MRCA's ancestor chain have
+    strictly decreasing depth, so the argmax is unique).
     """
+    del order
     L, T = gt.n_loci, gt.n_tips
-    N = gt.n_nodes
-    if order is None:
-        order = inner_order(gt)
-    lidx = jnp.arange(L)
-    tipvalid = (jnp.arange(T)[None, :] < n_seq[:, None]).astype(jnp.int32)
-    msp = jnp.zeros((L, N), jnp.int32).at[:, :T].set(tip_pop)
-    lv = jnp.zeros((L, N), jnp.int32).at[:, :T].set(tipvalid)
+    if M is None:
+        M = anc_matrix(gt)
+    desc_t = jnp.swapaxes(M, 1, 2)[:, :, :T]                 # [L, u, t]
+    tipvalid = (jnp.arange(T)[None, :] < n_seq[:, None]) \
+        .astype(jnp.float32)
+    dt = desc_t * tipvalid[:, None, :]
+    leaves = jnp.round(dt.sum(-1)).astype(jnp.int32)
+    H = sp.pptable.shape[0]
+    ppf = sp.pptable.astype(jnp.float32)
+    oh = (tip_pop[..., None] == jnp.arange(H)).astype(jnp.float32)
+    pp_t = jnp.einsum("lti,ih->lth", oh, ppf)                # [L, t, h]
+    bad = jnp.einsum("lut,lth->luh", dt, 1.0 - pp_t)
+    ok = bad < 0.5
+    depth_sp = sp.pptable.sum(1)                             # deeper = larger
+    msp = jnp.argmax(jnp.where(ok, depth_sp[None, None, :], 0),
+                     axis=2).astype(jnp.int32)
+    return msp, leaves
 
-    def step(carry, k):
-        msp, lv = carry
-        node = order[:, k]
-        lc = gt.left[lidx, node]
-        rc = gt.right[lidx, node]
-        msp = msp.at[lidx, node].set(sp.mrca[msp[lidx, lc], msp[lidx, rc]])
-        lv = lv.at[lidx, node].set(lv[lidx, lc] + lv[lidx, rc])
-        return (msp, lv), None
 
-    (msp, lv), _ = jax.lax.scan(step, (msp, lv), jnp.arange(T - 1))
-    return msp, lv
+def mrca_species(gt: GTrees, sp: SpeciesArrays, tip_pop, order=None):
+    """Species-MRCA of the tips below every gene node: ``[L, N]`` int32."""
+    T = gt.n_tips
+    n_seq = jnp.full((gt.n_loci,), T, jnp.int32)
+    # all tip slots count; padded tips carry tip_pop = 0 which is a
+    # valid species, matching the old scan's behavior on padded rows
+    msp, _ = mrca_and_leaves(gt, sp, tip_pop, n_seq)
+    return msp
+
+
+def leaf_counts(gt: GTrees, n_seq, order=None):
+    """Number of valid gene-tree tips below each node: ``[L, N]`` int32."""
+    del order
+    T = gt.n_tips
+    M = anc_matrix(gt)
+    tipvalid = (jnp.arange(T)[None, :] < n_seq[:, None]) \
+        .astype(jnp.float32)
+    dt = jnp.swapaxes(M, 1, 2)[:, :, :T] * tipvalid[:, None, :]
+    return jnp.round(dt.sum(-1)).astype(jnp.int32)
 
 
 def lift_population(sp: SpeciesArrays, base, age):

@@ -75,7 +75,7 @@ def notheta_run():
     key = jax.random.PRNGKey(13)
     taus = []
     state, _ = eng.chunk_step(state, key, 400)
-    for i in range(40):
+    for i in range(120):
         key, sub = jax.random.split(key)
         state, _ = eng.chunk_step(state, sub, 100)
         taus.append(np.asarray(state.sp.tau))
@@ -141,3 +141,71 @@ def test_mcmc_txt_has_no_theta_columns(tmp_path):
     assert not any(c.startswith("theta") for c in w.columns)
     assert any(c.startswith("tau") for c in w.columns)
     w.close()
+
+
+# ---------------------------------------------------------------------------
+# MSC-I networks with thetas integrated out (gtree.c:3386-3419 phi terms,
+# update_logpg_contrib gtree.c:3780) — the anopheles flagship mode
+# ---------------------------------------------------------------------------
+
+MSCI_CTL_INT = """
+seed = 3
+seqfile = tests/fixtures/msci/d.txt
+Imapfile = tests/fixtures/msci/d.imap
+jobname = out
+species&tree = 3 A B C
+               2 2 2
+               ((A,(B)H[&phi=0.4,&tau-parent=yes]),(H[&tau-parent=yes],C))R;
+usedata = 0
+nloci = 1
+thetaprior = invgamma 3 0.002 int
+tauprior = gamma 2 100
+phiprior = 1 1
+finetune = 1
+burnin = 3000
+sampfreq = 2
+nsample = 6000
+"""
+
+
+def test_msci_integrated_prior_marginals():
+    """usedata=0 on the 1-hybridization network with thetas integrated
+    out: the tau/phi prior marginals must match the theta-estimated
+    sampler's (theta is marginalized either way).  Targets from
+    tests/test_msci.py::test_prior_marginals (exact rejection sampling:
+    tau_R 0.0200, tau_H 0.0050, phi 0.50)."""
+    cfg = parse_ctl_lines(MSCI_CTL_INT.strip().splitlines())
+    assert cfg.theta_integrated
+    eng = Engine(load_run(cfg), seed=11)
+    log = eng.run_mcmc(progress_every=0)
+    taus = np.stack(log.tau)
+    phis = np.stack(log.phi)
+    sp = eng.init_state().sp
+    root = sp.root
+    m = taus[:, root].mean()
+    assert 0.010 < m < 0.030, f"tau_R mean {m}"
+    hin = int(sp.hslot[0])
+    mh = taus[:, hin].mean()
+    assert 0.0025 < mh < 0.0085, f"tau_H mean {mh}"  # exact 0.0050
+    mp = phis[:, hin].mean()
+    assert 0.38 < mp < 0.62, f"phi mean {mp}"        # Beta(1,1) -> 0.5
+    assert phis[:, hin].std() > 0.15
+
+
+def test_msci_integrated_data_mode_caches():
+    """usedata=1 smoke: finite state, coal/t2h and phi-part logpr caches
+    honest after many steps (every integ+network move path exercised)."""
+    cfg = parse_ctl_lines(MSCI_CTL_INT.strip().splitlines())
+    cfg = cfg.replace(usedata=True, burnin=0, nsample=1, sampfreq=1)
+    eng = Engine(load_run(cfg), seed=7)
+    state = eng.init_state()
+    assert state.coal is not None
+    key = jax.random.PRNGKey(0)
+    state, _ = eng.chunk_step(state, key, 30)
+    assert np.isfinite(float(np.asarray(state.logl).sum()))
+    lp, c, t2 = eng._logpr_fn(state.gt, state.sp, state.subst.heredity)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(state.logpr),
+                               atol=1e-8)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(state.coal))
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(state.t2h),
+                               rtol=1e-4, atol=1e-9)

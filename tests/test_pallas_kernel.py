@@ -6,9 +6,6 @@ log-likelihoods as the reference-validated XLA engine
 ``interpret=True``.
 """
 
-import os
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -17,7 +14,7 @@ from bpp_tpu.config import SubstModel
 from bpp_tpu.core import felsenstein as fe
 from bpp_tpu.core.pallas_fels import site_logl_pallas
 from bpp_tpu.mcmc.driver import Engine
-from bpp_tpu.mcmc.state import compute_pmats, make_logl_fn
+from bpp_tpu.mcmc.state import compute_pmats
 from bpp_tpu.testing import synthetic_run
 from bpp_tpu.trees.gtree import inner_order
 
@@ -25,6 +22,26 @@ from bpp_tpu.trees.gtree import inner_order
 @pytest.fixture(autouse=True)
 def _interpret_mode(monkeypatch):
     monkeypatch.setenv("BPP_TPU_PALLAS", "interpret")
+
+
+def _pallas_vs_xla(eng, state, model, n_cats=1, rtol=2e-5, atol=2e-4):
+    gt, subst, ctx = state.gt, state.subst, eng.ctx
+    rk = jnp.concatenate(
+        [subst.rates, subst.kappa1[:, None], subst.kappa2[:, None]], axis=1)
+    site_logl = site_logl_pallas(
+        inner_order(gt), gt.left, gt.right, gt.parent, ctx.n_seq, gt.age,
+        subst.mu, rk, subst.freqs, subst.eigw, subst.eigT, subst.eigTi,
+        ctx.tips_am, model=model, n_cats=n_cats)
+    ll_pallas = fe.reduce_root(site_logl.astype(ctx.weights.dtype),
+                               ctx.weights, ctx.res_map, ctx.res_count)
+
+    pmats = compute_pmats(gt, subst, model)
+    cw = jnp.full((n_cats,), 1.0 / n_cats, ctx.weights.dtype)
+    ll_xla = fe.loglikelihood(gt, ctx.tip_partials, ctx.weights, ctx.n_seq,
+                              pmats, subst.freqs, cw, res_map=ctx.res_map,
+                              res_count=ctx.res_count)
+    np.testing.assert_allclose(np.asarray(ll_pallas), np.asarray(ll_xla),
+                               rtol=rtol, atol=atol)
 
 
 @pytest.mark.parametrize("n_seq", [2, 6, 16])
@@ -35,21 +52,67 @@ def test_pallas_matches_xla_jc69(n_seq):
     eng = Engine(run, seed=1)
     assert eng.ctx.tips_am is not None, "pallas path not active"
     state = eng.init_state()
-    gt, subst, ctx = state.gt, state.subst, eng.ctx
+    _pallas_vs_xla(eng, state, SubstModel.JC69)
 
+
+def test_pallas_deep_tree_no_underflow():
+    """Many sequences + divergent branch lengths: the per-level
+    rescaling must keep f32 CLVs in range (an every-other-level scheme
+    underflows here; ADVICE r1 finding)."""
+    run = synthetic_run(n_loci=3, n_seq=48, n_patterns=40, n_species=3,
+                        seed=7)
+    run.cfg = run.cfg.replace(dtype="float32")
+    eng = Engine(run, seed=1)
+    state = eng.init_state()
+    # stretch all inner-node ages so every branch is long and each
+    # pruning step shrinks CLV magnitudes hard
+    T = state.gt.n_tips
+    age = state.gt.age.at[:, T:].multiply(400.0)
+    state = state._replace(gt=state.gt._replace(age=age))
+    _pallas_vs_xla(eng, state, SubstModel.JC69, rtol=2e-4, atol=2e-3)
+    # and the absolute values must be finite (no silent 1e-30 flooring)
+    gt, subst, ctx = state.gt, state.subst, eng.ctx
     rk = jnp.concatenate(
         [subst.rates, subst.kappa1[:, None], subst.kappa2[:, None]], axis=1)
     site_logl = site_logl_pallas(
-        inner_order(gt), gt.left, gt.right, ctx.n_seq, gt.age, subst.mu,
-        rk, subst.freqs, subst.eigw, subst.eigT, subst.eigTi, ctx.tips_am,
-        model=SubstModel.JC69, n_cats=1)
-    ll_pallas = fe.reduce_root(site_logl.astype(ctx.weights.dtype),
-                               ctx.weights, ctx.res_map, ctx.res_count)
+        inner_order(gt), gt.left, gt.right, gt.parent, ctx.n_seq, gt.age,
+        subst.mu, rk, subst.freqs, subst.eigw, subst.eigT, subst.eigTi,
+        ctx.tips_am, model=SubstModel.JC69, n_cats=1)
+    assert np.isfinite(np.asarray(site_logl)).all()
 
-    pmats = compute_pmats(gt, subst, SubstModel.JC69)
-    cw = jnp.ones((1,), ctx.weights.dtype)
-    ll_xla = fe.loglikelihood(gt, ctx.tip_partials, ctx.weights, ctx.n_seq,
-                              pmats, subst.freqs, cw, res_map=ctx.res_map,
-                              res_count=ctx.res_count)
-    np.testing.assert_allclose(np.asarray(ll_pallas), np.asarray(ll_xla),
-                               rtol=2e-5, atol=2e-4)
+
+@pytest.mark.parametrize("model", [SubstModel.HKY, SubstModel.TN93,
+                                   SubstModel.F81])
+def test_pallas_matches_xla_tn93_family(model):
+    run = synthetic_run(n_loci=4, n_seq=8, n_patterns=40, n_species=3,
+                        seed=5, model=model)
+    run.cfg = run.cfg.replace(dtype="float32")
+    eng = Engine(run, seed=2)
+    assert eng.ctx.tips_am is not None
+    state = eng.init_state()
+    # the kernel's 4-eigenvalue TN93 factorization and the XLA P-matrix
+    # path round differently in f32 (~1e-4 relative per site); the
+    # kernel-vs-kernel MH deltas are unaffected
+    _pallas_vs_xla(eng, state, model, rtol=2e-4, atol=2e-3)
+
+
+def test_pallas_matches_xla_gtr():
+    run = synthetic_run(n_loci=4, n_seq=8, n_patterns=40, n_species=3,
+                        seed=5, model=SubstModel.GTR)
+    run.cfg = run.cfg.replace(dtype="float32")
+    eng = Engine(run, seed=2)
+    assert eng.ctx.tips_am is not None
+    state = eng.init_state()
+    _pallas_vs_xla(eng, state, SubstModel.GTR)
+
+
+def test_pallas_gamma_cats():
+    from bpp_tpu.config import Prior, PriorDist
+    run = synthetic_run(n_loci=4, n_seq=8, n_patterns=40, n_species=3,
+                        seed=5,
+                        alphaprior=Prior(PriorDist.GAMMA, 2.0, 4.0),
+                        alpha_cats=4)
+    run.cfg = run.cfg.replace(dtype="float32")
+    eng = Engine(run, seed=2)
+    state = eng.init_state()
+    _pallas_vs_xla(eng, state, SubstModel.JC69, n_cats=4)
