@@ -41,6 +41,13 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--x64", action="store_true",
                     help="run in float64 (oracle-comparison mode)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--multihost", default=None, metavar="SPEC",
+                    help="run as one process of a multi-host cluster: "
+                    "'coordinator:port,num_processes,process_id' (or "
+                    "'auto' to use JAX_COORDINATOR_ADDRESS / "
+                    "JAX_NUM_PROCESSES / JAX_PROCESS_ID).  Loci are "
+                    "sharded over the GLOBAL device mesh; process 0 "
+                    "writes the output files.")
     ap.add_argument("--quiet", action="store_true")
     return ap
 
@@ -52,6 +59,17 @@ def cmd_run(args) -> int:
         jax.config.update("jax_platforms", "cpu")
     if args.x64:
         jax.config.update("jax_enable_x64", True)
+
+    mesh = None
+    is_main = True
+    if args.multihost:
+        from .parallel.multihost import MultihostSpec, init_multihost
+        mesh = init_multihost(MultihostSpec.parse(args.multihost))
+        is_main = jax.process_index() == 0
+        if not args.quiet and is_main:
+            print(f"bpp_tpu multihost: {jax.process_count()} processes, "
+                  f"{jax.device_count()} devices "
+                  f"({jax.local_device_count()} local)", file=sys.stderr)
 
     from . import checkpoint as ckpt
     from .io.ctl import parse_ctl
@@ -94,6 +112,21 @@ def cmd_run(args) -> int:
               + (f" | RESUMED at it {meta['it']}" if args.resume else ""),
               file=sys.stderr)
 
+    if mesh is not None:
+        # non-main processes participate in all device collectives but
+        # never touch the (shared) filesystem; per-locus file logs,
+        # a1b1 and checkpointing need host access to sharded arrays and
+        # are disabled under multihost for now
+        if cfg.checkpoint and is_main:
+            print("multihost: checkpointing disabled (sharded state is "
+                  "not host-addressable)", file=sys.stderr)
+        cfg = cfg.replace(checkpoint=None, print_genetrees=False,
+                          print_locusrate=False, print_hscalars=False,
+                          print_rates=False)
+        if args.resume:
+            print("--multihost cannot resume yet", file=sys.stderr)
+            return 1
+
     mcmc_path = cfg.mcmcfile or f"{cfg.jobname}.mcmc.txt"
     if args.resume:
         # exactly-once logging: truncate to the checkpointed offset
@@ -106,20 +139,22 @@ def cmd_run(args) -> int:
     a1b1 = None
     if cfg.est_stree:
         writer = A01McmcWriter(mcmc_path, cfg, run.stree,
-                               append=bool(args.resume))
+                               append=bool(args.resume)) if is_main else None
 
         def on_sample(gen, state):
+            if writer is None:
+                return
             writer.write_sample(
                 gen, np.asarray(state.sp.left), np.asarray(state.sp.right),
                 np.asarray(state.sp.parent), np.asarray(state.sp.tau))
     else:
         writer = McmcWriter(mcmc_path, cfg, run.stree,
-                            append=bool(args.resume))
+                            append=bool(args.resume)) if is_main else None
 
         # conditional (a1,b1) log + Rao-Blackwellized summary
         # (method.c:3838 opt_print_a1b1: A00 + data + estimated thetas)
         if (cfg.usedata and not cfg.theta_integrated
-                and not cfg.est_delimit
+                and not cfg.est_delimit and mesh is None
                 and not args.resume and run.stree.n_hybrids == 0):
             from .config import PriorDist
             from .summary.a1b1 import DIST_GAMMA, DIST_INVGAMMA, A1b1Writer
@@ -188,9 +223,15 @@ def cmd_run(args) -> int:
                     locus_fps[i].write("\t".join(vals) + "\n")
 
         def on_sample(gen, state):
+            # the logl sum is a cross-process collective under
+            # multihost: EVERY process must execute it (before the
+            # main-process file gate)
+            lnl = float(jax.numpy.sum(state.logl))
+            if writer is None:
+                return
             writer.write_sample(
                 gen, np.asarray(state.sp.theta), np.asarray(state.sp.tau),
-                float(np.asarray(state.logl).sum()),
+                lnl,
                 phi=None if state.sp.phi is None
                 else np.asarray(state.sp.phi),
                 migM=None if state.mig is None
@@ -218,9 +259,13 @@ def cmd_run(args) -> int:
             print(f"  checkpoint -> {chk_path} (it {it})", file=sys.stderr)
 
     t0 = time.time()
-    log = eng.run_mcmc(progress_every=0 if args.quiet else 1000,
+    log = eng.run_mcmc(progress_every=0 if args.quiet or not is_main
+                       else 1000,
                        on_sample=on_sample, resume=resume_state,
-                       on_checkpoint=on_checkpoint if cfg.checkpoint else None)
+                       on_checkpoint=on_checkpoint if cfg.checkpoint else None,
+                       mesh=mesh)
+    if writer is None:
+        return 0      # multihost non-main process: no output files
     writer.close()
     for fps in (locals().get("gtree_fps"), locals().get("locus_fps")):
         if fps:

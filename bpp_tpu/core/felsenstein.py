@@ -63,7 +63,8 @@ def relaxed_branch_lengths(gt: GTrees, sp, pops, brate):
     par = sp.parent
     partau = jnp.where(par >= 0, tau[jnp.maximum(par, 0)], BIG_AGE)
     safe_parent = jnp.maximum(gt.parent, 0)
-    page = jnp.take_along_axis(gt.age, safe_parent, axis=1)      # [L, N]
+    from ..trees.gtree import gather_rows
+    page = gather_rows(gt.age, safe_parent)                      # [L, N]
     if sp.is_network:
         from ..trees.gtree import edge_passes
         visits = edge_passes(gt, sp, pops)                       # [L, N, H]
@@ -82,7 +83,8 @@ def branch_lengths(gt: GTrees, rate):
     Root/padded nodes (parent == -1) get 0.
     """
     safe_parent = jnp.maximum(gt.parent, 0)
-    page = jnp.take_along_axis(gt.age, safe_parent, axis=1)
+    from ..trees.gtree import gather_rows as _gr
+    page = _gr(gt.age, safe_parent)
     # clamp at 0 like the incremental path (edge_pmats): transient float32
     # parent-child inversions of a few ulps must read as zero-length
     # branches, not negative times (negative t explodes the eigen P(t))
@@ -106,7 +108,9 @@ def reduce_root(site_logl, weights, res_map=None, res_count=None):
     via logsumexp so per-pattern scaling is respected.
     """
     if res_map is None:
-        return jnp.sum(weights * site_logl, axis=1)
+        # site_logl may be wider than weights (the Pallas kernel pads
+        # the pattern axis to a multiple of 128); the tail is padding
+        return jnp.sum(weights * site_logl[:, :weights.shape[1]], axis=1)
     L, W, R = res_map.shape
     if R == 1:
         gathered = jnp.take_along_axis(site_logl, res_map[..., 0], axis=1)

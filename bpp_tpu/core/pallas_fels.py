@@ -206,7 +206,8 @@ def site_logl_pallas(order, left, right, parent, n_seq, age, mu,
     rates = rates_kappa[:, :C]
     kappa1 = rates_kappa[:, C]
     kappa2 = rates_kappa[:, C + 1]
-    page = jnp.take_along_axis(age, jnp.maximum(parent, 0), axis=1)
+    from ..trees.gtree import gather_rows
+    page = gather_rows(age, jnp.maximum(parent, 0))
     blen = jnp.where(parent >= 0, jnp.maximum(page - age, 0.0), 0.0) \
         * mu[:, None]
     t_eff = blen[:, :, None] * rates[:, None, :]            # [L, N, C]

@@ -361,11 +361,21 @@ class Engine:
         tip_partials = fe.tip_partials_from_codes(
             jnp.asarray(batch.tip_codes), dtype=dtype,
             n_states=self.n_states)
+        # non-diploid batches carry an IDENTITY resolution map (one
+        # column per weight pattern, packing.py:110); gathering through
+        # it costs a pathological ~1 ms per [1000, 128] row-gather on
+        # TPU (8 likelihood passes/iter = ~8 ms/iter, ~20% of the whole
+        # step) — drop it so reduce_root takes the weights-dot fast path
+        rm, rcnt = batch.res_map, batch.res_count
+        if rm.shape[2] == 1 and rm.shape[1] == batch.tip_codes.shape[-1]:
+            ident = (rm[..., 0] == np.arange(rm.shape[1])[None, :])
+            if (ident | (batch.weights == 0)).all():
+                rm = rcnt = None
         self.ctx = Ctx(
             tip_partials=tip_partials,
             weights=jnp.asarray(batch.weights, dtype),
-            res_map=jnp.asarray(batch.res_map),
-            res_count=jnp.asarray(batch.res_count),
+            res_map=None if rm is None else jnp.asarray(rm),
+            res_count=None if rcnt is None else jnp.asarray(rcnt),
             n_seq=jnp.asarray(batch.n_seq),
             tip_pop=jnp.asarray(batch.tip_pop),
             locus_mask=jnp.asarray(batch.locus_mask),
@@ -592,12 +602,16 @@ class Engine:
 
     # --- one iteration --------------------------------------------------------
 
-    def _step(self, state: McmcState, key):
-        cfg, ctx = self.cfg, self.ctx
+    def _step(self, state: McmcState, key, ctx=None):
+        # ctx arrives as a jit ARGUMENT (multihost-sharded arrays may
+        # not be closure constants); None = single-process direct call
+        cfg = self.cfg
+        if ctx is None:
+            ctx = self.ctx
         stats = jnp.zeros((N_MOVES, 2), jnp.int32)
         keys = jax.random.split(key, 10)
         if cfg.migration:
-            return self._step_mig(state, keys, stats)
+            return self._step_mig(state, keys, stats, ctx)
 
         # move #0a: rjMCMC split/join (A10/A11; method.c:5420-5435)
         if cfg.est_delimit:
@@ -744,11 +758,13 @@ class Engine:
         # separates them again
         return state, stats
 
-    def _step_mig(self, state: McmcState, keys, stats):
+    def _step_mig(self, state: McmcState, keys, stats, ctx=None):
         """MSC-M move schedule (method.c order with migration variants)."""
         from . import mig_moves, subst_moves
         from .state import MV_MIG_AGES, MV_MIGRATES
-        cfg, ctx, routes = self.cfg, self.ctx, self.routes
+        cfg, routes = self.cfg, self.routes
+        if ctx is None:
+            ctx = self.ctx
 
         state, (p, a) = mig_moves.age_block_mig(ctx, cfg, routes, state,
                                                 keys[0])
@@ -810,7 +826,7 @@ class Engine:
         return state, stats
 
     def step(self, state: McmcState, key):
-        return self._step_jit(state, key)
+        return self._step_jit(state, key, self.ctx)
 
     def a1b1_stats(self, state: McmcState):
         """Per-sample conditional posterior params (log_a1b1,
@@ -864,13 +880,13 @@ class Engine:
             self._a1b1_jit = jax.jit(fn)
         return self._a1b1_jit(state)
 
-    def _chunk(self, state: McmcState, key, n: int):
+    def _chunk(self, state: McmcState, key, n: int, ctx=None):
         """n MCMC iterations in one jitted scan (amortizes dispatch/sync:
         the per-iteration host round trip dominates on a TPU tunnel)."""
 
         def body(carry, sub):
             st, acc = carry
-            st, stats = self._step(st, sub)
+            st, stats = self._step(st, sub, ctx)
             return (st, acc + stats), None
 
         (state, stats), _ = jax.lax.scan(
@@ -879,17 +895,21 @@ class Engine:
         return state, stats
 
     def chunk_step(self, state: McmcState, key, n: int):
-        return self._chunk_jit(state, key, n)
+        return self._chunk_jit(state, key, n, self.ctx)
 
     # --- full run -------------------------------------------------------------
 
     def run_mcmc(self, progress_every: int = 1000, log_fp=None,
                  on_sample=None, resume=None,
-                 on_checkpoint=None) -> SampleLog:
+                 on_checkpoint=None, mesh=None) -> SampleLog:
         """Run the chain.  ``resume = (state, key, it, stats_acc)``
         continues from a checkpoint; ``on_checkpoint(state, key, it,
         stats_acc)`` fires at the ctl-scheduled generations
-        (``checkpoint = initial [step]``, method.c:6183-6188)."""
+        (``checkpoint = initial [step]``, method.c:6183-6188).
+
+        ``mesh``: optional jax.sharding.Mesh — shard the locus axis of
+        all run state over it before stepping (single- or multi-process;
+        see parallel.multihost)."""
         cfg = self.cfg
         if resume is None:
             state = self.init_state()
@@ -900,6 +920,13 @@ class Engine:
             self.init_state()         # rebuilds host stree + root_age0
             state, key, it0, stats_acc = resume
             stats_acc = np.asarray(stats_acc, np.float64).copy()
+        if mesh is not None:
+            from ..parallel.multihost import shard_global_pytree
+            L = int(self.ctx.locus_mask.shape[0])
+            # ctx rides into the jitted step as an argument, so global
+            # (multi-process) sharded arrays are legal here
+            self.ctx = shard_global_pytree(self.ctx, mesh, L)
+            state = shard_global_pytree(state, mesh, L)
         log = SampleLog()
 
         total_burn = cfg.burnin
@@ -930,7 +957,7 @@ class Engine:
             with np.errstate(invalid="ignore", divide="ignore"):
                 pj = stats_acc[:, 1] / np.maximum(stats_acc[:, 0], 1)
             msg = (f"  it {it:>8d}  lnL "
-                   f"{float(np.sum(np.asarray(state.logl))):.4f}"
+                   f"{float(jnp.sum(state.logl)):.4f}"
                    f"  pjump " + " ".join(f"{x:.2f}" for x in pj[:5])
                    + f"  [{time.time()-t0:.1f}s]")
             print(msg, file=log_fp or sys.stderr)
@@ -969,8 +996,11 @@ class Engine:
                 log.gen.append(it)
                 log.theta.append(np.asarray(state.sp.theta))
                 log.tau.append(np.asarray(state.sp.tau))
-                log.lnL.append(float(np.asarray(state.logl).sum()))
-                log.logpr.append(float(np.asarray(state.logpr).sum()))
+                # jnp sums (not np.asarray().sum()): the locus axis may
+                # be sharded across processes, where only the reduced
+                # scalar is host-addressable
+                log.lnL.append(float(jnp.sum(state.logl)))
+                log.logpr.append(float(jnp.sum(state.logpr)))
                 if state.sp.phi is not None:
                     log.phi.append(np.asarray(state.sp.phi))
                 if state.mig is not None:

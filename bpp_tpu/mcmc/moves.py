@@ -24,8 +24,8 @@ import jax.numpy as jnp
 from ..config import BppConfig, PriorDist
 from ..trees import coalescent as coalmod
 from ..trees.gtree import (
-    BIG_AGE, GTrees, SpeciesArrays, assign_populations, lift_population,
-    lift_population_net, mrca_species, topo_scan,
+    BIG_AGE, GTrees, SpeciesArrays, assign_populations, gather_rows,
+    lift_population, lift_population_net, mrca_species, topo_scan,
 )
 from . import rng
 from .gibbs import gamma_conditional_approx
@@ -533,8 +533,8 @@ def age_block_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         key, k1, k2 = jax.random.split(key, 3)
         mask = inner_valid & (depths % 2 == phase) & ctx.locus_mask[:, None]
 
-        la = jnp.take_along_axis(age, lc, 1)
-        ra = jnp.take_along_axis(age, rc, 1)
+        la = gather_rows(age, lc)
+        ra = gather_rows(age, rc)
         if sp.is_network:
             # no species-MRCA lower bound on a network: an age crossing
             # below the children's convergence population simply breaks
@@ -547,7 +547,7 @@ def age_block_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
             minage = jnp.maximum(jnp.maximum(la, ra), sp.tau[mrca_pop])
         par_s = jnp.maximum(gt.parent, 0)
         maxage = jnp.where(gt.parent >= 0,
-                           jnp.take_along_axis(age, par_s, 1), MAXAGE_CAP)
+                           gather_rows(age, par_s), MAXAGE_CAP)
 
         # degenerate window (float32 parent==child tie): reflect() would
         # divide by zero; skip such nodes this round (their parent's or
@@ -663,7 +663,7 @@ def spr_round_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         pop_target = lift_population(sp, cur_pop, tnew)
 
     page = jnp.where(parent >= 0,
-                     jnp.take_along_axis(age, jnp.maximum(parent, 0), 1),
+                     gather_rows(age, jnp.maximum(parent, 0)),
                      -jnp.inf)
     order_root = jnp.argmax(
         jnp.where(valid_nodes & (nodes_idx >= T), age, -jnp.inf),

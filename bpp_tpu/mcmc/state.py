@@ -9,6 +9,8 @@ CLV index-swapping.
 
 from __future__ import annotations
 
+import dataclasses
+import functools
 from typing import NamedTuple
 
 import jax
@@ -91,13 +93,22 @@ class SubstState(NamedTuple):
     eigTi: jax.Array     # [L, 4, 4]
 
 
-class CustomModels(NamedTuple):
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("kind", "freqs_free", "q_free", "q_ref", "is_dna",
+                 "aa_w", "aa_T", "aa_Ti"),
+    meta_fields=("n_states", "any_freqs", "q_slots"))
+@dataclasses.dataclass(frozen=True)
+class CustomModels:
     """Per-locus substitution models (model = custom partition file).
 
     Static per-run constants derived from the partition assignments
-    (method.c:3344-3352); closed over by the jitted moves.  Every DNA
-    model is canonicalized into the GTR parameterization, so one
-    eigendecomposition path covers the whole batch (SURVEY.md §7 #2).
+    (method.c:3344-3352).  A registered pytree (NOT a NamedTuple) so
+    the whole Ctx can be passed as a jit ARGUMENT — required under
+    multihost, where sharded arrays may not be closure constants; the
+    schedule-selecting fields ride the treedef as static metadata.
+    Every DNA model is canonicalized into the GTR parameterization, so
+    one eigendecomposition path covers the whole batch (SURVEY.md §7 #2).
 
     kind codes: 0 JC69, 1 two-param kappa family (K80/HKY/T92/F84),
     2 TN93, 3 GTR, 4 empirical AA.
@@ -262,8 +273,21 @@ class McmcState(NamedTuple):
     trait: object | None = None      # trees.traits.TraitState
 
 
-class Ctx(NamedTuple):
-    """Static per-run device arrays (sharded along the locus axis)."""
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("tip_partials", "weights", "res_map", "res_count",
+                 "n_seq", "tip_pop", "locus_mask", "tips_am", "tip_dates",
+                 "date_lmax", "sp_constraint", "theta_link",
+                 "prior_a11_log", "custom"),
+    meta_fields=("trait_fn", "integrated"))
+@dataclasses.dataclass(frozen=True)
+class Ctx:
+    """Static per-run device arrays (sharded along the locus axis).
+
+    A registered pytree so the jitted step can take it as an ARGUMENT
+    (multihost-sharded arrays may not be closure constants);
+    ``trait_fn`` (a host closure) and ``integrated`` ride the treedef.
+    """
 
     tip_partials: jax.Array  # [L, T, S, A]
     weights: jax.Array       # [L, W]

@@ -172,25 +172,37 @@ def species_arrays(st, dtype=jnp.float64) -> SpeciesArrays:
 # --- schedules -----------------------------------------------------------------
 
 
+def gather_rows(values, idx):
+    """``out[l, i] = values[l, idx[l, i]]`` via a one-hot contraction.
+
+    The obvious ``take_along_axis`` lowers to a serial row-gather that
+    costs ~1 ms per [1000, 128] call on TPU (measured: the single most
+    expensive op class in the sampler); the one-hot matmul form is pure
+    VPU/MXU work at ~16 MB of traffic, ~20x faster.  Exact: the one-hot
+    rows select a single addend, and precision=HIGHEST keeps the MXU
+    from rounding float values through bf16.  Negative indices must be
+    clamped by the caller (jnp semantics differ)."""
+    N = values.shape[1]
+    if jnp.issubdtype(values.dtype, jnp.integer):
+        # node ids are < 2^8: exact in any matmul precision
+        oh = (idx[..., None] == jnp.arange(N)).astype(jnp.float32)
+        out = jnp.einsum("lin,ln->li", oh, values.astype(jnp.float32))
+        return jnp.round(out).astype(values.dtype)
+    oh = (idx[..., None] == jnp.arange(N)).astype(values.dtype)
+    return jnp.einsum("lin,ln->li", oh, values,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def node_depths(gt: GTrees):
     """Topological depth (#ancestors) per node, [L, N] int32.
 
-    Pointer doubling over the parent array (O(log N) gather rounds, no
-    traversal order needed): d[u] += d[ptr[u]]; ptr[u] = ptr[ptr[u]],
-    with a virtual sentinel slot N (d=0, self-loop) for roots.
-    """
-    L, N = gt.parent.shape
-    lidx = jnp.arange(L)[:, None]
-    sent = jnp.full((L, 1), N, jnp.int32)
-    ptr = jnp.concatenate(
-        [jnp.where(gt.parent >= 0, gt.parent, N).astype(jnp.int32), sent],
-        axis=1)                                            # [L, N+1]
-    d = (ptr < N).astype(jnp.int32).at[:, N].set(0)
-    steps = max(1, int(np.ceil(np.log2(max(N, 2)))))
-    for _ in range(steps):
-        d = d + d[lidx, ptr]
-        ptr = ptr[lidx, ptr]
-    return d[:, :N]
+    Row-sum of the ancestor-or-self matrix minus one: a handful of
+    batched [L, N, N] matmuls on the MXU (anc_matrix) instead of the
+    old pointer-doubling loop's 2 log2(N) serial row-gathers (~0.6 ms
+    per call; this is called once per likelihood pass for the
+    age-sorted schedule's tie-break)."""
+    M = anc_matrix(gt)
+    return jnp.round(M.sum(-1)).astype(jnp.int32) - 1
 
 
 def detie_ages(gt: GTrees, n_seq):
