@@ -459,6 +459,12 @@ def _build_config(kw: dict) -> BppConfig:  # noqa: C901
     v = pop("geneflow")
     if v is not None:
         c["geneflow"] = bool(int(v.split()[0]))
+        if c["geneflow"]:
+            # geneflow implies the migration machinery even without an
+            # explicit migration block (method.c:5660 asserts
+            # opt_migration under opt_est_geneflow); the route set
+            # starts at the configured routes (possibly none)
+            c["migration"] = True
 
     v = pop("__migration__")
     if v is not None:

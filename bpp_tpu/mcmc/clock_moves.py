@@ -51,17 +51,23 @@ def lnprior_rates(cfg: BppConfig, sp, mu, clock: ClockState):
         return jnp.zeros((r.shape[0],), r.dtype)
     nu = clock.nu[:, None]                            # [L, 1]
     m = mu[:, None]
+    # MSC-I networks: zero-length hybridization segments and BDI
+    # mirrors carry no rate (prop_branch_rates skips, stree.c:10293)
+    rmask = (jnp.ones((H,), bool) if sp.rate_nodes is None
+             else sp.rate_nodes)
+    n_rate = rmask.sum()
     if cfg.clock == Clock.IID:
         if cfg.clock_rate_prior == 1:                 # gamma
             alpha = m * m / nu
             beta = m / nu
             per = -beta * r + (alpha - 1.0) * jnp.log(r)
             const = alpha * jnp.log(beta) - jax.lax.lgamma(alpha)
-            return jnp.sum(per + const, axis=1)
+            return jnp.sum(jnp.where(rmask[None, :], per + const, 0.0),
+                           axis=1)
         z = jnp.log(r) - jnp.log(m) + nu / 2.0        # lognormal
         per = -(z * z) / (2.0 * nu) - jnp.log(r)
-        return jnp.sum(per, axis=1) \
-            - 0.5 * jnp.log(2.0 * jnp.pi * clock.nu) * H
+        return jnp.sum(jnp.where(rmask[None, :], per, 0.0), axis=1) \
+            - 0.5 * jnp.log(2.0 * jnp.pi * clock.nu) * n_rate
     if cfg.clock == Clock.CORRELATED:
         NS = sp.n_tips
         inner = jnp.arange(NS, H)
@@ -98,7 +104,7 @@ def lnprior_rates(cfg: BppConfig, sp, mu, clock: ClockState):
         a = cfg.clock_alpha
         per = a * jnp.log(a) - jax.lax.lgamma(jnp.asarray(a, r.dtype)) \
             + (a - 1.0) * jnp.log(r) - a * r
-        return jnp.sum(per, axis=1)                   # [1]
+        return jnp.sum(jnp.where(rmask[None, :], per, 0.0), axis=1)  # [1]
     raise ValueError(cfg.clock)
 
 
@@ -163,7 +169,8 @@ def mui_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         clock_new = state.clock._replace(
             brate=state.clock.brate.at[:, state.sp.root].set(mu_new))
     if likelihood_changes:
-        logl_new = logl_fn(state.gt, subst_new, state.sp, clock_new)
+        logl_new = logl_fn(state.gt, subst_new, state.sp, clock_new,
+                           mig=state.mig)
         dlogl = logl_new - state.logl
     else:
         logl_new = state.logl
@@ -344,10 +351,13 @@ def brate_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         active = ctx.locus_mask
         if skip_root:
             active = active & (h != root)
+        if state.sp.rate_nodes is not None:
+            active = active & state.sp.rate_nodes[h]
         r_new = jnp.where(active, r_new, r)
         brate_new = brate.at[:, h].set(r_new)
         clock_new = state.clock._replace(brate=brate_new)
-        logl_new = logl_fn(state.gt, state.subst, state.sp, clock_new)
+        logl_new = logl_fn(state.gt, state.subst, state.sp, clock_new,
+                           mig=state.mig)
         lnr_new = lnprior_rates(cfg, state.sp, state.subst.mu, clock_new)
         lnacc = dlog + (logl_new - logl) + (lnr_new - lnrates)
         accept = (jnp.log(jax.random.uniform(k2, (L,))) < lnacc) & active
@@ -376,14 +386,19 @@ def brate_simple_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     eps = state.finetune[FT_BRATE]
     a = cfg.clock_alpha
 
+    rmask = state.sp.rate_nodes
+
     def body(h, carry):
         brate, logl, kkey, nprop, nacc = carry
         kkey, k1, k2 = jax.random.split(kkey, 3)
         r = brate[0, h]
         r_new, dlog = _logslide(k1, r, eps)
+        if rmask is not None:
+            r_new = jnp.where(rmask[h], r_new, r)
         brate_new = brate.at[0, h].set(r_new)
         clock_new = state.clock._replace(brate=brate_new)
-        logl_new = logl_fn(state.gt, state.subst, state.sp, clock_new)
+        logl_new = logl_fn(state.gt, state.subst, state.sp, clock_new,
+                           mig=state.mig)
         lnacc = (dlog + (a - 1.0) * jnp.log(r_new / r) - a * (r_new - r)
                  + _psum_if_sharded(jnp.sum(logl_new - logl)))
         accept = rng.mh_accept(k2, lnacc)

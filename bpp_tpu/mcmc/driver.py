@@ -213,8 +213,19 @@ class Engine:
         from ..config import Clock
         if cfg.clock != Clock.GLOBAL:
             if run.stree.n_hybrids > 0:
-                raise NotImplementedError(
-                    "relaxed clocks on MSC-I networks not yet supported")
+                if cfg.clock == Clock.CORRELATED:
+                    # the reference fatals on this combination too
+                    # (method.c:3291 "MSC-I model with auto-correlated
+                    # relaxed clock is not currently implemented")
+                    raise NotImplementedError(
+                        "MSC-I networks with the auto-correlated relaxed "
+                        "clock are not supported (matches the reference, "
+                        "method.c:3291)")
+                if run.stree.bdi is not None and (run.stree.bdi >= 0).any():
+                    raise NotImplementedError(
+                        "relaxed clocks with bidirectional introgression "
+                        "not yet supported (the BDI mirror segment's "
+                        "rate attribution needs the partner-rate walk)")
             if cfg.est_delimit:
                 # the reference's rjMCMC (prop_rj.c) never adjusts the
                 # branch-rate prior either; block rather than sample a
@@ -239,16 +250,17 @@ class Engine:
                     "MSC-I networks cannot be combined with MSC-M "
                     "migration (reference: assert in stree.c:7452)")
             from ..config import Clock
-            if cfg.clock != Clock.GLOBAL:
+            if cfg.clock == Clock.CORRELATED:
+                # correlated rates need the species-topology midpoint
+                # machinery; reference behavior under migration is
+                # untested there — keep the conservative block
                 raise NotImplementedError(
-                    "relaxed clocks with migration not yet supported")
+                    "the auto-correlated clock with migration is not "
+                    "supported; use clock = 2 (iid) or 4 (simple)")
             if cfg.theta_integrated:
                 raise NotImplementedError(
                     "thetas cannot be integrated out under migration "
                     "(gtree.c:9271 fatal)")
-            if cfg.est_heredity == 1:
-                raise NotImplementedError(
-                    "heredity estimation with migration not yet supported")
             self.routes = mgmod.build_routes(cfg, run.stree)
             root = run.stree.root
             if (self.routes.si == root).any() or \
@@ -262,6 +274,18 @@ class Engine:
                     raise ValueError(
                         "migration route between ancestor and descendant "
                         "populations: they never coexist")
+            self.route_on0 = None
+            if cfg.geneflow:
+                # geneflow rjMCMC: switch to the saturated candidate
+                # table; configured routes start active
+                if (self.routes.am > 0).any():
+                    raise NotImplementedError(
+                        "variable-rates routes (am > 0) cannot be "
+                        "combined with geneflow rjMCMC (the reference "
+                        "disables rate variation on rj-managed routes, "
+                        "stree.c:14194)")
+                self.routes, self.route_on0 = \
+                    mgmod.build_routes_geneflow(cfg, run.stree)
         if cfg.theta_integrated:
             from ..config import PriorDist
             if cfg.thetaprior.dist != PriorDist.INVGAMMA:
@@ -561,7 +585,6 @@ class Engine:
                     mubar0 * (0.9 + 0.2 * rng.random(L)), self.dtype))
             clock = clock_moves.init_clock_state(
                 cfg, sp, subst.mu, rng, L, self.dtype)
-        logl = self._logl_fn(gt, subst, sp, clock)
         mig = None
         if cfg.migration:
             # start event-free (a valid support point; the sim-SPR move
@@ -571,13 +594,16 @@ class Engine:
             ME = max(16, 2 * run.batch.max_tips)
             M0 = self.routes.alpha / self.routes.beta
             mig = mgmod.empty_mig_state(L, ME, self.routes.n_routes, M0,
-                                        self.dtype)
+                                        self.dtype,
+                                        on=getattr(self, "route_on0", None))
+            logl = self._logl_fn(gt, subst, sp, clock, mig=mig)
             logpr, *_ = make_logpr_fn_mig(self.ctx, self.routes)(
                 gt, sp, mig, subst.heredity)
             return McmcState(
                 gt=gt, sp=sp, subst=subst, logl=logl, logpr=logpr,
                 finetune=finetune_array(cfg, self.dtype), clock=clock,
                 mig=mig)
+        logl = self._logl_fn(gt, subst, sp, clock)
         logpr, c0, t20 = self._logpr_fn(gt, sp, subst.heredity)
         coal = t2h = None
         if cfg.theta_integrated:
@@ -806,6 +832,18 @@ class Engine:
                                              keys[4])
         stats = stats.at[MV_MIX].add(jnp.stack([p, a]))
 
+        # move #10: geneflow rjMCMC — flip then add/remove
+        # (method.c:5658-5695 order)
+        if cfg.geneflow:
+            from .state import MV_GFRJ
+            kgf = jax.random.fold_in(keys[4], 11)
+            state, (p, a) = mig_moves.geneflow_flip_move(
+                ctx, cfg, routes, state, kgf)
+            stats = stats.at[MV_GFRJ].add(jnp.stack([p, a]))
+            state, (p, a) = mig_moves.geneflow_rj_move(
+                ctx, cfg, routes, state, jax.random.fold_in(kgf, 1))
+            stats = stats.at[MV_GFRJ].add(jnp.stack([p, a]))
+
         if cfg.model in subst_moves.FREQS_MODELS or (
                 ctx.custom is not None and ctx.custom.any_freqs):
             state, (p, a) = subst_moves.freqs_move(ctx, cfg, state, keys[6])
@@ -822,6 +860,40 @@ class Engine:
             state, (p, a) = subst_moves.locusrate_move(ctx, cfg, state,
                                                        keys[5])
             stats = stats.at[MV_LRHT].add(jnp.stack([p, a]))
+        if cfg.est_heredity == 1:
+            state, (p, a) = mig_moves.heredity_move_mig(
+                ctx, cfg, routes, state, jax.random.fold_in(keys[5], 1))
+            stats = stats.at[MV_LRHT].add(jnp.stack([p, a]))
+
+        # locus mu_i (hierarchical/GammaDir) + relaxed-clock moves under
+        # migration (method.c:5745-5835; the logl path routes branch
+        # lengths through the migration-aware sub-edge sweep)
+        from ..config import Clock
+        if cfg.est_locusrate == 1 and cfg.locusrate_prior in (0, 1):
+            from . import clock_moves
+            kmu = jax.random.fold_in(keys[5], 7)
+            state, (p, a) = clock_moves.mui_move(ctx, cfg, state, kmu)
+            stats = stats.at[MV_MUI].add(jnp.stack([p, a]))
+            if cfg.locusrate_prior == 1 and cfg.locusrate_mubar_est:
+                state, (p, a) = clock_moves.mubar_move(
+                    ctx, cfg, state, jax.random.fold_in(kmu, 1))
+                stats = stats.at[MV_MUBAR].add(jnp.stack([p, a]))
+        if cfg.clock != Clock.GLOBAL:
+            from . import clock_moves
+            kck = jax.random.fold_in(keys[5], 8)
+            if cfg.clock != Clock.SIMPLE:
+                state, (p, a) = clock_moves.nui_move(ctx, cfg, state, kck)
+                stats = stats.at[MV_NUI].add(jnp.stack([p, a]))
+                if cfg.locusrate_prior == 1:
+                    state, (p, a) = clock_moves.nubar_move(
+                        ctx, cfg, state, jax.random.fold_in(kck, 1))
+                    stats = stats.at[MV_NUBAR].add(jnp.stack([p, a]))
+                state, (p, a) = clock_moves.brate_move(
+                    ctx, cfg, state, jax.random.fold_in(kck, 2))
+            else:
+                state, (p, a) = clock_moves.brate_simple_move(
+                    ctx, cfg, state, jax.random.fold_in(kck, 2))
+            stats = stats.at[MV_BRATE].add(jnp.stack([p, a]))
 
         return state, stats
 
@@ -1004,7 +1076,10 @@ class Engine:
                 if state.sp.phi is not None:
                     log.phi.append(np.asarray(state.sp.phi))
                 if state.mig is not None:
-                    log.migM.append(np.asarray(state.mig.M))
+                    M = np.asarray(state.mig.M)
+                    if state.mig.on is not None:
+                        M = M * np.asarray(state.mig.on)
+                    log.migM.append(M)
                 if state.mubar is not None:
                     log.mubar.append(float(np.asarray(state.mubar)))
                 if cfg.est_stree:

@@ -47,7 +47,7 @@ def make_logpr_fn_mig(ctx: Ctx, routes: mg.MigRoutes):
         coal, C2, W, mc, _ = mg.mig_stats(gt, sp, pops, mig, si, ti,
                                           ctx.n_seq)
         lp = mg.msc_logprob_mig(coal, C2, W, mc, sp.theta, heredity,
-                                mg.eff_rates(routes, mig))
+                                mg.eff_rates(routes, mig), on=mig.on)
         ok = mg.route_consistent_mig(gt, sp, mig, pops, ctx.n_seq)
         lp = jnp.where(ok & ctx.locus_mask, lp, jnp.where(
             ctx.locus_mask, -_INF, 0.0))
@@ -117,6 +117,12 @@ def migrate_move(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
     mask_l = ctx.locus_mask[:, None]
     csum = _psum_if_sharded(jnp.sum(jnp.where(mask_l, mc, 0), axis=0))
     wsum = _psum_if_sharded(jnp.sum(jnp.where(mask_l, W, 0.0), axis=0))
+    if state.mig.on is not None:
+        # geneflow: inactive routes take a PRIOR draw (zeroed stats) -
+        # the Carlin-Chib pseudo-prior that makes route toggling a
+        # plain within-space MH move (prior/proposal terms cancel)
+        csum = jnp.where(state.mig.on, csum, 0)
+        wsum = jnp.where(state.mig.on, wsum, 0.0)
     a1 = jnp.asarray(routes.alpha, W.dtype) + csum
     b1 = jnp.asarray(routes.beta, W.dtype) + wsum
     M_new = jax.random.gamma(key, a1, dtype=W.dtype) / b1
@@ -202,10 +208,16 @@ def migevent_age_move(ctx: Ctx, cfg: BppConfig, routes, state: McmcState,
                       key):
     """Sweep event slots; each live event slides within the window
     bounded by its edge span, neighboring events on the same edge, and
-    both populations' lifetimes.  Likelihood is unchanged."""
+    both populations' lifetimes.  Likelihood is unchanged under the
+    strict clock; under a relaxed clock the event time moves the
+    boundary between two differently-rated sub-pieces of the edge, so
+    the likelihood delta is included."""
+    from ..config import Clock
     gt, sp, mig = state.gt, state.sp, state.mig
     L, ME = mig.time.shape
     logpr_fn = make_logpr_fn_mig(ctx, routes)
+    relaxed = cfg.clock != Clock.GLOBAL
+    logl_fn = make_logl_fn(ctx, cfg) if relaxed else None
     eps = state.finetune[FT_MIG_AGES]
     lidx = jnp.arange(L)
     tau = sp.tau
@@ -213,7 +225,7 @@ def migevent_age_move(ctx: Ctx, cfg: BppConfig, routes, state: McmcState,
                        MAXAGE_CAP)
 
     def body(m, carry):
-        mig, logpr, kkey, nprop, nacc = carry
+        mig, logpr, logl, kkey, nprop, nacc = carry
         kkey, k1, k2 = jax.random.split(kkey, 3)
         live = mig.node[:, m] >= 0
         nd = jnp.maximum(mig.node[:, m], 0)
@@ -238,18 +250,25 @@ def migevent_age_move(ctx: Ctx, cfg: BppConfig, routes, state: McmcState,
         tnew = jnp.where(ok, tnew, t)
         mign = mig._replace(time=mig.time.at[:, m].set(tnew))
         logpr_new, *_ = logpr_fn(gt, sp, mign, state.subst.heredity)
-        accept = rng.mh_accept(k2, logpr_new - logpr) & ok
+        lnacc = logpr_new - logpr
+        if relaxed:
+            logl_new = logl_fn(gt, state.subst, sp, state.clock, mig=mign)
+            lnacc = lnacc + (logl_new - logl)
+        accept = rng.mh_accept(k2, lnacc) & ok
         mig = mig._replace(
             time=jnp.where(accept[:, None], mign.time, mig.time))
         logpr = jnp.where(accept, logpr_new, logpr)
+        if relaxed:
+            logl = jnp.where(accept, logl_new, logl)
         nprop = nprop + ok.sum(dtype=jnp.int32)
         nacc = nacc + accept.sum(dtype=jnp.int32)
-        return (mig, logpr, kkey, nprop, nacc)
+        return (mig, logpr, logl, kkey, nprop, nacc)
 
-    init = (mig, state.logpr, key,
+    init = (mig, state.logpr, state.logl, key,
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    mig, logpr, _, nprop, nacc = jax.lax.fori_loop(0, ME, body, init)
-    return state._replace(mig=mig, logpr=logpr), (nprop, nacc)
+    mig, logpr, logl, _, nprop, nacc = jax.lax.fori_loop(0, ME, body, init)
+    return (state._replace(mig=mig, logpr=logpr, logl=logl),
+            (nprop, nacc))
 
 
 # --------------------------------------------------------------------------
@@ -321,7 +340,7 @@ def age_block_mig(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
         mask_ok = mask & (maxage > minage)
         age_new = jnp.where(mask_ok, tnew, age)
         gtn = gt._replace(age=age_new)
-        logl_new = logl_fn(gtn, state.subst, sp, state.clock)
+        logl_new = logl_fn(gtn, state.subst, sp, state.clock, mig=mig)
         logpr_new, *_ = logpr_fn(gtn, sp, mig, state.subst.heredity)
         lnacc = (logl_new - logl) + (logpr_new - logpr)
         amask = ctx.locus_mask & mask_ok.any(1)
@@ -343,22 +362,28 @@ def age_block_mig(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
 
 def tau_move_mig(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
     """Plain Metropolis slide of each inner tau in [max child tau,
-    parent tau].  Gene ages and events are untouched: the likelihood is
-    invariant and infeasible configurations (a coalescence or event
-    stranded outside its population) reject via the density indicator.
-    Simpler than the reference's IM rubberband (stree.c:6568) but exact.
+    parent tau].  Gene ages and events are untouched: under the strict
+    clock the likelihood is invariant and infeasible configurations (a
+    coalescence or event stranded outside its population) reject via
+    the density indicator; under a relaxed clock the population
+    boundaries weight the branch lengths, so the likelihood delta is
+    included.  Simpler than the reference's IM rubberband
+    (stree.c:6568) but exact.
     """
+    from ..config import Clock
     sp0 = state.sp
     NS = sp0.n_tips
     if NS == 1:
         return state, (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
     logpr_fn = make_logpr_fn_mig(ctx, routes)
+    relaxed = cfg.clock != Clock.GLOBAL
+    logl_fn = make_logl_fn(ctx, cfg) if relaxed else None
     gamma_tau = cfg.tauprior.dist == PriorDist.GAMMA
     a, b = cfg.tauprior.alpha, cfg.tauprior.beta
     eps = state.finetune[FT_TAU]
 
     def body(h_off, carry):
-        tau, logpr, kkey, nprop, nacc = carry
+        tau, logpr, logl, kkey, nprop, nacc = carry
         h = NS + h_off
         kkey, k1, k2 = jax.random.split(kkey, 3)
         told = tau[h]
@@ -373,6 +398,10 @@ def tau_move_mig(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
         logpr_new, *_ = logpr_fn(state.gt, sp_new, state.mig,
                                  state.subst.heredity)
         lnacc = _psum_if_sharded(jnp.sum(logpr_new - logpr))
+        if relaxed:
+            logl_new = logl_fn(state.gt, state.subst, sp_new, state.clock,
+                               mig=state.mig)
+            lnacc = lnacc + _psum_if_sharded(jnp.sum(logl_new - logl))
         is_root = ph < 0
         cand = jnp.sum(tau[NS:] > 0).astype(tau.dtype)
         if gamma_tau:
@@ -385,13 +414,17 @@ def tau_move_mig(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
         accept = rng.mh_accept(k2, lnacc) & active
         tau = jnp.where(accept, tau_new, tau)
         logpr = jnp.where(accept, logpr_new, logpr)
-        return (tau, logpr, kkey, nprop + active.astype(jnp.int32),
+        if relaxed:
+            logl = jnp.where(accept, logl_new, logl)
+        return (tau, logpr, logl, kkey, nprop + active.astype(jnp.int32),
                 nacc + accept.astype(jnp.int32))
 
-    init = (sp0.tau, state.logpr, key,
+    init = (sp0.tau, state.logpr, state.logl, key,
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    tau, logpr, _, nprop, nacc = jax.lax.fori_loop(0, NS - 1, body, init)
-    return (state._replace(sp=sp0._replace(tau=tau), logpr=logpr),
+    tau, logpr, logl, _, nprop, nacc = jax.lax.fori_loop(
+        0, NS - 1, body, init)
+    return (state._replace(sp=sp0._replace(tau=tau), logpr=logpr,
+                           logl=logl),
             (nprop, nacc))
 
 
@@ -440,7 +473,7 @@ def mixing_mig(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
     gtn = gt._replace(age=age_new)
     mign = mig._replace(time=time_new)
     spn = sp._replace(tau=tau_new)
-    logl_new = logl_fn(gtn, state.subst, spn, state.clock)
+    logl_new = logl_fn(gtn, state.subst, spn, state.clock, mig=mign)
     logpr_new, *_ = logpr_fn(gtn, spn, mign, state.subst.heredity)
     lnacc = lnacc + _psum_if_sharded(jnp.sum(logl_new - state.logl)) \
         + _psum_if_sharded(jnp.sum(logpr_new - state.logpr))
@@ -679,7 +712,7 @@ def spr_sim_move(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key,
     mig_n = mig_n._replace(time=mtime, node=mnode, src=msrc, dst=mdst)
 
     # --- accept (dlogl only; prior == proposal) ------------------------------
-    logl_new = logl_fn(gt_n, state.subst, sp, state.clock)
+    logl_new = logl_fn(gt_n, state.subst, sp, state.clock, mig=mig_n)
     logpr_new, *_ = logpr_fn(gt_n, sp, mig_n, heredity)
     ok = ok & jnp.isfinite(logpr_new)
     accept = rng.mh_accept(kacc, logl_new - state.logl) & ok
@@ -700,3 +733,190 @@ def spr_sim_move(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key,
         logpr=jnp.where(accept, logpr_new, state.logpr))
     return new_state, (is_valid.sum(dtype=jnp.int32),
                        accept.sum(dtype=jnp.int32))
+
+
+# --------------------------------------------------------------------------
+# geneflow rjMCMC: migration-route add/remove + direction flip
+# (stree_migration_rj stree.c:15419, flip wrapper :15204, dispatched
+# method.c:5658-5695)
+# --------------------------------------------------------------------------
+#
+# TPU-first redesign.  The reference jumps dimensions: append draws a
+# fresh rate M ~ Gamma(a, b) (= its prior, so prior/proposal cancel,
+# stree.c:14229-14233) and re-simulates the gene-tree lineages crossing
+# the affected population band (mig_dissolve_and_sim stree.c:13669 -
+# a per-lineage sequential pruning/resimulation that has no fixed-shape
+# formulation).  Here the parameter space is SATURATED instead
+# (Carlin & Chib): every candidate route keeps an M value; inactive
+# routes' rates follow their prior (the W Gibbs draws them with zeroed
+# stats - migrate_move), so toggling a route's activation is a plain
+# within-space MH move whose pseudo-prior terms cancel, exactly like
+# the reference's prior-matched rj draw.  Gene trees are NOT modified:
+# a route with migration events on it cannot be removed or flipped
+# (density -inf -> structural rejection); the event content adapts
+# through the sim-SPR and migevent moves once a route is active.  The
+# count Hastings uses the EXACT per-state feasible-pair counts where
+# the reference uses the constant NS(NS+1)(NS-1)/3 approximation
+# (stree.c:14238; see trees.migration.build_routes_geneflow).
+
+
+def _route_overlap(routes, sp):
+    """[K] bool: source/target population time intervals overlap
+    (select_migpair stree.c:15275 criterion)."""
+    tau = sp.tau
+    partau = jnp.where(sp.parent >= 0,
+                       tau[jnp.maximum(sp.parent, 0)], jnp.inf)
+    si = jnp.asarray(routes.si)
+    ti = jnp.asarray(routes.ti)
+    return (jnp.maximum(tau[si], tau[ti])
+            < jnp.minimum(partau[si], partau[ti]))
+
+
+def _pick(key, mask):
+    """(index, count): uniform choice among True entries of mask [K]."""
+    count = mask.sum()
+    logits = jnp.where(mask, 0.0, -1e30)
+    idx = jax.random.categorical(key, logits)
+    return idx.astype(jnp.int32), count
+
+
+def geneflow_rj_move(ctx: Ctx, cfg: BppConfig, routes, state: McmcState,
+                     key):
+    """Toggle one route's activation (append/remove, coin-tossed)."""
+    mig = state.mig
+    sp = state.sp
+    logpr_fn = make_logpr_fn_mig(ctx, routes)
+    _, _, _, W, mc, _ = logpr_fn(state.gt, sp, mig, state.subst.heredity)
+    mask_l = ctx.locus_mask[:, None]
+    wsum = _psum_if_sharded(jnp.sum(jnp.where(mask_l, W, 0.0), axis=0))
+    mcsum = _psum_if_sharded(jnp.sum(jnp.where(mask_l, mc, 0), axis=0))
+
+    on = mig.on
+    ov = _route_overlap(routes, sp)
+    kc, ks, ka = jax.random.split(key, 3)
+    do_append = jax.random.uniform(kc) < 0.5
+
+    avail = ov & ~on                       # appendable candidates
+    k_app, n_avail = _pick(ks, avail)
+    k_rem, n_act = _pick(ks, on)
+    k = jnp.where(do_append, k_app, k_rem)
+
+    # density delta: +- M_k * sum_l W_lk (activating adds the -M W
+    # exposure term; mc_k == 0 by invariant when activating, and
+    # removal with events on the route is impossible)
+    Mk = mig.M[k]
+    dW = Mk * wsum[k]
+    lnacc = jnp.where(do_append, -dW, dW)
+
+    # exact count Hastings: append pick 1/n_avail, reverse remove pick
+    # 1/(n_act+1); remove pick 1/n_act, reverse append 1/n_avail_after
+    n_avail_after = n_avail + jnp.where(ov[k], 1, 0)
+    lnacc = lnacc + jnp.where(
+        do_append,
+        jnp.log(jnp.maximum(n_avail, 1) / (n_act + 1.0)),
+        jnp.log(jnp.maximum(n_act, 1) / jnp.maximum(n_avail_after, 1.0)))
+
+    feasible = jnp.where(
+        do_append, n_avail > 0,
+        (n_act > 0) & (mcsum[k] == 0) & ov[k])
+    # variable-rates routes exchange no prior mass with the pseudo
+    # (their Mi hierarchy is active-only machinery): freeze them
+    feasible = feasible & (jnp.asarray(routes.am)[k] == 0)
+
+    accept = rng.mh_accept(ka, jnp.where(feasible, lnacc, -jnp.inf))
+    on_new = on.at[k].set(jnp.where(accept, do_append, on[k]))
+    mig_new = mig._replace(on=on_new)
+    logpr_new, *_ = logpr_fn(state.gt, sp, mig_new, state.subst.heredity)
+    new_state = state._replace(
+        mig=mig_new,
+        logpr=jnp.where(accept, logpr_new, state.logpr))
+    return new_state, (jnp.ones((), jnp.int32),
+                       accept.astype(jnp.int32))
+
+
+def geneflow_flip_move(ctx: Ctx, cfg: BppConfig, routes, state: McmcState,
+                       key):
+    """Flip one route's direction s->t to t->s, carrying its rate over
+    (stree_migration_flip_wrapper stree.c:15204; candidates are active
+    routes whose reverse is inactive, the XOR scan :15225-15232)."""
+    mig = state.mig
+    sp = state.sp
+    logpr_fn = make_logpr_fn_mig(ctx, routes)
+    _, _, _, W, mc, _ = logpr_fn(state.gt, sp, mig, state.subst.heredity)
+    mask_l = ctx.locus_mask[:, None]
+    wsum = _psum_if_sharded(jnp.sum(jnp.where(mask_l, W, 0.0), axis=0))
+    mcsum = _psum_if_sharded(jnp.sum(jnp.where(mask_l, mc, 0), axis=0))
+
+    on = mig.on
+    # rev[k]: index of the opposite-direction candidate
+    rev = jnp.asarray(routes.index)[jnp.asarray(routes.ti),
+                                    jnp.asarray(routes.si)]
+    has_rev = rev >= 0
+    rev_s = jnp.maximum(rev, 0)
+    am0 = jnp.asarray(routes.am) == 0
+    flippable = on & has_rev & ~on[rev_s] & am0 & am0[rev_s]
+
+    ks, ka = jax.random.split(key)
+    k, n_flip = _pick(ks, flippable)
+    r = rev_s[k]
+    Mk = mig.M[k]
+    Mr = mig.M[r]
+
+    # propose: deactivate k, activate r, SWAP the rate slots so the
+    # active rate value carries over (migspec_flip keeps spec->M)
+    on_new = on.at[k].set(False).at[r].set(True)
+    M_new = mig.M.at[k].set(Mr).at[r].set(Mk)
+
+    # density delta: k's exposure leaves, r's (with rate Mk) enters
+    lnacc = Mk * wsum[k] - Mk * wsum[r]
+    # pseudo-prior/prior bookkeeping for the swapped values (slots may
+    # carry different configured priors)
+    al = jnp.asarray(routes.alpha, wsum.dtype)
+    be = jnp.asarray(routes.beta, wsum.dtype)
+    lnacc = lnacc + (rng.log_pdf_gamma(Mk, al[r], be[r])
+                     + rng.log_pdf_gamma(Mr, al[k], be[k])
+                     - rng.log_pdf_gamma(Mk, al[k], be[k])
+                     - rng.log_pdf_gamma(Mr, al[r], be[r]))
+
+    # reverse selection count: flippable set after the flip
+    flip_after = on_new & has_rev & ~on_new[rev_s] & am0 & am0[rev_s]
+    n_after = flip_after.sum()
+    lnacc = lnacc + jnp.log(jnp.maximum(n_flip, 1)
+                            / jnp.maximum(n_after, 1).astype(wsum.dtype))
+
+    feasible = (n_flip > 0) & (mcsum[k] == 0)
+    accept = rng.mh_accept(ka, jnp.where(feasible, lnacc, -jnp.inf))
+    mig_new = mig._replace(
+        on=jnp.where(accept, on_new, on),
+        M=jnp.where(accept, M_new, mig.M))
+    logpr_new, *_ = logpr_fn(state.gt, sp, mig_new, state.subst.heredity)
+    new_state = state._replace(
+        mig=mig_new,
+        logpr=jnp.where(accept, logpr_new, state.logpr))
+    return new_state, (jnp.ones((), jnp.int32), accept.astype(jnp.int32))
+
+
+def heredity_move_mig(ctx: Ctx, cfg: BppConfig, routes, state: McmcState,
+                      key):
+    """Per-locus heredity-scalar slide under migration (prop_heredity
+    gtree.c:8214; the MSC-M density scales every theta by h_l)."""
+    from .state import FT_LRHT
+    L = state.gt.n_loci
+    eps = state.finetune[FT_LRHT]
+    ks, ka = jax.random.split(key)
+    h = state.subst.heredity
+    h_new = jnp.abs(h + eps * rng.bactrian(ks, (L,), dtype=eps.dtype))
+    h_new = jnp.maximum(h_new, 1e-300)
+    h_new = jnp.where(ctx.locus_mask, h_new, h)
+    dprior = (cfg.heredity_alpha - 1.0) * jnp.log(h_new / h) \
+        - cfg.heredity_beta * (h_new - h)
+    logpr_fn = make_logpr_fn_mig(ctx, routes)
+    logpr_new, *_ = logpr_fn(state.gt, state.sp, state.mig, h_new)
+    lnacc = dprior + (logpr_new - state.logpr)
+    accept = rng.mh_accept(ka, lnacc) & ctx.locus_mask
+    h_fin = jnp.where(accept, h_new, h)
+    logpr = jnp.where(accept, logpr_new, state.logpr)
+    return (state._replace(subst=state.subst._replace(heredity=h_fin),
+                           logpr=logpr),
+            (ctx.locus_mask.sum(dtype=jnp.int32),
+             accept.sum(dtype=jnp.int32)))

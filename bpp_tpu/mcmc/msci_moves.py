@@ -20,8 +20,10 @@ per-edge hybridization flags, never book-kept):
     the three incident edges' hybridization flags phi-weighted and
     endpoint-conditioned (``sample_hpath`` gtree.c:4225); the Hastings
     ratio is the reverse/forward path-proposal probability.  Ages and
-    topology are untouched, so the likelihood is unchanged — the move
-    only re-costs the MSC density.
+    topology are untouched, so under the strict clock the likelihood is
+    unchanged and the move only re-costs the MSC density; under a
+    relaxed clock the re-routed edges change their rate-weighted
+    lengths and the likelihood delta is included.
 """
 
 from __future__ import annotations
@@ -360,6 +362,14 @@ def repath_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     if integ:
         from . import notheta
         coal_c, t2_c = state.coal, state.t2h
+    # under a relaxed clock the hpath choice routes each edge through
+    # different populations, changing its rate-weighted length — the
+    # move must then re-cost the likelihood too (locus.c:1151 segment
+    # walk); under the strict clock ages alone fix the lengths
+    from ..config import Clock
+    relaxed = cfg.clock != Clock.GLOBAL
+    logl = state.logl
+    logl_fn = make_logl_fn(ctx, cfg) if relaxed else None
     nprop = jnp.zeros((), jnp.int32)
     nacc = jnp.zeros((), jnp.int32)
 
@@ -422,6 +432,11 @@ def repath_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
         gtn = gt._replace(hpath=hp_new)
         logpr_new, c_new, t2_new = logpr_fn(gtn, sp, state.subst.heredity)
+        if relaxed:
+            logl_new = logl_fn(gtn, state.subst, sp, state.clock)
+            dlogl = logl_new - logl
+        else:
+            dlogl = 0.0
         amask = ctx.locus_mask & ok.any(1)
         if integ:
             # repathing moves coalescences between populations: the
@@ -429,20 +444,23 @@ def repath_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
             # so run the exact serial accept chain (notheta.scan_accept)
             hered = state.subst.heredity
             accept = notheta.scan_accept(
-                ka, cfg, (logpr_new - logpr) + (q_rev - q_fwd),
+                ka, cfg, (logpr_new - logpr) + (q_rev - q_fwd) + dlogl,
                 coal_c, t2_c, hered, c_new, t2_new, hered,
                 amask, ctx.locus_mask)
             coal_c = jnp.where(accept[:, None], c_new, coal_c)
             t2_c = jnp.where(accept[:, None], t2_new, t2_c)
         else:
-            lnacc = (logpr_new - logpr) + (q_rev - q_fwd)
+            lnacc = (logpr_new - logpr) + (q_rev - q_fwd) + dlogl
             accept = rng.mh_accept(ka, lnacc) & amask
         hpath = jnp.where(accept[:, None, None], hp_new, hpath)
         logpr = jnp.where(accept, logpr_new, logpr)
+        if relaxed:
+            logl = jnp.where(accept, logl_new, logl)
         nprop = nprop + amask.sum(dtype=jnp.int32)
         nacc = nacc + accept.sum(dtype=jnp.int32)
 
-    new_state = state._replace(gt=gt._replace(hpath=hpath), logpr=logpr)
+    new_state = state._replace(gt=gt._replace(hpath=hpath), logpr=logpr,
+                               logl=logl)
     if integ:
         new_state = new_state._replace(coal=coal_c, t2h=t2_c)
     return new_state, (nprop, nacc)

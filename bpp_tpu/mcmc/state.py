@@ -71,7 +71,8 @@ MV_BRATE = 18
 MV_MIGRATES = 19
 MV_MIG_AGES = 20
 MV_TRAIT = 21        # trait branch rates (prop_branch_rates_trait)
-N_MOVES = 22
+MV_GFRJ = 22         # geneflow rjMCMC route add/remove + flip
+N_MOVES = 23
 
 
 class SubstState(NamedTuple):
@@ -370,7 +371,8 @@ def make_logl_fn(ctx: Ctx, cfg: BppConfig):
     bfbeta = cfg.bfbeta
     relaxed = cfg.clock != Clock.GLOBAL
 
-    def logl_fn(gt: GTrees, subst: SubstState, sp=None, clock=None):
+    def logl_fn(gt: GTrees, subst: SubstState, sp=None, clock=None,
+                mig=None):
         if not usedata:
             return jnp.zeros(ctx.weights.shape[0], ctx.weights.dtype)
         if relaxed:
@@ -380,8 +382,20 @@ def make_logl_fn(ctx: Ctx, cfg: BppConfig):
             brate = clock.brate
             if cfg.clock == Clock.SIMPLE:
                 brate = brate * subst.mu[:, None]     # locus.c:1142
-            pops = assign_populations(gt, sp, ctx.tip_pop)
-            blen = fe.relaxed_branch_lengths(gt, sp, pops, brate)
+            if cfg.migration:
+                # migrating edges change population mid-span: lengths
+                # come from the sub-edge sweep (locus.c:1151 + miginfo)
+                if mig is None:
+                    raise ValueError("relaxed clock under migration: "
+                                     "logl_fn requires mig")
+                from ..trees import migration as mgmod
+                pops = mgmod.assign_populations_mig(
+                    gt, sp, ctx.tip_pop, mig, ctx.n_seq)
+                blen = mgmod.relaxed_branch_lengths_mig(
+                    gt, sp, mig, pops, ctx.n_seq, brate)
+            else:
+                pops = assign_populations(gt, sp, ctx.tip_pop)
+                blen = fe.relaxed_branch_lengths(gt, sp, pops, brate)
             pmats = compute_pmats(gt, subst, model, blen=blen)
             cw = jnp.full((subst.rates.shape[1],),
                           1.0 / subst.rates.shape[1], ctx.weights.dtype)

@@ -101,7 +101,8 @@ def freqs_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
     subst_new = refresh_eigen(subst._replace(freqs=fnew), cfg.model,
                               ctx.custom)
-    logl_new = make_logl_fn(ctx, cfg)(state.gt, subst_new, state.sp, state.clock)
+    logl_new = make_logl_fn(ctx, cfg)(state.gt, subst_new, state.sp,
+                                      state.clock, mig=state.mig)
     lnacc = logl_new - state.logl         # uniform Dirichlet prior, symmetric
     accept = rng.mh_accept(ka, lnacc) & free
     L_ = accept.shape[0]
@@ -141,7 +142,8 @@ def qrates_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
         subst_new = refresh_eigen(
             _derive_kappas(subst._replace(qrates=qnew), cfg.model), cfg.model)
-        logl_new = logl_fn(state.gt, subst_new, state.sp, state.clock)
+        logl_new = logl_fn(state.gt, subst_new, state.sp, state.clock,
+                           mig=state.mig)
         aj, ar = GTR_DIR_ALPHA[j], GTR_DIR_ALPHA[ref]
         lnacc = (new_lg - old_lg) + (logl_new - logl) \
             + (aj - 1.0) * (new_lg - old_lg) \
@@ -192,7 +194,8 @@ def _qrates_move_custom(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         subst_new = refresh_eigen(
             _derive_kappas(subst._replace(qrates=qnew), cfg.model, cm),
             cfg.model, cm)
-        logl_new = logl_fn(state.gt, subst_new, state.sp, state.clock)
+        logl_new = logl_fn(state.gt, subst_new, state.sp, state.clock,
+                           mig=state.mig)
         aj = GTR_DIR_ALPHA[j]
         ar = GTR_DIR_ALPHA[cm.q_ref]
         ref_ratio = jnp.log(
@@ -226,7 +229,8 @@ def alpha_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
     subst_new = state.subst._replace(alpha=alpha_new,
                                      rates=rates_new.astype(alpha.dtype))
-    logl_new = make_logl_fn(ctx, cfg)(state.gt, subst_new, state.sp, state.clock)
+    logl_new = make_logl_fn(ctx, cfg)(state.gt, subst_new, state.sp,
+                                      state.clock, mig=state.mig)
     lnacc = (loga_new - loga) + (logl_new - state.logl) \
         + (a0 - 1.0) * (loga_new - loga) - b0 * (alpha_new - alpha)
     accept = rng.mh_accept(ka, lnacc) & ctx.locus_mask
@@ -240,7 +244,8 @@ def alpha_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
 def _mu_logl(ctx, cfg, state, mu_new):
     subst_new = state.subst._replace(mu=mu_new)
-    return subst_new, make_logl_fn(ctx, cfg)(state.gt, subst_new, state.sp, state.clock)
+    return subst_new, make_logl_fn(ctx, cfg)(
+        state.gt, subst_new, state.sp, state.clock, mig=state.mig)
 
 
 def locusrate_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):

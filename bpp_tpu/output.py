@@ -150,8 +150,15 @@ class McmcWriter:
         # migration-rate columns (method.c:1999 "W:%d->%d:%s->%s")
         self.mig_routes = []
         if cfg.migration:
-            from .trees.migration import build_routes
-            r = build_routes(cfg, st)
+            from .trees.migration import build_routes, build_routes_geneflow
+            if cfg.geneflow:
+                # geneflow rjMCMC: one column per CANDIDATE route;
+                # inactive samples print 0 so P(route on) and E[M | on]
+                # fall out of the trace (the reference writes ragged
+                # name=value pairs for active routes, method.c:2477)
+                r, _ = build_routes_geneflow(cfg, st)
+            else:
+                r = build_routes(cfg, st)
             self.mig_routes = list(zip(r.si.tolist(), r.ti.tolist()))
         # tip dating (locusrate = 3 + datefile): overall rate mu_bar
         # plus calendar-unit taus r_tau = tau/mu_bar (method.c:1944-1960)

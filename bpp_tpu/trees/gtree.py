@@ -94,6 +94,10 @@ class SpeciesArrays(NamedTuple):
     bdi_partner: jax.Array = None   # [H] int32
     bdi_mirror: jax.Array = None    # [H] bool
     bdi_pairs: jax.Array = None     # [n_pairs, 2] int32
+    # relaxed-clock rate-carrying populations: all, minus zero-length
+    # hybridization segments (htau == 0) and BDI mirrors — the nodes
+    # prop_branch_rates skips (stree.c:10293-10298); None = all True
+    rate_nodes: jax.Array = None    # [H] bool
 
     @property
     def n_nodes(self):
@@ -129,6 +133,10 @@ def species_arrays(st, dtype=jnp.float64) -> SpeciesArrays:
         mirror_start = st.n_tips + st.n_inner
         free = np.zeros(st.n_nodes, bool)
         free[st.n_tips:mirror_start] = True
+        # relaxed-clock rate carriers: skip zero-length hybridization
+        # segments (htau == 0: tau pinned to the parent's, zero span)
+        # like prop_branch_rates (stree.c:10296)
+        rate_nodes = np.ones(st.n_nodes, bool)
         for i in range(st.n_nodes):
             if st.hindex[i] >= 0:
                 if i < mirror_start:
@@ -137,11 +145,13 @@ def species_arrays(st, dtype=jnp.float64) -> SpeciesArrays:
                     free[i] = False               # mirror: tau tied to hinner
                 if not st.htau[i]:
                     free[st.parent[i]] = False    # tied parent
+                    rate_nodes[i] = False
         kw = dict(hslot=jnp.asarray(hslot),
                   hybrid=jnp.asarray(st.hybrid, jnp.int32),
                   phi=jnp.asarray(st.phi, dtype),
                   hindex=jnp.asarray(st.hindex, jnp.int32),
-                  tau_free=jnp.asarray(free))
+                  tau_free=jnp.asarray(free),
+                  rate_nodes=jnp.asarray(rate_nodes))
         if st.bdi is not None and (st.bdi >= 0).any():
             bdi = np.asarray(st.bdi, np.int64)
             pairs = [(i, int(bdi[i])) for i in range(st.n_nodes)
@@ -150,13 +160,15 @@ def species_arrays(st, dtype=jnp.float64) -> SpeciesArrays:
             for i in range(st.n_nodes):
                 if bdi[i] >= 0:
                     bdi_mirror[st.hybrid[i]] = True
+                    rate_nodes[st.hybrid[i]] = False   # stree.c:10298
                     free[i] = i < bdi[i]     # one shared tau per pair
             kw.update(
                 bdi_partner=jnp.asarray(bdi, jnp.int32),
                 bdi_mirror=jnp.asarray(bdi_mirror),
                 bdi_pairs=jnp.asarray(np.asarray(pairs, np.int32)
                                       .reshape(-1, 2)),
-                tau_free=jnp.asarray(free))
+                tau_free=jnp.asarray(free),
+                rate_nodes=jnp.asarray(rate_nodes))
     return SpeciesArrays(
         left=jnp.asarray(st.left, jnp.int32),
         right=jnp.asarray(st.right, jnp.int32),

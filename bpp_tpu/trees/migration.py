@@ -108,6 +108,15 @@ class MigState(NamedTuple):
                        # rate Mbar (migspec_t.M, bpp.h:1036)
     Mi: jax.Array      # [L, K] per-locus rates (migspec_t.Mi); only
                        # consulted where routes.am > 0
+    # geneflow rjMCMC (stree.c:15419 stree_migration_rj): which routes
+    # of the SATURATED candidate table are in the current model.  None
+    # = fixed-route mode (every configured route always on).  Inactive
+    # routes keep an M value distributed per its prior (the W Gibbs
+    # draws it from the conjugate with zeroed stats) - the Carlin-Chib
+    # pseudo-prior construction that replaces the reference's
+    # dimension-jumping draw (prop M ~ Gamma(a,b) = prior, so the
+    # proposal/prior terms cancel identically there too).
+    on: jax.Array | None = None    # [K] bool
 
     @property
     def cap(self) -> int:
@@ -118,7 +127,8 @@ class MigState(NamedTuple):
         return jnp.sum(self.node >= 0, axis=1).astype(jnp.int32)
 
 
-def empty_mig_state(L: int, cap: int, K: int, M0, dtype) -> MigState:
+def empty_mig_state(L: int, cap: int, K: int, M0, dtype,
+                    on=None) -> MigState:
     M = jnp.asarray(M0, dtype)
     return MigState(
         time=jnp.full((L, cap), BIG_AGE, dtype),
@@ -126,14 +136,68 @@ def empty_mig_state(L: int, cap: int, K: int, M0, dtype) -> MigState:
         src=jnp.zeros((L, cap), jnp.int32),
         dst=jnp.zeros((L, cap), jnp.int32),
         M=M,
-        Mi=jnp.broadcast_to(M[None, :], (L, K)).astype(dtype))
+        Mi=jnp.broadcast_to(M[None, :], (L, K)).astype(dtype),
+        on=None if on is None else jnp.asarray(on, bool))
+
+
+def build_routes_geneflow(cfg, st):
+    """Saturated candidate route table for geneflow rjMCMC.
+
+    Candidates are every ordered population pair (s, t), neither the
+    root, s != t, neither an ancestor of the other (such pairs never
+    coexist; select_migpair stree.c:15275 additionally requires CURRENT
+    tau-interval overlap, which the move re-checks dynamically).
+    Routes from an explicit ``migration`` block keep their configured
+    priors/am and start ACTIVE; all other candidates get the wprior
+    defaults and start off.
+
+    Returns (routes, on0 [K] bool).
+    """
+    base = build_routes(cfg, st)
+    H = st.n_nodes
+    anc = st.pptable()
+    root = st.root
+    wa, wb = (cfg.wprior.alpha, cfg.wprior.beta) if cfg.wprior else (
+        (cfg.migprior.alpha, cfg.migprior.beta) if cfg.migprior
+        else (2.0, 1.0))
+    si, ti, al, be, am, on0 = [], [], [], [], [], []
+    index = np.full((H, H), -1, np.int32)
+    for s in range(H):
+        for t in range(H):
+            if s == t or s == root or t == root:
+                continue
+            if anc[s, t] or anc[t, s]:
+                continue
+            k0 = base.index[s, t]
+            index[s, t] = len(si)
+            si.append(s)
+            ti.append(t)
+            al.append(base.alpha[k0] if k0 >= 0 else wa)
+            be.append(base.beta[k0] if k0 >= 0 else wb)
+            am.append(base.am[k0] if k0 >= 0 else 0.0)
+            on0.append(k0 >= 0)
+    # note: the reference's Hastings uses the CONSTANT
+    # NS(NS+1)(NS-1)/3 (stree.c:14238 mrcount) as the candidate count,
+    # which matches the true non-ancestor pair count only for some
+    # topologies (e.g. 20 vs 22 for a balanced 4-species tree); the
+    # move here uses the exact per-state feasible counts instead
+    routes = MigRoutes(si=np.asarray(si, np.int32),
+                       ti=np.asarray(ti, np.int32),
+                       alpha=np.asarray(al), beta=np.asarray(be),
+                       am=np.asarray(am), index=index)
+    return routes, np.asarray(on0, bool)
 
 
 def eff_rates(routes: MigRoutes, mig: MigState):
     """Effective per-locus route rates [L, K]: Mi where the route has a
-    variable-rates shape (am > 0), the shared M otherwise."""
+    variable-rates shape (am > 0), the shared M otherwise.  Routes
+    switched off by the geneflow mask get rate 0 (no simulation jumps,
+    no density contribution)."""
     has_am = jnp.asarray(routes.am > 0)
-    return jnp.where(has_am[None, :], mig.Mi, mig.M[None, :])
+    r = jnp.where(has_am[None, :], mig.Mi, mig.M[None, :])
+    if mig.on is not None:
+        r = jnp.where(mig.on[None, :], r, 0.0)
+    return r
 
 
 # --------------------------------------------------------------------------
@@ -374,18 +438,26 @@ def mig_stats(gt: GTrees, sp: SpeciesArrays, pops, mig: MigState,
     return coal, C2, W, mc, n_in
 
 
-def msc_logprob_mig(coal, C2, W, mc, theta, heredity, M):
+def msc_logprob_mig(coal, C2, W, mc, theta, heredity, M, on=None):
     """Per-locus MSC-M log density [L] (gtree.c:3637-3663).
 
     ``M`` is [K] (shared route rates) or [L, K] (per-locus effective
-    rates from :func:`eff_rates` when any route has am > 0)."""
+    rates from :func:`eff_rates` when any route has am > 0).  ``on``
+    [K] bool masks the terms of switched-off routes (geneflow rjMCMC);
+    an event on an off route makes the density -inf (impossible
+    state, rejected structurally)."""
     th = theta[None, :] * heredity[:, None]
     th = jnp.maximum(th, 1e-300)
     pop_terms = jnp.sum(coal * jnp.log(2.0 / th) - C2 / th, axis=1)
     Msafe = jnp.maximum(M, 1e-300)
     if Msafe.ndim == 1:
         Msafe = Msafe[None, :]
-    mig_terms = jnp.sum(mc * jnp.log(Msafe) - Msafe * W, axis=1)
+    per_route = mc * jnp.log(Msafe) - Msafe * W
+    if on is not None:
+        per_route = jnp.where(on[None, :], per_route, 0.0)
+        bad = jnp.any(~on[None, :] & (mc > 0), axis=1)
+        pop_terms = jnp.where(bad, -jnp.inf, pop_terms)
+    mig_terms = jnp.sum(per_route, axis=1)
     return pop_terms + mig_terms
 
 
@@ -486,3 +558,35 @@ def simulate_gtree_mig_host(rng, tip_species, st_parent, tau, theta,
         if next_node == nnodes:
             break
     return left, right, parent, age
+
+
+def relaxed_branch_lengths_mig(gt: GTrees, sp: SpeciesArrays,
+                               mig: MigState, pops, n_seq, brate):
+    """Per-node relaxed-clock branch lengths under migration ``[L, N]``.
+
+    A migrating edge occupies different populations along its span, so
+    its expected-substitutions length is the rate-weighted sum over its
+    SUB-edges (one per migration event, :func:`_subedges`) of each
+    sub-edge's overlap with every population it ascends through —
+    the migration-aware generalization of
+    felsenstein.relaxed_branch_lengths (locus.c:1151 with miginfo
+    walks).
+    """
+    L, N = gt.age.shape
+    tau = sp.tau
+    partau = jnp.where(sp.parent >= 0, tau[jnp.maximum(sp.parent, 0)],
+                       BIG_AGE)
+    t_lo, t_hi, pop_lo, live = _subedges(gt, mig, pops, n_seq)  # [L, E]
+    anc = sp.pptable[pop_lo]                                    # [L, E, H]
+    lo = jnp.maximum(t_lo[..., None], tau[None, None, :])
+    hi = jnp.minimum(t_hi[..., None], partau[None, None, :])
+    seg = jnp.where(anc & live[..., None], jnp.maximum(hi - lo, 0.0), 0.0)
+    len_e = jnp.sum(seg * brate[:, None, :], axis=-1)           # [L, E]
+    # attribute sub-edges back to their gene node: base pieces are the
+    # first N columns (node == column); event pieces go to mig.node
+    blen = len_e[:, :N]
+    ev_oh = ((jnp.maximum(mig.node, 0)[:, :, None]
+              == jnp.arange(N)[None, None, :])
+             & (mig.node >= 0)[:, :, None]).astype(len_e.dtype)
+    blen = blen + jnp.einsum("len,le->ln", ev_oh, len_e[:, N:])
+    return jnp.where(gt.parent >= 0, blen, 0.0)

@@ -105,6 +105,7 @@ def test_lnprior_rates_formula():
     class SpStub:
         n_nodes = H
         n_tips = 4
+        rate_nodes = None
 
     clock = ClockState(brate=jnp.asarray(brate), nu=jnp.asarray(nu),
                        mubar=jnp.asarray(1.0), nubar=jnp.asarray(0.2),
@@ -225,3 +226,97 @@ def test_a01_relaxed_clock_cache_honesty(extra, tag):
     lnr = lnprior_rates(cfg, state.sp, state.subst.mu, state.clock)
     np.testing.assert_allclose(np.asarray(lnr),
                                np.asarray(state.clock.lnrates), atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# relaxed clocks on MSC-I networks (IID; the reference fatals only on
+# CORR x MSC-I, method.c:3291; rate-node skips stree.c:10293-10298)
+# ---------------------------------------------------------------------------
+
+MSCI_CLOCK_CTL = """
+seed = 5
+seqfile = tests/fixtures/msci/d.txt
+Imapfile = tests/fixtures/msci/d.imap
+jobname = out
+species&tree = 3 A B C
+               2 2 2
+               ((A,(B)H[&phi=0.4,&tau-parent=yes]),(H[&tau-parent=yes],C))R;
+usedata = 1
+nloci = 1
+model = 0
+thetaprior = gamma 2 200
+tauprior = gamma 2 100
+phiprior = 1 1
+clock = 2 10.0 100.0 5.0 iid G
+locusrate = 1 0 0 5.0 iid
+finetune = 1
+burnin = 0
+sampfreq = 2
+nsample = 10
+"""
+
+
+def test_msci_iid_clock_smoke():
+    """IID relaxed clock on a 1-hybridization network: finite chain,
+    honest caches after steps through every move (incl. the repath
+    move's relaxed-clock likelihood delta)."""
+    import numpy as np
+
+    from bpp_tpu.io.ctl import parse_ctl_lines
+    from bpp_tpu.loader import load_run
+    from bpp_tpu.mcmc.driver import Engine
+
+    cfg = parse_ctl_lines(MSCI_CLOCK_CTL.strip().splitlines())
+    eng = Engine(load_run(cfg), seed=5)
+    state = eng.init_state()
+    assert state.clock is not None
+    # zero-length segments carry no rate under tau-parent=yes (all
+    # segments real here) -> every node is a rate node
+    assert state.sp.rate_nodes is None or bool(
+        np.asarray(state.sp.rate_nodes).all())
+    key = jax.random.PRNGKey(5)
+    state, _ = eng.chunk_step(state, key, 25)
+    assert np.isfinite(float(np.asarray(state.logl).sum()))
+    ll = eng._logl_fn(state.gt, state.subst, state.sp, state.clock)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(state.logl),
+                               rtol=1e-10)
+    lp, _, _ = eng._logpr_fn(state.gt, state.sp, state.subst.heredity)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(state.logpr),
+                               rtol=1e-8)
+
+
+def test_msci_htau0_segment_carries_no_rate():
+    """tau-parent=no hybridization: the zero-length segment is excluded
+    from the rate prior and the brate sweep (stree.c:10296)."""
+    import numpy as np
+
+    from bpp_tpu.io.ctl import parse_ctl_lines
+    from bpp_tpu.loader import load_run
+    from bpp_tpu.mcmc.driver import Engine
+
+    ctl = MSCI_CLOCK_CTL.replace(
+        "((A,(B)H[&phi=0.4,&tau-parent=yes]),(H[&tau-parent=yes],C))R;",
+        "((A,(B)H[&phi=0.4,&tau-parent=no]),(H[&tau-parent=yes],C))R;")
+    cfg = parse_ctl_lines(ctl.strip().splitlines())
+    eng = Engine(load_run(cfg), seed=5)
+    state = eng.init_state()
+    rn = np.asarray(state.sp.rate_nodes)
+    hin = int(state.sp.hslot[0])
+    assert not rn[hin]              # zero-length segment: no rate
+    assert rn.sum() == rn.size - 1
+    key = jax.random.PRNGKey(6)
+    state, _ = eng.chunk_step(state, key, 15)
+    assert np.isfinite(float(np.asarray(state.logl).sum()))
+
+
+def test_msci_corr_clock_blocked():
+    import pytest
+
+    from bpp_tpu.io.ctl import parse_ctl_lines
+    from bpp_tpu.loader import load_run
+    from bpp_tpu.mcmc.driver import Engine
+
+    ctl = MSCI_CLOCK_CTL.replace("clock = 2", "clock = 3")
+    cfg = parse_ctl_lines(ctl.strip().splitlines())
+    with pytest.raises(NotImplementedError, match="auto-correlated"):
+        Engine(load_run(cfg), seed=5)

@@ -1,0 +1,113 @@
+"""Geneflow rjMCMC (migration-route add/remove/flip) tests.
+
+Reference: stree_migration_rj stree.c:15419, flip wrapper :15204,
+dispatched method.c:5658-5695.  The TPU build re-expresses the
+dimension jump as activation toggles on a saturated candidate-route
+table (Carlin & Chib pseudo-prior = prior, matching the reference's
+prior-matched rate draw, stree.c:14229-14233).
+
+Oracle: with usedata = 0 the chain samples the PRIOR over migration
+models, which is uniform over route sets — for 2 species the four
+models {}, {A->B}, {B->A}, {A->B, B->A} must each get ~1/4 occupancy
+(this is exactly the reference's own geneflow validation: its
+model_count debug tally, method.c:5663-5684).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from bpp_tpu.io.ctl import parse_ctl_lines
+from bpp_tpu.loader import load_run
+from bpp_tpu.mcmc.driver import Engine
+
+CTL = """
+seed = 9
+seqfile = {seq}
+Imapfile = {imap}
+jobname = out
+species&tree = 2 A B
+               4 4
+               (A, B);
+usedata = 0
+nloci = 2
+thetaprior = invgamma 3 0.01
+tauprior = invgamma 3 0.02
+wprior = 2 10
+geneflow = 1
+finetune = 1
+burnin = 500
+sampfreq = 2
+nsample = 500
+"""
+
+
+def _write_data(tmp_path):
+    seq = tmp_path / "d.txt"
+    seq.write_text("\n\n".join(
+        "8 24\n" + "\n".join(
+            f"{s}^{s.lower()}{i}  " + "ACGTACGTACGTACGTACGTACGT"
+            for s in "AB" for i in range(4))
+        for _ in range(2)) + "\n")
+    imap = tmp_path / "d.imap"
+    imap.write_text("".join(f"{s.lower()}{i}\t{s}\n"
+                            for s in "AB" for i in range(4)))
+    return seq, imap
+
+
+def test_geneflow_saturated_table(tmp_path):
+    seq, imap = _write_data(tmp_path)
+    cfg = parse_ctl_lines(
+        CTL.format(seq=seq, imap=imap).strip().splitlines())
+    assert cfg.geneflow and cfg.migration
+    eng = Engine(load_run(cfg), seed=3)
+    # 2 species: exactly the two tip-pair routes, both starting off
+    assert eng.routes.n_routes == 2
+    st = eng.init_state()
+    assert st.mig.on is not None
+    assert not bool(np.asarray(st.mig.on).any())
+
+
+def test_geneflow_prior_model_occupancy(tmp_path):
+    """usedata=0: route-set occupancy must be uniform over the 4
+    models (the prior).  Tolerances are generous (rj transitions need
+    event-free routes, so the model chain moves on a ~10-iteration
+    timescale; 4000 iterations give roughly 300+ effective model
+    visits)."""
+    seq, imap = _write_data(tmp_path)
+    cfg = parse_ctl_lines(
+        CTL.format(seq=seq, imap=imap).strip().splitlines())
+    eng = Engine(load_run(cfg), seed=3)
+    state = eng.init_state()
+    key = jax.random.PRNGKey(3)
+    state, _ = eng.chunk_step(state, key, 400)
+    counts = np.zeros(4)
+    n_chunks = 450
+    for i in range(n_chunks):
+        key, sub = jax.random.split(key)
+        state, _ = eng.chunk_step(state, sub, 8)
+        on = np.asarray(state.mig.on)
+        counts[int(on[0]) + 2 * int(on[1])] += 1
+    freq = counts / counts.sum()
+    # uniform 0.25 each; bands sized for the chain's model-switch rate
+    assert (freq > 0.08).all() and (freq < 0.50).all(), freq
+
+
+@pytest.mark.slow
+def test_geneflow_with_data_smoke(tmp_path):
+    seq, imap = _write_data(tmp_path)
+    ctl = CTL.format(seq=seq, imap=imap).replace(
+        "usedata = 0", "usedata = 1")
+    cfg = parse_ctl_lines(ctl.strip().splitlines())
+    eng = Engine(load_run(cfg), seed=5)
+    state = eng.init_state()
+    key = jax.random.PRNGKey(5)
+    state, stats = eng.chunk_step(state, key, 60)
+    assert np.isfinite(float(np.asarray(state.logl).sum()))
+    assert np.isfinite(float(np.asarray(state.logpr).sum()))
+    # cache honesty through rj toggles
+    from bpp_tpu.mcmc.mig_moves import make_logpr_fn_mig
+    lp, *_ = make_logpr_fn_mig(eng.ctx, eng.routes)(
+        state.gt, state.sp, state.mig, state.subst.heredity)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(state.logpr),
+                               rtol=1e-6, atol=1e-8)
