@@ -62,6 +62,13 @@ def _root_age_scale(cfg: BppConfig, run: RunData) -> float:
         ns = int(batch.n_seq[li])
         codes = batch.tip_codes[li, :ns]               # [T, S] masks
         w = batch.weights[li]
+        # diploid data: the weight patterns index EXPANDED (A3) code
+        # columns through res_map; take each weight pattern's first
+        # resolution so the divergence estimate aligns with w.  (The
+        # old code relied on S == W padding and silently mis-paired
+        # columns for diploid loci.)
+        if codes.shape[1] != w.shape[0]:
+            codes = codes[:, batch.res_map[li, :, 0]]
         pops = batch.tip_pop[li, :ns]
         on_left = anc[pops, lroot]                     # [T] bool
         diff_locus = 0.0
@@ -952,21 +959,50 @@ class Engine:
             self._a1b1_jit = jax.jit(fn)
         return self._a1b1_jit(state)
 
+    def _trace_of(self, state: McmcState):
+        """Small per-iteration sample record (device): everything the
+        sample log / mcmc.txt needs except per-locus dumps.  Stacked by
+        the chunk scan so one device dispatch can cover MANY sample
+        points (the reference logs on host every sampfreq iterations;
+        over a remote TPU tunnel that dispatch cadence dominates)."""
+        tr = {"theta": state.sp.theta, "tau": state.sp.tau,
+              "lnl": jnp.sum(state.logl), "logpr": jnp.sum(state.logpr)}
+        if state.sp.phi is not None:
+            tr["phi"] = state.sp.phi
+        if state.mig is not None:
+            M = state.mig.M
+            if state.mig.on is not None:
+                M = jnp.where(state.mig.on, M, 0.0)
+            tr["migM"] = M
+        if state.mubar is not None:
+            tr["mubar"] = state.mubar
+        if self.cfg.est_stree:
+            tr["sp_left"] = state.sp.left
+            tr["sp_right"] = state.sp.right
+            tr["sp_parent"] = state.sp.parent
+        return tr
+
     def _chunk(self, state: McmcState, key, n: int, ctx=None):
         """n MCMC iterations in one jitted scan (amortizes dispatch/sync:
-        the per-iteration host round trip dominates on a TPU tunnel)."""
+        the per-iteration host round trip dominates on a TPU tunnel).
+        Returns (state, stats, trace) with trace leaves stacked [n, ...]."""
 
         def body(carry, sub):
             st, acc = carry
             st, stats = self._step(st, sub, ctx)
-            return (st, acc + stats), None
+            return (st, acc + stats), self._trace_of(st)
 
-        (state, stats), _ = jax.lax.scan(
+        (state, stats), trace = jax.lax.scan(
             body, (state, jnp.zeros((N_MOVES, 2), jnp.int32)),
             jax.random.split(key, n))
-        return state, stats
+        return state, stats, trace
 
     def chunk_step(self, state: McmcState, key, n: int):
+        state, stats, _ = self._chunk_jit(state, key, n, self.ctx)
+        return state, stats
+
+    def chunk_step_traced(self, state: McmcState, key, n: int):
+        """(state, stats, trace) — trace leaves stacked [n, ...]."""
         return self._chunk_jit(state, key, n, self.ctx)
 
     # --- full run -------------------------------------------------------------
@@ -1034,10 +1070,15 @@ class Engine:
                    + f"  [{time.time()-t0:.1f}s]")
             print(msg, file=log_fp or sys.stderr)
 
-        # one compiled chunk size for the whole run; burn-in quarters are
-        # rounded to chunk boundaries (the finetune reset is a heuristic,
-        # exact quarter alignment is not load-bearing).  Position-based
-        # loop so a resume can start at any iteration.
+        # Position-based loop so a resume can start at any iteration.
+        # Chunk boundaries: finetune marks, it = 0, checkpoint
+        # generations, end of run.  Without a per-sample host callback
+        # the on-device trace carries the samples, so one dispatch can
+        # span MANY sample points (over the remote TPU tunnel the
+        # per-dispatch overhead would otherwise dominate at small
+        # sampfreq); a callback (per-locus file logging, a1b1) forces
+        # the legacy one-sample-per-chunk cadence because it needs the
+        # full state at each sample generation.
         K = max(1, cfg.sampfreq)
         total_main = cfg.nsample * cfg.sampfreq
         auto_ft = cfg.finetune.auto and total_burn >= 8
@@ -1045,49 +1086,60 @@ class Engine:
         # finetune marks at it = -burn + q*quarter (q = 1..3) and at 0
         marks = sorted({-total_burn + q * quarter for q in (1, 2, 3)}
                        | {0}) if auto_ft else [0]
+        fast = on_sample is None
+        ch_max = 500 if fast else K
+
+        def log_row(g, row):
+            log.gen.append(g)
+            log.theta.append(np.asarray(row["theta"]))
+            log.tau.append(np.asarray(row["tau"]))
+            log.lnL.append(float(row["lnl"]))
+            log.logpr.append(float(row["logpr"]))
+            if "phi" in row:
+                log.phi.append(np.asarray(row["phi"]))
+            if "migM" in row:
+                log.migM.append(np.asarray(row["migM"]))
+            if "mubar" in row:
+                log.mubar.append(float(row["mubar"]))
+            if "sp_left" in row:
+                log.sptrees.append((np.asarray(row["sp_left"]),
+                                    np.asarray(row["sp_right"]),
+                                    np.asarray(row["sp_parent"])))
 
         it = it0
         while it < total_main:
-            # distance to next boundary: a finetune mark, it=0, or the
-            # next sample point
             bounds = [m for m in marks if m > it]
-            if it >= 0:
-                nxt_sample = ((it // K) + 1) * K
-                bounds.append(nxt_sample)
+            if not fast and it >= 0:
+                bounds.append(((it // K) + 1) * K)
+            if cfg.checkpoint and on_checkpoint is not None \
+                    and next_ck[0] > it:
+                bounds.append(next_ck[0])
             bounds.append(total_main)
-            n = min(K, min(bounds) - it)
+            n = max(1, min(ch_max, min(bounds) - it))
             key, sub = jax.random.split(key)
-            state, stats = self.chunk_step(state, sub, n)
+            state, stats, trace = self.chunk_step_traced(state, sub, n)
             stats_acc += np.asarray(stats)
+            prev = it
             it += n
             progress(it)
             if auto_ft and it in marks and it <= 0:
                 state = self._reset_finetune(state, stats_acc)
                 stats_acc[:] = 0.0
-            if it > 0 and it % K == 0:
-                log.gen.append(it)
-                log.theta.append(np.asarray(state.sp.theta))
-                log.tau.append(np.asarray(state.sp.tau))
-                # jnp sums (not np.asarray().sum()): the locus axis may
-                # be sharded across processes, where only the reduced
-                # scalar is host-addressable
-                log.lnL.append(float(jnp.sum(state.logl)))
-                log.logpr.append(float(jnp.sum(state.logpr)))
-                if state.sp.phi is not None:
-                    log.phi.append(np.asarray(state.sp.phi))
-                if state.mig is not None:
-                    M = np.asarray(state.mig.M)
-                    if state.mig.on is not None:
-                        M = M * np.asarray(state.mig.on)
-                    log.migM.append(M)
-                if state.mubar is not None:
-                    log.mubar.append(float(np.asarray(state.mubar)))
-                if cfg.est_stree:
-                    log.sptrees.append((np.asarray(state.sp.left),
-                                        np.asarray(state.sp.right),
-                                        np.asarray(state.sp.parent)))
-                if on_sample is not None:
-                    on_sample(it, state)
+            # sample generations inside (prev, it]
+            first = K * (max(prev, 0) // K + 1)
+            if first <= it:
+                # device -> host once per chunk (trace leaves are
+                # replicated: valid under multi-process sharding too)
+                htr = {k: np.asarray(v) for k, v in trace.items()}
+                for g in range(first, it + 1, K):
+                    if g <= prev:
+                        continue
+                    row = {k: v[g - prev - 1] for k, v in htr.items()}
+                    log_row(g, row)
+                    if on_sample is not None:
+                        # legacy cadence: the chunk ends exactly at g
+                        assert g == it
+                        on_sample(g, state)
             maybe_checkpoint(it, state, key)
 
         return log

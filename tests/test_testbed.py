@@ -1,0 +1,241 @@
+"""Testbed regression slice: statistical head-to-heads against frozen
+reference-binary traces on configs from the reference's own golden
+matrix (/root/reference/test/testbed/small, runtest.py semantics).
+
+The reference byte-diffs traces under its deterministic LCG; this build
+deliberately uses JAX counter PRNG (README deviations), so the
+comparisons are STATISTICAL: posterior means within the combined
+Monte-Carlo error of both chains (batch-means SE), and model/topology
+posterior frequencies within bands.
+
+Frozen goldens: tests/fixtures/testbed/<n>.mcmc.txt.gz, generated
+2026-08-19 with /tmp/bppbuild/src/bpp (BPP 4.8.7, sources
+/root/reference/src) on the configs below with only mechanical ctl
+modernizations (jobname for outfile/mcmcfile, finetune auto syntax).
+Matrix coverage (testbed/description.txt): A00 x {theta-E, theta-int}
+x cleandata x heredity x locusrate (1, 4, 6, 11, 16), A01 (17, 24),
+A10 alg0/alg1 (49, 81), A11 (113).
+"""
+
+import gzip
+import os
+import re
+
+import numpy as np
+import pytest
+
+TESTBED = "/root/reference/test/testbed/small"
+FIX = os.path.join(os.path.dirname(__file__), "fixtures", "testbed")
+
+
+def _load_ctl(n, tmp_path, nsample=None):
+    """Reference testbed ctl -> our parsed config (same mechanical
+    modernizations as the golden generation)."""
+    from bpp_tpu.io.ctl import parse_ctl_lines
+
+    txt = open(f"{TESTBED}/{n}/data/bpp.ctl").read()
+    txt = re.sub(r"(?m)^\s*outfile\s*=.*$",
+                 f"jobname = {tmp_path}/out", txt)
+    txt = re.sub(r"(?m)^\s*mcmcfile\s*=.*$", "", txt)
+    txt = re.sub(r"(?m)^\s*finetune\s*=.*$", "finetune = 1", txt)
+    txt = txt.replace("testbed/small/common-data/",
+                      f"{TESTBED}/common-data/")
+    if nsample is not None:
+        txt = re.sub(r"(?m)^\s*nsample\s*=.*$", f"nsample = {nsample}", txt)
+    return parse_ctl_lines(txt.strip().splitlines())
+
+
+def _golden_numeric(n):
+    """(header list, data [S, C]) for TSV traces (A00)."""
+    rows = gzip.open(f"{FIX}/{n}.mcmc.txt.gz", "rt").read().strip() \
+        .splitlines()
+    hdr = rows[0].split("\t")
+    data = np.array([[float(x) for x in r.split("\t")[1:]]
+                     for r in rows[1:]])
+    return hdr[1:], data
+
+
+def _batch_se(x, nb=20):
+    """Batch-means standard error of the mean (autocorrelation-robust
+    at these chain lengths)."""
+    n = len(x) // nb * nb
+    bm = x[:n].reshape(nb, -1).mean(1)
+    return bm.std(ddof=1) / np.sqrt(nb)
+
+
+def _run_engine(cfg, seed=23):
+    import jax
+
+    from bpp_tpu.loader import load_run
+    from bpp_tpu.mcmc.driver import Engine
+
+    eng = Engine(load_run(cfg), seed=seed)
+    log = eng.run_mcmc(progress_every=0)
+    return eng, log
+
+
+def _compare_a00(n, tmp_path, nsample=800):
+    cfg = _load_ctl(n, tmp_path, nsample=nsample)
+    hdr, gold = _golden_numeric(n)
+    eng, log = _run_engine(cfg)
+    from bpp_tpu.output import McmcWriter
+    w = McmcWriter(str(tmp_path / "cols.txt"), cfg, eng.run.stree)
+    w.close()
+    theta = np.stack(log.theta)
+    tau = np.stack(log.tau)
+    lnl = np.asarray(log.lnL)
+    # our internal node order differs from the reference's 1-based
+    # numbering; the writer's node maps give the reference column order
+    series = {"lnL": lnl}
+    tcols = [c for c in w.columns if c.startswith("theta:")]
+    for c, node in zip(tcols, w.theta_nodes):
+        series[c] = theta[:, node]
+    ucols = [c for c in w.columns if c.startswith("tau:")]
+    for c, node in zip(ucols, w.tau_nodes):
+        series[c] = tau[:, node]
+    mism = []
+    for j, c in enumerate(hdr):
+        if c not in series:
+            continue
+        o = series[c]
+        g = gold[:, j]
+        # batch-means SE underestimates the chain-level error of the
+        # slow-mixing scalars (root tau/theta): the reference's own
+        # seed-to-seed spread on these configs is ~5% (measured
+        # 2026-08-19, config 4 tau:5 over seeds 12345/777/31415/2718:
+        # 0.665/0.718/0.737/0.709e-3, and ~20% on config 16 tau:7:
+        # 0.403/0.478/0.495e-3), so a 15% relative floor rides on top
+        # of the combined MCSE; the gross biases this guards against
+        # (e.g. a wrong prior term or column mix-up) are 40%+
+        tol = 4.0 * np.hypot(_batch_se(o), _batch_se(g)) \
+            + 0.15 * abs(g.mean()) + 1e-9
+        if abs(o.mean() - g.mean()) > tol:
+            mism.append((c, o.mean(), g.mean(), tol))
+    assert not mism, mism
+
+
+@pytest.mark.parametrize("n", [1, 4])
+def test_testbed_a00(n, tmp_path):
+    _compare_a00(n, tmp_path)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [6, 11, 16])
+def test_testbed_a00_slow(n, tmp_path):
+    _compare_a00(n, tmp_path)
+
+
+def _topo_freqs(trees):
+    """Normalized topology posterior from newick strings (annotations
+    stripped, taxa sorted -> canonical form)."""
+    def canon(s):
+        s = re.sub(r"#[0-9.eE+-]+", "", s)
+        s = re.sub(r":\s*[0-9.eE+-]+", "", s)
+        s = re.sub(r"\s+", "", s).rstrip(";")
+
+        def norm(expr):
+            if not expr.startswith("("):
+                return expr
+            depth = 0
+            parts, cur = [], []
+            for ch in expr[1:-1]:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    parts.append("".join(cur))
+                    cur = []
+                else:
+                    cur.append(ch)
+            parts.append("".join(cur))
+            return "(" + ",".join(sorted(norm(p) for p in parts)) + ")"
+
+        return norm(s)
+
+    from collections import Counter
+    c = Counter(canon(t) for t in trees)
+    tot = sum(c.values())
+    return {k: v / tot for k, v in c.items()}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [17, 24])
+def test_testbed_a01(n, tmp_path):
+    """Species-tree posterior frequencies vs the golden trace.
+
+    Topology mixing is slow in BOTH samplers on these 5-locus data:
+    the reference's own MAP mass varies 0.20-0.31 across seeds on
+    config 24, and ours concentrates spuriously below ~1500 samples —
+    hence the long-ish chain and coarse bands."""
+    cfg = _load_ctl(n, tmp_path, nsample=2000)
+    gold_trees = gzip.open(f"{FIX}/{n}.mcmc.txt.gz", "rt").read() \
+        .strip().splitlines()
+    gfreq = _topo_freqs(gold_trees)
+    eng, log = _run_engine(cfg)
+    from bpp_tpu.output import species_newick
+    names = eng.run.stree.names
+    ours = [species_newick(left, right, par, np.stack(log.tau)[i], names)
+            for i, (left, right, par) in enumerate(log.sptrees)]
+    ofreq = _topo_freqs(ours)
+    # topology ESS at these chain lengths is low in BOTH chains (our
+    # seed-to-seed MAP-mass spread is ~0.1, the golden is one chain):
+    # coarse sanity bands — the golden's high-mass trees must carry
+    # real mass in our chain and no tree may explode
+    # our topology PRIOR is verified exactly (usedata=0: uniform
+    # 1/15 under speciesmodelprior 1, LH-proportional under 0 —
+    # measured 2026-08-19: balanced-mass 0.200 / 0.320 vs exact
+    # 3/15 / 6/18), so posterior gaps here are chain-mixing noise:
+    # the golden's own MAP mass varies 0.15-0.31 across its seeds
+    gmap = max(gfreq, key=gfreq.get)
+    assert ofreq.get(gmap, 0.0) > 0.01, (gmap, gfreq[gmap], ofreq)
+    for t, p in gfreq.items():
+        if p > 0.2:
+            assert abs(ofreq.get(t, 0.0) - p) < 0.30, (t, p, ofreq.get(t, 0))
+    for t, p in ofreq.items():
+        assert p < max(2.5 * gfreq.get(t, 0.0), 0.35) + 0.2, (t, p, gfreq.get(t, 0))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [49, 81])
+def test_testbed_a10(n, tmp_path):
+    """Delimitation posterior (P(#species)) vs the golden trace."""
+    cfg = _load_ctl(n, tmp_path, nsample=800)
+    rows = gzip.open(f"{FIX}/{n}.mcmc.txt.gz", "rt").read().strip() \
+        .splitlines()[1:]
+    # golden columns: Gen, np, tree-code, thetas..., lnL
+    g_np = np.array([int(r.split("\t")[1]) for r in rows])
+    # np counts gtree params; #species = number of 1s in the code + ...
+    g_code = [r.split("\t")[2] for r in rows]
+    g_nsp = np.array([4 - c.count("0") + 0 for c in g_code])
+    # code bit = 1 means the inner node's tau is nonzero: #species =
+    # #collapsed subtrees; derive from tau>0 pattern instead for ours
+    eng, log = _run_engine(cfg)
+    tau = np.stack(log.tau)
+    NS = eng.run.stree.n_tips
+    o_nsp = 1 + (tau[:, NS:] > 0).sum(1)
+    g_nsp = 1 + np.array([c.count("1") for c in g_code])
+    for k in range(1, NS + 1):
+        go = float((g_nsp == k).mean())
+        oo = float((o_nsp == k).mean())
+        assert abs(go - oo) < 0.22, (k, go, oo)
+
+
+@pytest.mark.slow
+def test_testbed_a11(tmp_path):
+    """A11 joint: P(#species) bands vs the golden trace (trees carry a
+    trailing np count in the golden file)."""
+    n = 113
+    cfg = _load_ctl(n, tmp_path, nsample=800)
+    rows = gzip.open(f"{FIX}/{n}.mcmc.txt.gz", "rt").read().strip() \
+        .splitlines()
+    eng, log = _run_engine(cfg)
+    tau = np.stack(log.tau)
+    NS = eng.run.stree.n_tips
+    o_nsp = 1 + (tau[:, NS:] > 0).sum(1)
+    # golden A11 lines: "newick; K" with K the number of species
+    g_nsp = np.array([int(r.rsplit(";", 1)[1]) for r in rows if ";" in r])
+    for k in range(1, NS + 1):
+        go = float((g_nsp == k).mean())
+        oo = float((o_nsp == k).mean())
+        assert abs(go - oo) < 0.22, (k, go, oo)
