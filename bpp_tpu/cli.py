@@ -48,6 +48,12 @@ def build_argparser() -> argparse.ArgumentParser:
                     "JAX_NUM_PROCESSES / JAX_PROCESS_ID).  Loci are "
                     "sharded over the GLOBAL device mesh; process 0 "
                     "writes the output files.")
+    ap.add_argument("--check", type=int, default=None, metavar="N",
+                    help="runtime invariant mode: every N iterations "
+                    "recompute the cached logl/logpr (and notheta/trait "
+                    "caches) from scratch and abort on drift (the "
+                    "reference's CHECK_LOGL/CHECK_LOGPR, method.c:4699; "
+                    "equivalent to 'check = N' in the control file)")
     ap.add_argument("--quiet", action="store_true")
     return ap
 
@@ -101,6 +107,8 @@ def cmd_run(args) -> int:
         seed = args.seed
     if args.x64:
         cfg = cfg.replace(dtype="float64")
+    if args.check is not None:
+        cfg = cfg.replace(check_every=args.check)
 
     run = load_run(cfg)
     eng = Engine(run, seed=seed)

@@ -260,6 +260,15 @@ class BppConfig:
     print_rates: int = 0
     scaling: bool = False
     checkpoint: tuple[int, int] | None = None   # (initial, step)
+    # runtime invariant mode (``check = N [tol]``): every N iterations
+    # recompute the cached per-locus logl / logpr (and the notheta
+    # coal/T2h caches, trait logl) from scratch through the
+    # independent full path and hard-fail on drift — the user-visible
+    # analog of the reference's compile-time CHECK_LOGL/CHECK_LOGPR
+    # validators (method.c:4699 check_logl, debug.c:1688
+    # debug_validate_logpg).  tol 0 = auto by dtype.
+    check_every: int = 0
+    check_tol: float = 0.0
     threads: tuple[int, int, int] | None = None  # (count, start, step) — advisory
     bfbeta: float = 1.0                  # power-posterior beta (bfdriver)
 

@@ -186,12 +186,17 @@ def _make_kernel(T: int, N: int, C: int, fam: str, K: int, tiny: float):
 @functools.partial(jax.jit, static_argnames=("model", "n_cats"))
 def site_logl_pallas(order, left, right, parent, n_seq, age, mu,
                      rates_kappa, freqs, eigw, eigT, eigTi, tips, *,
-                     model: SubstModel, n_cats: int):
+                     model: SubstModel, n_cats: int, blen=None):
     """Per-pattern site log-likelihoods [L, S] via the VMEM kernel.
 
     ``tips`` must be [L, T, A, S] (A-major layout), S a multiple of 128.
     ``rates_kappa`` is [L, C+2]: category rates with kappa1, kappa2
-    appended.
+    appended.  ``blen`` (optional, [L, N]) supplies precomputed
+    expected-substitutions branch lengths — the relaxed-clock path
+    (felsenstein.relaxed_branch_lengths / the migration sub-edge sweep)
+    feeds these; when absent, strict-clock lengths are derived from
+    node ages scaled by ``mu`` (locus.c:1139-1151 both clock paths feed
+    the same CLV kernels in the reference).
     """
     L, T, A, S = tips.shape
     N = left.shape[1]
@@ -206,10 +211,11 @@ def site_logl_pallas(order, left, right, parent, n_seq, age, mu,
     rates = rates_kappa[:, :C]
     kappa1 = rates_kappa[:, C]
     kappa2 = rates_kappa[:, C + 1]
-    from ..trees.gtree import gather_rows
-    page = gather_rows(age, jnp.maximum(parent, 0))
-    blen = jnp.where(parent >= 0, jnp.maximum(page - age, 0.0), 0.0) \
-        * mu[:, None]
+    if blen is None:
+        from ..trees.gtree import gather_rows
+        page = gather_rows(age, jnp.maximum(parent, 0))
+        blen = jnp.where(parent >= 0, jnp.maximum(page - age, 0.0), 0.0) \
+            * mu[:, None]
     t_eff = blen[:, :, None] * rates[:, None, :]            # [L, N, C]
     efac, coefs = efactors(model, t_eff, freqs, kappa1, kappa2, eigw)
     efac = efac.reshape(L, 1, N * C * K)

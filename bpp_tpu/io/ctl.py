@@ -452,6 +452,13 @@ def _build_config(kw: dict) -> BppConfig:  # noqa: C901
         nums = [int(t) for t in v.split()]
         c["checkpoint"] = (nums[0], nums[1] if len(nums) > 1 else 0)
 
+    v = pop("check")
+    if v is not None:
+        toks = v.split()
+        c["check_every"] = int(toks[0])
+        if len(toks) > 1:
+            c["check_tol"] = float(toks[1])
+
     v = pop("bayesfactorbeta")
     if v is not None:
         c["bfbeta"] = float(v.split()[0])

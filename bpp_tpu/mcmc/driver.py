@@ -71,17 +71,16 @@ def _root_age_scale(cfg: BppConfig, run: RunData) -> float:
             codes = codes[:, batch.res_map[li, :, 0]]
         pops = batch.tip_pop[li, :ns]
         on_left = anc[pops, lroot]                     # [T] bool
-        diff_locus = 0.0
-        diff_count = 0
-        for j in range(ns):
-            for k in range(j + 1, ns):
-                if on_left[j] == on_left[k]:
-                    continue
-                diff = float(w[codes[j] != codes[k]].sum())
-                diff_locus += diff / float(batch.n_sites[li])
-                diff_count += 1
+        # vectorized pairwise weighted mismatch: D[j,k] = sum_s w_s *
+        # [codes_j != codes_k]; only cross-root upper-triangle pairs
+        # count (was an O(n^2) Python loop -- minutes at 10k loci)
+        cross = np.triu(on_left[:, None] != on_left[None, :], 1)
+        diff_count = int(cross.sum())
         if not diff_count:
             continue
+        neq = (codes[:, None, :] != codes[None, :, :])  # [T, T, S]
+        D = neq @ np.asarray(w, np.float64)             # [T, T]
+        diff_locus = float(D[cross].sum()) / float(batch.n_sites[li])
         used += 1
         diff_locus /= 2 * diff_count
         vd += (diff_locus - md) ** 2 * (used - 1) / used
@@ -959,6 +958,69 @@ class Engine:
             self._a1b1_jit = jax.jit(fn)
         return self._a1b1_jit(state)
 
+    def validate_state(self, state: McmcState, it=None):
+        """Runtime invariant mode (``check = N [tol]``): recompute every
+        cached per-locus quantity from scratch through the full
+        independent path and hard-fail on drift.
+
+        The moves maintain ``state.logl``/``state.logpr`` (and the
+        notheta ``coal``/``t2h`` caches, trait logl) incrementally with
+        where-selects and topology-cached shortcuts (the ``msp``
+        fast path of make_logpr_fn); this check re-derives them the slow
+        way, so a silently inconsistent accept would be caught here.
+        User-visible analog of the reference's compile-time
+        CHECK_LOGL/CHECK_LOGPR recomputation (method.c:4699 check_logl,
+        debug.c:1688 debug_validate_logpg).
+        """
+        cfg = self.cfg
+        tol = cfg.check_tol or (
+            1e-6 if self.dtype == jnp.float64 else 0.5)
+        mask = np.asarray(self.ctx.locus_mask)
+        where = f" at iteration {it}" if it is not None else ""
+
+        def cmp(what, cached, fresh):
+            c = np.asarray(cached, np.float64)
+            f = np.asarray(fresh, np.float64)
+            m = mask.reshape((-1,) + (1,) * (c.ndim - 1))
+            d = np.abs(np.where(m, c - f, 0.0))
+            bad = ~np.isfinite(np.where(m, c, 0.0)).all() or (d > tol).any()
+            if not bad:
+                return
+            per_locus = d.reshape(len(mask), -1).max(axis=1)
+            worst = int(np.argmax(per_locus))
+            raise RuntimeError(
+                f"check{where}: cached {what} drifted from full "
+                f"recompute (max |delta| = {d.max():.6g} > tol {tol:g}, "
+                f"worst locus {worst}: cached "
+                f"{c.reshape(len(mask), -1)[worst][:4]} fresh "
+                f"{f.reshape(len(mask), -1)[worst][:4]})")
+
+        logl2 = self._logl_fn(state.gt, state.subst, sp=state.sp,
+                              clock=state.clock, mig=state.mig)
+        cmp("logl", state.logl, logl2)
+
+        if cfg.migration:
+            from .mig_moves import make_logpr_fn_mig
+            out = make_logpr_fn_mig(self.ctx, self.routes)(
+                state.gt, state.sp, state.mig, state.subst.heredity)
+            cmp("logpr (MSC-M density)", state.logpr, out[0])
+        else:
+            lp2, c2, t22 = self._logpr_fn(state.gt, state.sp,
+                                          state.subst.heredity)
+            cmp("logpr (MSC density)", state.logpr, lp2)
+            if cfg.theta_integrated:
+                cmp("coal counts (notheta K cache)", state.coal, c2)
+                cmp("T2h sums (notheta C cache)", state.t2h, t22)
+
+        if state.trait is not None:
+            fresh = self.ctx.trait_fn(state.sp.tau, state.trait.brate)
+            d = np.abs(np.asarray(state.trait.logl) - np.asarray(fresh))
+            if (d > tol).any():
+                raise RuntimeError(
+                    f"check{where}: cached trait logl drifted "
+                    f"(max |delta| = {d.max():.6g} > tol {tol:g})")
+        return True
+
     def _trace_of(self, state: McmcState):
         """Small per-iteration sample record (device): everything the
         sample log / mcmc.txt needs except per-locus dumps.  Stacked by
@@ -1056,6 +1118,19 @@ class Engine:
             def maybe_checkpoint(it, state, key):
                 pass
 
+        # runtime invariant mode (check = N): validate at every Nth
+        # iteration, counting from the start of burn-in
+        chk_n = cfg.check_every
+        next_chk = [it0 + chk_n] if chk_n > 0 else [1 << 60]
+
+        def maybe_check(it, state):
+            if it < next_chk[0]:
+                return
+            self.validate_state(state, it=it)
+            print(f"  check at it {it:>8d}: caches consistent",
+                  file=log_fp or sys.stderr)
+            next_chk[0] = it + chk_n
+
         def progress(it):
             if not progress_every:
                 return
@@ -1114,6 +1189,8 @@ class Engine:
             if cfg.checkpoint and on_checkpoint is not None \
                     and next_ck[0] > it:
                 bounds.append(next_ck[0])
+            if chk_n > 0 and next_chk[0] > it:
+                bounds.append(next_chk[0])
             bounds.append(total_main)
             n = max(1, min(ch_max, min(bounds) - it))
             key, sub = jax.random.split(key)
@@ -1140,6 +1217,7 @@ class Engine:
                         # legacy cadence: the chunk ends exactly at g
                         assert g == it
                         on_sample(g, state)
+            maybe_check(it, state)
             maybe_checkpoint(it, state, key)
 
         return log

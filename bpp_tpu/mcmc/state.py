@@ -396,13 +396,31 @@ def make_logl_fn(ctx: Ctx, cfg: BppConfig):
             else:
                 pops = assign_populations(gt, sp, ctx.tip_pop)
                 blen = fe.relaxed_branch_lengths(gt, sp, pops, brate)
-            pmats = compute_pmats(gt, subst, model, blen=blen)
-            cw = jnp.full((subst.rates.shape[1],),
-                          1.0 / subst.rates.shape[1], ctx.weights.dtype)
-            ll = fe.loglikelihood(gt, ctx.tip_partials, ctx.weights,
-                                  ctx.n_seq, pmats, subst.freqs, cw,
-                                  res_map=ctx.res_map,
-                                  res_count=ctx.res_count)
+            if ctx.tips_am is not None:
+                # relaxed clocks ride the SAME Pallas CLV kernel as the
+                # strict clock — only the branch lengths differ (the
+                # reference likewise shares its SIMD CLV kernels across
+                # clock modes, locus.c:1139-1151)
+                from ..core.pallas_fels import site_logl_pallas
+                from ..trees.gtree import inner_order
+                rk = jnp.concatenate(
+                    [subst.rates, subst.kappa1[:, None],
+                     subst.kappa2[:, None]], axis=1)
+                site_logl = site_logl_pallas(
+                    inner_order(gt), gt.left, gt.right, gt.parent,
+                    ctx.n_seq, gt.age, subst.mu, rk, subst.freqs,
+                    subst.eigw, subst.eigT, subst.eigTi, ctx.tips_am,
+                    model=model, n_cats=subst.rates.shape[1], blen=blen)
+                ll = fe.reduce_root(site_logl.astype(ctx.weights.dtype),
+                                    ctx.weights, ctx.res_map, ctx.res_count)
+            else:
+                pmats = compute_pmats(gt, subst, model, blen=blen)
+                cw = jnp.full((subst.rates.shape[1],),
+                              1.0 / subst.rates.shape[1], ctx.weights.dtype)
+                ll = fe.loglikelihood(gt, ctx.tip_partials, ctx.weights,
+                                      ctx.n_seq, pmats, subst.freqs, cw,
+                                      res_map=ctx.res_map,
+                                      res_count=ctx.res_count)
             if bfbeta != 1.0:
                 ll = ll * bfbeta
             return jnp.where(ctx.locus_mask, ll, 0.0)

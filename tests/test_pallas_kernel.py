@@ -106,6 +106,37 @@ def test_pallas_matches_xla_gtr():
     _pallas_vs_xla(eng, state, SubstModel.GTR)
 
 
+@pytest.mark.parametrize("model", [SubstModel.JC69, SubstModel.HKY])
+def test_pallas_relaxed_clock_matches_xla(model):
+    """clock=2 rides the same kernel with precomputed branch lengths
+    (mcmc.state.make_logl_fn relaxed branch, VERDICT r2 missing #1)."""
+    from bpp_tpu.config import Clock
+    run = synthetic_run(n_loci=4, n_seq=8, n_patterns=40, n_species=3,
+                        seed=11, model=model, clock=Clock.IID,
+                        clock_vbar_a=10.0, clock_vbar_b=50.0,
+                        clock_vi_alpha=10.0)
+    run.cfg = run.cfg.replace(dtype="float32")
+    eng = Engine(run, seed=4)
+    assert eng.ctx.tips_am is not None, "pallas path not active"
+    state = eng.init_state()
+    assert state.clock is not None
+    gt, subst, sp, ctx = state.gt, state.subst, state.sp, eng.ctx
+    ll_pallas = eng._logl_fn(gt, subst, sp=sp, clock=state.clock)
+
+    from bpp_tpu.trees.gtree import assign_populations
+    pops = assign_populations(gt, sp, ctx.tip_pop)
+    blen = fe.relaxed_branch_lengths(gt, sp, pops, state.clock.brate)
+    pmats = compute_pmats(gt, subst, model, blen=blen)
+    cw = jnp.full((1,), 1.0, ctx.weights.dtype)
+    ll_xla = fe.loglikelihood(gt, ctx.tip_partials, ctx.weights, ctx.n_seq,
+                              pmats, subst.freqs, cw, res_map=ctx.res_map,
+                              res_count=ctx.res_count)
+    mask = np.asarray(ctx.locus_mask)
+    np.testing.assert_allclose(np.asarray(ll_pallas)[mask],
+                               np.asarray(ll_xla)[mask],
+                               rtol=2e-4, atol=2e-3)
+
+
 def test_pallas_gamma_cats():
     from bpp_tpu.config import Prior, PriorDist
     run = synthetic_run(n_loci=4, n_seq=8, n_patterns=40, n_species=3,
