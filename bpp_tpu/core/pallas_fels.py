@@ -92,11 +92,40 @@ def efactors(model: SubstModel, t_eff, freqs, kappa1, kappa2, eigw):
 def _make_kernel(T: int, N: int, C: int, fam: str, K: int, tiny: float):
     """Kernel body; per-locus parameters arrive as [1, 1, X] SMEM blocks
     (one locus row each; whole-array SMEM prefetch would blow the 1 MB
-    SMEM budget past a few hundred loci)."""
+    SMEM budget past a few hundred loci).
 
-    def kernel(order_ref, left_ref, right_ref, n_seq_ref, efac_ref,
-               freqs_ref, coef_ref, eigT_ref, eigTi_ref,
+    Padding is predicated OUT at two granularities, so heterogeneous
+    loci cost what their real data costs, not what the global pad shape
+    costs (the TPU-native replacement for the reference's zigzag locus
+    load balancer, threads.c:265 load_balance_zigzag):
+      * levels: the pruning loop body runs only for k < n_seq-1, so a
+        4-sequence locus in a batch padded to 16 tips does 3 updates,
+        not 15;
+      * pattern tiles: a whole (locus, tile) grid cell whose 128-column
+        tile lies beyond that locus's real pattern count writes zeros
+        and skips the pruning entirely.
+    """
+
+    def kernel(order_ref, left_ref, right_ref, n_seq_ref, npat_ref,
+               efac_ref, freqs_ref, coef_ref, eigT_ref, eigTi_ref,
                tips_ref, out_ref, clv, cum):
+        live = pl.program_id(1) * S_TILE < npat_ref[0, 0, 0]
+
+        @pl.when(jnp.logical_not(live))
+        def _():
+            # all-padding tile: the weight vector is 0 there, but the
+            # output must still be written (and finite)
+            out_ref[0, 0] = jnp.zeros_like(out_ref[0, 0])
+
+        @pl.when(live)
+        def _():
+            _kernel_body(order_ref, left_ref, right_ref, n_seq_ref,
+                         efac_ref, freqs_ref, coef_ref, eigT_ref,
+                         eigTi_ref, tips_ref, out_ref, clv, cum)
+
+    def _kernel_body(order_ref, left_ref, right_ref, n_seq_ref, efac_ref,
+                     freqs_ref, coef_ref, eigT_ref, eigTi_ref,
+                     tips_ref, out_ref, clv, cum):
         nseq = n_seq_ref[0, 0, 0]
         fr = tuple(freqs_ref[0, 0, a] for a in range(4))
 
@@ -186,7 +215,8 @@ def _make_kernel(T: int, N: int, C: int, fam: str, K: int, tiny: float):
 @functools.partial(jax.jit, static_argnames=("model", "n_cats"))
 def site_logl_pallas(order, left, right, parent, n_seq, age, mu,
                      rates_kappa, freqs, eigw, eigT, eigTi, tips, *,
-                     model: SubstModel, n_cats: int, blen=None):
+                     model: SubstModel, n_cats: int, blen=None,
+                     n_pat=None):
     """Per-pattern site log-likelihoods [L, S] via the VMEM kernel.
 
     ``tips`` must be [L, T, A, S] (A-major layout), S a multiple of 128.
@@ -221,6 +251,9 @@ def site_logl_pallas(order, left, right, parent, n_seq, age, mu,
     efac = efac.reshape(L, 1, N * C * K)
     if coefs is None:
         coefs = jnp.zeros((L, 10), efac.dtype)
+    if n_pat is None:
+        # no per-locus pattern counts: every tile is live
+        n_pat = jnp.full((L,), S, jnp.int32)
 
     # per-locus parameter arrays are reshaped [L, 1, X] and fed as
     # (1, 1, X) SMEM blocks: block dims (1, X) match the trailing array
@@ -236,6 +269,7 @@ def site_logl_pallas(order, left, right, parent, n_seq, age, mu,
 
     smem_args = [r3(order.astype(jnp.int32)), r3(left.astype(jnp.int32)),
                  r3(right.astype(jnp.int32)), r3(n_seq.astype(jnp.int32)),
+                 r3(n_pat.astype(jnp.int32)),
                  efac, r3(freqs), r3(coefs), r3(eigT), r3(eigTi)]
     in_specs = [smem_spec(a) for a in smem_args] + [
         pl.BlockSpec((1, T, A, S_TILE), lambda l, s: (l, 0, 0, s)),

@@ -410,6 +410,7 @@ class Engine:
             tip_pop=jnp.asarray(batch.tip_pop),
             locus_mask=jnp.asarray(batch.locus_mask),
             tips_am=self._build_tips_am(tip_partials),
+            n_pat=jnp.asarray(batch.n_pat, jnp.int32),
             tip_dates=None if run.tip_dates is None
             else jnp.asarray(run.tip_dates, dtype),
             date_lmax=None if run.date_lmax is None

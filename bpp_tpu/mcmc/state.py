@@ -277,8 +277,8 @@ class McmcState(NamedTuple):
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("tip_partials", "weights", "res_map", "res_count",
-                 "n_seq", "tip_pop", "locus_mask", "tips_am", "tip_dates",
-                 "date_lmax", "sp_constraint", "theta_link",
+                 "n_seq", "tip_pop", "locus_mask", "tips_am", "n_pat",
+                 "tip_dates", "date_lmax", "sp_constraint", "theta_link",
                  "prior_a11_log", "custom"),
     meta_fields=("trait_fn", "integrated"))
 @dataclasses.dataclass(frozen=True)
@@ -300,6 +300,10 @@ class Ctx:
     # A-major tip partials [L, T, A, S'] with S' padded to a multiple of
     # 128; present only when the Pallas likelihood kernel is enabled
     tips_am: jax.Array | None = None
+    # real likelihood-pattern counts per locus: the Pallas kernel skips
+    # whole 128-column tiles beyond this (padding costs ~nothing on the
+    # TPU hot path — the zigzag load-balance analog, threads.c:265)
+    n_pat: jax.Array | None = None
     # --- tip dating (datefile; gtree.c:1735 set_tip_date_infer) ---------
     # calendar sample dates per sequence (tip age = date * mubar) and
     # per-species-node max descendant date (the l_constraint of
@@ -410,7 +414,8 @@ def make_logl_fn(ctx: Ctx, cfg: BppConfig):
                     inner_order(gt), gt.left, gt.right, gt.parent,
                     ctx.n_seq, gt.age, subst.mu, rk, subst.freqs,
                     subst.eigw, subst.eigT, subst.eigTi, ctx.tips_am,
-                    model=model, n_cats=subst.rates.shape[1], blen=blen)
+                    model=model, n_cats=subst.rates.shape[1], blen=blen,
+                    n_pat=ctx.n_pat)
                 ll = fe.reduce_root(site_logl.astype(ctx.weights.dtype),
                                     ctx.weights, ctx.res_map, ctx.res_count)
             else:
@@ -434,7 +439,7 @@ def make_logl_fn(ctx: Ctx, cfg: BppConfig):
                 inner_order(gt), gt.left, gt.right, gt.parent, ctx.n_seq,
                 gt.age, subst.mu, rk, subst.freqs, subst.eigw, subst.eigT,
                 subst.eigTi, ctx.tips_am, model=model,
-                n_cats=subst.rates.shape[1])
+                n_cats=subst.rates.shape[1], n_pat=ctx.n_pat)
             ll = fe.reduce_root(site_logl.astype(ctx.weights.dtype),
                                 ctx.weights, ctx.res_map, ctx.res_count)
         else:

@@ -60,11 +60,15 @@ def synthetic_run(
     rng = np.random.default_rng(seed)
     st = synthetic_species_tree(n_species, rng)
     loci = []
+    # n_patterns may be per-locus (list) to build heterogeneous batches
+    pat_of = list(n_patterns) if isinstance(n_patterns, (list, tuple)) \
+        else [n_patterns] * n_loci
     for li in range(n_loci):
         codes = rng.choice(
-            np.array([1, 2, 4, 8, 15], np.uint8), size=(n_seq, n_patterns),
+            np.array([1, 2, 4, 8, 15], np.uint8),
+            size=(n_seq, pat_of[li]),
             p=[0.24, 0.24, 0.24, 0.24, 0.04])
-        weights = rng.integers(1, 30, size=n_patterns).astype(np.int32)
+        weights = rng.integers(1, 30, size=pat_of[li]).astype(np.int32)
         tip_species = rng.integers(0, n_species, size=n_seq).astype(np.int32)
         # ensure at least two distinct tips exist
         tip_species[0] = 0

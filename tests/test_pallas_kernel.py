@@ -106,6 +106,23 @@ def test_pallas_matches_xla_gtr():
     _pallas_vs_xla(eng, state, SubstModel.GTR)
 
 
+def test_pallas_heterogeneous_pattern_counts():
+    """Tile-skip correctness: loci whose pattern count ends before the
+    batch pad must give the same logl — skipped tiles write zeros and
+    only zero-weight columns fall in them (the zigzag-load-balance
+    analog; threads.c:265)."""
+    run = synthetic_run(n_loci=3, n_seq=6, n_patterns=[200, 30, 130],
+                        n_species=3, seed=9)
+    run.cfg = run.cfg.replace(dtype="float32")
+    eng = Engine(run, seed=1)
+    assert eng.ctx.tips_am is not None
+    # batch pads to >= 200 patterns -> 256 kernel columns; locus 1 (30
+    # patterns) skips tile 1 entirely, locus 2 (130) computes both
+    assert eng.ctx.tips_am.shape[-1] == 256
+    state = eng.init_state()
+    _pallas_vs_xla(eng, state, SubstModel.JC69)
+
+
 @pytest.mark.parametrize("model", [SubstModel.JC69, SubstModel.HKY])
 def test_pallas_relaxed_clock_matches_xla(model):
     """clock=2 rides the same kernel with precomputed branch lengths
