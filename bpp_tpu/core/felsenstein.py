@@ -61,6 +61,10 @@ def relaxed_branch_lengths(gt: GTrees, sp, pops, brate):
     """
     tau = sp.tau
     par = sp.parent
+    if getattr(sp, "rate_owner", None) is not None:
+        # BDI mirror segments read their hinner partner's rate (the
+        # reference never assigns mirror rates; method.c:4235)
+        brate = brate[:, sp.rate_owner]
     partau = jnp.where(par >= 0, tau[jnp.maximum(par, 0)], BIG_AGE)
     safe_parent = jnp.maximum(gt.parent, 0)
     from ..trees.gtree import gather_rows

@@ -227,18 +227,28 @@ class Engine:
                         "MSC-I networks with the auto-correlated relaxed "
                         "clock are not supported (matches the reference, "
                         "method.c:3291)")
-                if run.stree.bdi is not None and (run.stree.bdi >= 0).any():
-                    raise NotImplementedError(
-                        "relaxed clocks with bidirectional introgression "
-                        "not yet supported (the BDI mirror segment's "
-                        "rate attribution needs the partner-rate walk)")
-            if cfg.est_delimit:
-                # the reference's rjMCMC (prop_rj.c) never adjusts the
-                # branch-rate prior either; block rather than sample a
-                # subtly wrong target
+                # BDI x iid/simple clocks: supported — mirror segments
+                # read their hinner partner's rate (rate_owner gather in
+                # felsenstein.relaxed_branch_lengths), matching the
+                # reference, which skips mirrors in both rate init and
+                # proposals (method.c:4235, stree.c:10298)
+            if cfg.est_delimit and cfg.clock == Clock.CORRELATED:
+                # A10/A11 x iid/simple clocks are exact: the guide tree
+                # keeps every branch-rate parameter alive across
+                # delimitation models (collapsed tau=0 segments are
+                # likelihood-inert but still prior-distributed), so the
+                # rj split/join never changes dimension in the rates.
+                # The CORRELATED prior however depends on the taus
+                # (branch-midpoint terms, stree.c:8929-9025), and the
+                # reference's prop_rj.c ignores that delta — it samples
+                # a subtly wrong target there (verified: prop_rj.c has
+                # no lnprior_rates recomputation).  Block only corr.
                 raise NotImplementedError(
-                    "relaxed clocks cannot be combined with rjMCMC "
-                    "species delimitation (A10/A11)")
+                    "the auto-correlated clock (clock=3) cannot be "
+                    "combined with rjMCMC species delimitation: the "
+                    "correlated rate prior depends on the taus the rj "
+                    "move changes (the reference ignores this delta; "
+                    "see VALIDATION.md round 3). Use clock = 2 or 4.")
         if (cfg.est_locusrate == 1 and cfg.locusrate_prior == 3
                 and cfg.clock != Clock.GLOBAL):
             raise NotImplementedError(

@@ -98,6 +98,12 @@ class SpeciesArrays(NamedTuple):
     # hybridization segments (htau == 0) and BDI mirrors — the nodes
     # prop_branch_rates skips (stree.c:10293-10298); None = all True
     rate_nodes: jax.Array = None    # [H] bool
+    # rate OWNER per population: a BDI mirror segment is the same
+    # biological population as its hinner partner pre-introgression, so
+    # its branch rate is the partner's (the reference never assigns a
+    # mirror rate: init + proposals both skip mirrors, method.c:4235,
+    # stree.c:10298); None = identity
+    rate_owner: jax.Array = None    # [H] int32
 
     @property
     def n_nodes(self):
@@ -157,10 +163,15 @@ def species_arrays(st, dtype=jnp.float64) -> SpeciesArrays:
             pairs = [(i, int(bdi[i])) for i in range(st.n_nodes)
                      if bdi[i] >= 0 and i < bdi[i]]
             bdi_mirror = np.zeros(st.n_nodes, bool)
+            rate_owner = np.arange(st.n_nodes, dtype=np.int32)
             for i in range(st.n_nodes):
                 if bdi[i] >= 0:
                     bdi_mirror[st.hybrid[i]] = True
                     rate_nodes[st.hybrid[i]] = False   # stree.c:10298
+                    # the mirror's segment uses its hinner's rate (the
+                    # partner-rate tie; the reference never initializes
+                    # or proposes mirror rates)
+                    rate_owner[st.hybrid[i]] = i
                     free[i] = i < bdi[i]     # one shared tau per pair
             kw.update(
                 bdi_partner=jnp.asarray(bdi, jnp.int32),
@@ -168,7 +179,8 @@ def species_arrays(st, dtype=jnp.float64) -> SpeciesArrays:
                 bdi_pairs=jnp.asarray(np.asarray(pairs, np.int32)
                                       .reshape(-1, 2)),
                 tau_free=jnp.asarray(free),
-                rate_nodes=jnp.asarray(rate_nodes))
+                rate_nodes=jnp.asarray(rate_nodes),
+                rate_owner=jnp.asarray(rate_owner))
     return SpeciesArrays(
         left=jnp.asarray(st.left, jnp.int32),
         right=jnp.asarray(st.right, jnp.int32),

@@ -11,6 +11,7 @@
 import textwrap
 
 import jax
+import pytest
 import numpy as np
 
 from bpp_tpu.mcmc.driver import Engine
@@ -309,3 +310,45 @@ def test_a10_notheta_rj_and_caches(tmp_path):
     # the terminal state must be a valid delimitation (no NaNs anywhere)
     assert np.isfinite(np.asarray(state.logl)).all()
     assert np.isfinite(float(jnp.sum(state.t2h)))
+
+
+def test_a10_relaxed_clock_iid(tmp_path):
+    """A10 x clock=2 (iid rates): reference-supported (its rjMCMC run
+    accepts the combination; the guide tree keeps every branch rate
+    alive across delimitation models, so the rj move is exact for
+    tau-independent rate priors).  Chain must run with the runtime
+    invariant check on and keep the logl cache honest across rj flips.
+    """
+    _sim(tmp_path, tau_ab=0.004, tau_root=0.01, n_loci=3, length=200)
+    ctl = _write_ctl(tmp_path, "sim.txt", "sim.imap", usedata=True,
+                     nloci=3, burnin=10, nsample=5, seed=17)
+    from bpp_tpu.config import Clock
+    from bpp_tpu.io.ctl import parse_ctl
+    from bpp_tpu.loader import load_run
+
+    cfg = parse_ctl(ctl).replace(
+        dtype="float32", clock=Clock.IID, clock_vbar_a=10.0,
+        clock_vbar_b=100.0, clock_vi_alpha=5.0, clock_rate_prior=1,
+        check_every=8)
+    eng = Engine(load_run(cfg), seed=17)
+    log = eng.run_mcmc(progress_every=0)   # validate_state inside
+    assert len(log.gen) == 5
+    assert np.isfinite(log.lnL).all()
+
+
+def test_a10_corr_clock_still_blocked(tmp_path):
+    """clock=3 x delimitation stays blocked: the correlated rate prior
+    depends on the taus the rj move changes and the reference's
+    prop_rj.c never recomputes it (documented reference defect)."""
+    _sim(tmp_path, tau_ab=0.004, tau_root=0.01, n_loci=2, length=100)
+    ctl = _write_ctl(tmp_path, "sim.txt", "sim.imap", usedata=True,
+                     nloci=2, burnin=2, nsample=2, seed=3)
+    from bpp_tpu.config import Clock
+    from bpp_tpu.io.ctl import parse_ctl
+    from bpp_tpu.loader import load_run
+
+    cfg = parse_ctl(ctl).replace(
+        clock=Clock.CORRELATED, clock_vbar_a=10.0, clock_vbar_b=100.0,
+        clock_vi_alpha=5.0, clock_rate_prior=1)
+    with pytest.raises(NotImplementedError, match="auto-correlated"):
+        Engine(load_run(cfg), seed=3)

@@ -131,3 +131,38 @@ def test_lswitch():
     assert (qx < 0.5).mean() > 0.97, (qx < 0.5).mean()
     assert abs(sx.mean() - th_x.mean()) < 5e-4
     assert abs(sy.mean() - th_y.mean()) < 5e-4
+
+
+def test_bdi_relaxed_clock_partner_rate_tie():
+    """BDI x clock=2 (reference-supported: mirrors are skipped in rate
+    init and proposals, method.c:4235 / stree.c:10298).  The mirror
+    segment must read its hinner partner's rate - so a garbage mirror
+    rate must not change the likelihood, while the partner's rate must.
+    """
+    from bpp_tpu.config import Clock
+    cfg = _cfg(usedata=1, nloci=5, burnin=4, nsample=3)
+    cfg = cfg.replace(clock=Clock.IID, clock_vbar_a=10.0,
+                      clock_vbar_b=100.0, clock_vi_alpha=5.0,
+                      clock_rate_prior=1, check_every=5)
+    eng = Engine(load_run(cfg), seed=3)
+    state = eng.init_state()
+    st = eng.run.stree
+    x = st.labels.index("X")
+    mir_x = int(st.hybrid[x])
+    assert not bool(np.asarray(state.sp.rate_nodes)[mir_x])
+    assert int(np.asarray(state.sp.rate_owner)[mir_x]) == x
+
+    ll0 = eng._logl_fn(state.gt, state.subst, state.sp, state.clock)
+    garbage = state.clock._replace(
+        brate=state.clock.brate.at[:, mir_x].set(777.0))
+    ll_g = eng._logl_fn(state.gt, state.subst, state.sp, garbage)
+    np.testing.assert_array_equal(np.asarray(ll0), np.asarray(ll_g))
+    bumped = state.clock._replace(
+        brate=state.clock.brate.at[:, x].multiply(3.0))
+    ll_b = eng._logl_fn(state.gt, state.subst, state.sp, bumped)
+    assert np.abs(np.asarray(ll_b) - np.asarray(ll0)).max() > 1e-3
+
+    # short chain with the runtime invariant check enabled
+    log = eng.run_mcmc(progress_every=0)
+    assert len(log.gen) == 3
+    assert np.isfinite(log.lnL).all()
