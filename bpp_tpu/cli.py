@@ -61,7 +61,10 @@ def build_argparser() -> argparse.ArgumentParser:
 def cmd_run(args) -> int:
     import jax
 
-    if args.cpu:
+    # honor JAX_PLATFORMS=cpu too: the axon TPU plugin overrides the
+    # env var at import, so only this explicit config reliably forces
+    # the CPU backend
+    if args.cpu or os.environ.get("JAX_PLATFORMS") == "cpu":
         jax.config.update("jax_platforms", "cpu")
     if args.x64:
         jax.config.update("jax_enable_x64", True)

@@ -102,6 +102,7 @@ def _simulate_3sp(tmp_path, tau_root=0.02, tau_ab=0.004, theta=0.002,
     return "sim.txt", "sim.imap"
 
 
+@pytest.mark.slow
 def test_a01_recovers_true_topology(tmp_path):
     counts, eng, log, run = _run_a01(
         tmp_path, lambda p: _simulate_3sp(p), n_loci=12,
@@ -115,6 +116,7 @@ def test_a01_recovers_true_topology(tmp_path):
     state = eng._last_state if hasattr(eng, "_last_state") else None
 
 
+@pytest.mark.slow
 def test_a01_no_cache_drift(tmp_path):
     from bpp_tpu.io.ctl import parse_ctl
     from bpp_tpu.loader import load_run
@@ -159,6 +161,7 @@ def test_a01_no_cache_drift(tmp_path):
     # (sanity that the move isn't permanently rejecting)
 
 
+@pytest.mark.slow
 def test_a01_prior_topology_frequencies(tmp_path):
     def empty_data(p):
         # tiny dummy alignment; usedata=0 ignores the likelihood
@@ -178,6 +181,7 @@ def test_a01_prior_topology_frequencies(tmp_path):
         assert 0.15 < n / total < 0.55, counts
 
 
+@pytest.mark.slow
 def test_a01_snl_prior_topology_frequencies(tmp_path):
     """SNL-dominant kernel (pSNL=0.9) must also leave the uniform prior
     over rooted 3-species topologies invariant — the strongest check on

@@ -79,6 +79,7 @@ def _sim(tmp_path, tau_ab, tau_root, n_loci=8, length=300, seed=5):
     return "sim.txt", "sim.imap"
 
 
+@pytest.mark.slow
 def test_a10_prior_rj_flow_balance(tmp_path):
     """Detailed-balance flow test for the rjMCMC kernel under the prior.
 
@@ -158,6 +159,7 @@ def test_a10_prior_rj_flow_balance(tmp_path):
     assert 0.15 < ratio_23 < 6.0, (s2, j3, ratio_23)
 
 
+@pytest.mark.slow
 def test_a10_detects_distinct_species(tmp_path):
     _sim(tmp_path, tau_ab=0.008, tau_root=0.02)
     ctl = _write_ctl(tmp_path, "sim.txt", "sim.imap", usedata=True, nloci=8,
@@ -168,6 +170,7 @@ def test_a10_detects_distinct_species(tmp_path):
     assert nsp.get(3, 0) / total > 0.85, nsp
 
 
+@pytest.mark.slow
 def test_a10_collapses_panmictic_data(tmp_path):
     # one population: negligible divergence between "species"
     _sim(tmp_path, tau_ab=1e-6, tau_root=2e-6, n_loci=8, seed=9)
@@ -181,6 +184,7 @@ def test_a10_collapses_panmictic_data(tmp_path):
     assert nsp.get(3, 0) / total < 0.5, nsp
 
 
+@pytest.mark.slow
 def test_a10_no_cache_drift(tmp_path):
     _sim(tmp_path, tau_ab=0.004, tau_root=0.01, n_loci=4, length=200)
     ctl = _write_ctl(tmp_path, "sim.txt", "sim.imap", usedata=True, nloci=4,
@@ -206,6 +210,7 @@ def test_a10_no_cache_drift(tmp_path):
         assert dp < 0.05, f"logpr drift {dp}"
 
 
+@pytest.mark.slow
 def test_a11_prior_joint_frequencies(tmp_path):
     """A11 (both moves on): uniform over the 9 (topology, delimitation)
     states => P(1sp)=3/9, each 2sp/3sp model 1/9 (matches the reference
@@ -269,6 +274,7 @@ def test_prior_a11_masses_match_reference_table():
     np.testing.assert_allclose(m3 * 63, [15, 15, 18, 15], rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_a10_notheta_rj_and_caches(tmp_path):
     """A10 with integrated-out thetas (thetaprior ... int): the rj
     split/join must run (prop_rj.c !opt_est_theta paths, no theta
@@ -312,6 +318,7 @@ def test_a10_notheta_rj_and_caches(tmp_path):
     assert np.isfinite(float(jnp.sum(state.t2h)))
 
 
+@pytest.mark.slow
 def test_a10_relaxed_clock_iid(tmp_path):
     """A10 x clock=2 (iid rates): reference-supported (its rjMCMC run
     accepts the combination; the guide tree keeps every branch rate

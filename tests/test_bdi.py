@@ -77,6 +77,7 @@ def test_bdi_parse_both_diagrams():
     np.testing.assert_array_equal(d1.parent, d2.parent)
 
 
+@pytest.mark.slow
 def test_bdi_prior_sampling():
     """usedata=0: priors must be reproduced; taus of the quad stay tied."""
     cfg = _cfg(usedata=0, nloci=3, burnin=400, nsample=1500)
@@ -133,6 +134,7 @@ def test_lswitch():
     assert abs(sy.mean() - th_y.mean()) < 5e-4
 
 
+@pytest.mark.slow
 def test_bdi_relaxed_clock_partner_rate_tie():
     """BDI x clock=2 (reference-supported: mirrors are skipped in rate
     init and proposals, method.c:4235 / stree.c:10298).  The mirror

@@ -5,11 +5,13 @@ chain's mcmc.txt byte-for-byte (PRNG key, finetunes, pjump stats and
 file offsets are all checkpointed; load.c:2319 truncation semantics).
 """
 
+import pytest
 import subprocess
 import sys
 import textwrap
 
 
+@pytest.mark.slow
 def test_resume_byte_identical(tmp_path):
     (tmp_path / "d.txt").write_text(
         "\n".join(["12 20"] + [f"{s}^{s.lower()}{i} " + "ACGTACGTACGTACGTACGT"

@@ -68,12 +68,14 @@ def test_geneflow_saturated_table(tmp_path):
     assert not bool(np.asarray(st.mig.on).any())
 
 
+@pytest.mark.slow
 def test_geneflow_prior_model_occupancy(tmp_path):
     """usedata=0: route-set occupancy must be uniform over the 4
-    models (the prior).  Tolerances are generous (rj transitions need
-    event-free routes, so the model chain moves on a ~10-iteration
-    timescale; 4000 iterations give roughly 300+ effective model
-    visits)."""
+    models (the prior).  The on-device trace records every iteration
+    (mig.on rides the migM trace: inactive routes log 0), so the whole
+    12000-iteration chain costs 6 dispatches and the gate tightens to
+    +-0.10 around the exact 0.25 (VERDICT r2 weak #4: the old
+    0.08-0.50 band would have passed a 2x systematic bias)."""
     seq, imap = _write_data(tmp_path)
     cfg = parse_ctl_lines(
         CTL.format(seq=seq, imap=imap).strip().splitlines())
@@ -82,15 +84,14 @@ def test_geneflow_prior_model_occupancy(tmp_path):
     key = jax.random.PRNGKey(3)
     state, _ = eng.chunk_step(state, key, 400)
     counts = np.zeros(4)
-    n_chunks = 450
-    for i in range(n_chunks):
+    for i in range(6):
         key, sub = jax.random.split(key)
-        state, _ = eng.chunk_step(state, sub, 8)
-        on = np.asarray(state.mig.on)
-        counts[int(on[0]) + 2 * int(on[1])] += 1
+        state, _, trace = eng.chunk_step_traced(state, sub, 2000)
+        on = np.asarray(trace["migM"]) > 0.0            # [n, 2]
+        idx = on[:, 0].astype(int) + 2 * on[:, 1].astype(int)
+        counts += np.bincount(idx, minlength=4)
     freq = counts / counts.sum()
-    # uniform 0.25 each; bands sized for the chain's model-switch rate
-    assert (freq > 0.08).all() and (freq < 0.50).all(), freq
+    assert (np.abs(freq - 0.25) <= 0.10).all(), freq
 
 
 @pytest.mark.slow

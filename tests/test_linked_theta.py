@@ -51,6 +51,7 @@ def test_link_maps():
     assert mm[t] == stn.names.index("C")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("model", ["linked-all", "linked-inner"])
 def test_linked_prior_chain(model):
     import jax
@@ -75,6 +76,7 @@ def test_linked_prior_chain(model):
     assert theta[:, root].std() > 0.002          # it mixes
 
 
+@pytest.mark.slow
 def test_linked_columns(tmp_path):
     from bpp_tpu.output import McmcWriter
     cfg = parse_ctl_lines(

@@ -92,6 +92,7 @@ def test_sharded_equals_unsharded_a00_synthetic():
                                np.asarray(got.sp.theta), rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_sharded_equals_unsharded_a00_frogs():
     cfg = parse_ctl_lines(FROGS.strip().splitlines())
     eng = Engine(load_run(cfg), seed=5)
@@ -99,6 +100,7 @@ def test_sharded_equals_unsharded_a00_frogs():
     _assert_states_match(ref, got)
 
 
+@pytest.mark.slow
 def test_sharded_equals_unsharded_a01():
     ctl = FROGS + "speciestree = 1\n"
     cfg = parse_ctl_lines(ctl.strip().splitlines())
@@ -109,6 +111,7 @@ def test_sharded_equals_unsharded_a01():
                                   np.asarray(got.sp.left))
 
 
+@pytest.mark.slow
 def test_sharded_equals_unsharded_a10():
     ctl = FROGS + "speciesdelimitation = 1 1 2 1\n"
     cfg = parse_ctl_lines(ctl.strip().splitlines())
@@ -117,6 +120,7 @@ def test_sharded_equals_unsharded_a10():
     _assert_states_match(ref, got)
 
 
+@pytest.mark.slow
 def test_sharded_equals_unsharded_msci():
     from bpp_tpu.io.ctl import parse_ctl
     cfg = parse_ctl("tests/fixtures/msci/m.ctl").replace(usedata=True)
@@ -127,6 +131,7 @@ def test_sharded_equals_unsharded_msci():
     _assert_states_match(ref, got)
 
 
+@pytest.mark.slow
 def test_sharded_equals_unsharded_mscm():
     ctl = FROGS.replace("usedata = 1", "usedata = 0") + (
         "migration = 2\n  K C 2 0.01\n  C K 2 0.01\n")

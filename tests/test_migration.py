@@ -15,6 +15,7 @@ gtree_update_logprob_contrib_mig, gtree.c:3459-3675):
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bpp_tpu.trees.gtree import BIG_AGE, GTrees
 from bpp_tpu.trees import migration as mg
@@ -137,6 +138,7 @@ usedata = 0
     assert routes.index[routes.si[1], routes.ti[1]] == 1
 
 
+@pytest.mark.slow
 def test_prior_recovery_chain():
     """Short prior-only chain: the full MSC-M move set (sim-SPR event
     birth/death, event-age slides, rate Gibbs, tau/theta/mixing) must
@@ -190,6 +192,7 @@ nsample = 100
                                atol=1e-3)
 
 
+@pytest.mark.slow
 def test_sim_mig_theory():
     """Structured-coalescent simulator against exact 2-deme theory:
     E[T | different demes] solves the Wakeley two-state system
@@ -270,14 +273,17 @@ def test_mig_relaxed_clock_heredity_smoke():
     # relaxed-length path must match the carried values
     ll = eng._logl_fn(state.gt, state.subst, state.sp, state.clock,
                       mig=state.mig)
+    # rtol: in-graph cache vs standalone recompute fuse differently in
+    # XLA — a few f32 ulps of drift is legitimate (f32 eps 1.2e-7)
     np.testing.assert_allclose(np.asarray(ll), np.asarray(state.logl),
-                               rtol=1e-10)
+                               rtol=2e-6)
     lp, *_ = make_logpr_fn_mig(eng.ctx, eng.routes)(
         state.gt, state.sp, state.mig, state.subst.heredity)
     np.testing.assert_allclose(np.asarray(lp), np.asarray(state.logpr),
                                rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_mig_relaxed_lengths_match_plain_when_eventfree():
     """With no migration events and all rates == r, the migration-aware
     relaxed lengths must equal r * (plain age differences)."""

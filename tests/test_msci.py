@@ -46,6 +46,7 @@ def test_network_structure(msci_cfg):
     np.testing.assert_allclose(phi[hin] + phi[mir], 1.0)
 
 
+@pytest.mark.slow
 def test_prior_marginals(msci_cfg):
     """usedata=0 sampling must hit the constrained-prior marginals.
 

@@ -82,6 +82,7 @@ def notheta_run():
     return np.stack(taus), state, eng
 
 
+@pytest.mark.slow
 def test_prior_tau_recovery(notheta_run):
     """usedata=0: tau_root ~ InvGamma(3, 0.004), E = 0.002."""
     taus, state, eng = notheta_run
@@ -90,6 +91,7 @@ def test_prior_tau_recovery(notheta_run):
     assert abs(m - 0.002) < 0.0005, m
 
 
+@pytest.mark.slow
 def test_cache_honesty_with_data(notheta_run):
     """coal/t2h caches must equal a fresh recompute after many moves."""
     _, state, eng = notheta_run
@@ -99,6 +101,7 @@ def test_cache_honesty_with_data(notheta_run):
                                rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_tau_posterior_vs_reference_oracle():
     """Integrated-path tau posterior means vs the reference binary.
 
@@ -168,6 +171,7 @@ nsample = 6000
 """
 
 
+@pytest.mark.slow
 def test_msci_integrated_prior_marginals():
     """usedata=0 on the 1-hybridization network with thetas integrated
     out: the tau/phi prior marginals must match the theta-estimated
@@ -192,6 +196,7 @@ def test_msci_integrated_prior_marginals():
     assert phis[:, hin].std() > 0.15
 
 
+@pytest.mark.slow
 def test_msci_integrated_data_mode_caches():
     """usedata=1 smoke: finite state, coal/t2h and phi-part logpr caches
     honest after many steps (every integ+network move path exercised)."""

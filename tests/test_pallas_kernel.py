@@ -55,6 +55,7 @@ def test_pallas_matches_xla_jc69(n_seq):
     _pallas_vs_xla(eng, state, SubstModel.JC69)
 
 
+@pytest.mark.slow
 def test_pallas_deep_tree_no_underflow():
     """Many sequences + divergent branch lengths: the per-level
     rescaling must keep f32 CLVs in range (an every-other-level scheme
@@ -83,6 +84,7 @@ def test_pallas_deep_tree_no_underflow():
 
 @pytest.mark.parametrize("model", [SubstModel.HKY, SubstModel.TN93,
                                    SubstModel.F81])
+@pytest.mark.slow
 def test_pallas_matches_xla_tn93_family(model):
     run = synthetic_run(n_loci=4, n_seq=8, n_patterns=40, n_species=3,
                         seed=5, model=model)
@@ -96,6 +98,7 @@ def test_pallas_matches_xla_tn93_family(model):
     _pallas_vs_xla(eng, state, model, rtol=2e-4, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_pallas_matches_xla_gtr():
     run = synthetic_run(n_loci=4, n_seq=8, n_patterns=40, n_species=3,
                         seed=5, model=SubstModel.GTR)
@@ -154,6 +157,7 @@ def test_pallas_relaxed_clock_matches_xla(model):
                                rtol=2e-4, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_pallas_gamma_cats():
     from bpp_tpu.config import Prior, PriorDist
     run = synthetic_run(n_loci=4, n_seq=8, n_patterns=40, n_species=3,

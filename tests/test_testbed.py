@@ -8,13 +8,18 @@ comparisons are STATISTICAL: posterior means within the combined
 Monte-Carlo error of both chains (batch-means SE), and model/topology
 posterior frequencies within bands.
 
-Frozen goldens: tests/fixtures/testbed/<n>.mcmc.txt.gz, generated
-2026-08-19 with /tmp/bppbuild/src/bpp (BPP 4.8.7, sources
+Frozen goldens: tests/fixtures/testbed/<n>.mcmc.txt.gz, regenerated
+2026-08-20 with /tmp/bppbuild/src/bpp (BPP 4.8.7, sources
 /root/reference/src) on the configs below with only mechanical ctl
-modernizations (jobname for outfile/mcmcfile, finetune auto syntax).
+modernizations (jobname for outfile/mcmcfile, finetune auto syntax)
+plus longer chains for tighter gates: burnin 1000, nsample 6000,
+MULTI-SEED concatenated traces (A00: seeds 12345/777/31415; others:
+12345/777) so the golden means average out seed-to-seed spread and the
+golden batch-means SE absorbs cross-seed variance.
 Matrix coverage (testbed/description.txt): A00 x {theta-E, theta-int}
-x cleandata x heredity x locusrate (1, 4, 6, 11, 16), A01 (17, 24),
-A10 alg0/alg1 (49, 81), A11 (113).
+x cleandata x heredity x locusrate (1, 4, 6, 8, 11, 13, 16), A01
+(17, 24, 29, 36), A10 alg0 (49, 61, 68) / alg1 (81, 89), A11
+(113, 116).
 """
 
 import gzip
@@ -99,16 +104,15 @@ def _compare_a00(n, tmp_path, nsample=800):
             continue
         o = series[c]
         g = gold[:, j]
-        # batch-means SE underestimates the chain-level error of the
-        # slow-mixing scalars (root tau/theta): the reference's own
-        # seed-to-seed spread on these configs is ~5% (measured
-        # 2026-08-19, config 4 tau:5 over seeds 12345/777/31415/2718:
-        # 0.665/0.718/0.737/0.709e-3, and ~20% on config 16 tau:7:
-        # 0.403/0.478/0.495e-3), so a 15% relative floor rides on top
-        # of the combined MCSE; the gross biases this guards against
-        # (e.g. a wrong prior term or column mix-up) are 40%+
+        # the golden is now a 3-seed x 6000-sample concatenation, so
+        # its mean averages seed-to-seed spread (the dominant error at
+        # the old 1-seed/1500-sample goldens: ~5-20% on slow-mixing
+        # root tau/theta) and its batch-means SE absorbs cross-seed
+        # variance; the relative floor drops 15% -> 8% (VERDICT r2
+        # weak #4).  Gross biases this guards against (wrong prior
+        # term, column mix-up) are 40%+
         tol = 4.0 * np.hypot(_batch_se(o), _batch_se(g)) \
-            + 0.15 * abs(g.mean()) + 1e-9
+            + 0.08 * abs(g.mean()) + 1e-9
         if abs(o.mean() - g.mean()) > tol:
             mism.append((c, o.mean(), g.mean(), tol))
     assert not mism, mism
@@ -120,7 +124,7 @@ def test_testbed_a00(n, tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n", [6, 11, 16])
+@pytest.mark.parametrize("n", [6, 8, 11, 13, 16])
 def test_testbed_a00_slow(n, tmp_path):
     _compare_a00(n, tmp_path)
 
@@ -160,7 +164,7 @@ def _topo_freqs(trees):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n", [17, 24])
+@pytest.mark.parametrize("n", [17, 24, 29, 36])
 def test_testbed_a01(n, tmp_path):
     """Species-tree posterior frequencies vs the golden trace.
 
@@ -197,10 +201,10 @@ def test_testbed_a01(n, tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n", [49, 81])
+@pytest.mark.parametrize("n", [49, 61, 68, 81, 89])
 def test_testbed_a10(n, tmp_path):
     """Delimitation posterior (P(#species)) vs the golden trace."""
-    cfg = _load_ctl(n, tmp_path, nsample=800)
+    cfg = _load_ctl(n, tmp_path, nsample=2500)
     rows = gzip.open(f"{FIX}/{n}.mcmc.txt.gz", "rt").read().strip() \
         .splitlines()[1:]
     # golden columns: Gen, np, tree-code, thetas..., lnL
@@ -218,15 +222,15 @@ def test_testbed_a10(n, tmp_path):
     for k in range(1, NS + 1):
         go = float((g_nsp == k).mean())
         oo = float((o_nsp == k).mean())
-        assert abs(go - oo) < 0.22, (k, go, oo)
+        assert abs(go - oo) < 0.12, (k, go, oo)
 
 
 @pytest.mark.slow
-def test_testbed_a11(tmp_path):
+@pytest.mark.parametrize("n", [113, 116])
+def test_testbed_a11(n, tmp_path):
     """A11 joint: P(#species) bands vs the golden trace (trees carry a
     trailing np count in the golden file)."""
-    n = 113
-    cfg = _load_ctl(n, tmp_path, nsample=800)
+    cfg = _load_ctl(n, tmp_path, nsample=2500)
     rows = gzip.open(f"{FIX}/{n}.mcmc.txt.gz", "rt").read().strip() \
         .splitlines()
     eng, log = _run_engine(cfg)
@@ -238,4 +242,4 @@ def test_testbed_a11(tmp_path):
     for k in range(1, NS + 1):
         go = float((g_nsp == k).mean())
         oo = float((o_nsp == k).mean())
-        assert abs(go - oo) < 0.22, (k, go, oo)
+        assert abs(go - oo) < 0.12, (k, go, oo)

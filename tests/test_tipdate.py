@@ -82,6 +82,7 @@ def test_config_and_loading(date_run):
             assert run.date_lmax[p] >= run.date_lmax[i]
 
 
+@pytest.mark.slow
 def test_prior_chain_invariants(date_run):
     cfg, run, eng, dates = date_run
     state = eng.init_state()
@@ -121,6 +122,7 @@ def test_prior_chain_invariants(date_run):
                                rtol=1e-6, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dated_stats_match_undated_when_contemporary():
     """per_pop_stats_dated is exact for undated data too."""
     from bpp_tpu.mcmc.state import Ctx  # noqa: F401  (import check)
@@ -155,6 +157,7 @@ def test_usedata_smoke(tmp_path):
     state = eng.init_state()
     state, stats = eng.chunk_step(state, jax.random.PRNGKey(0), 60)
     logl = eng._logl_fn(state.gt, state.subst, state.sp, state.clock)
+    # a few f32 ulps between in-graph cache and standalone recompute
     np.testing.assert_allclose(np.asarray(logl), np.asarray(state.logl),
-                               rtol=1e-8, atol=1e-6)
+                               rtol=2e-6, atol=1e-6)
     assert np.isfinite(float(np.asarray(state.logl).sum()))

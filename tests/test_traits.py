@@ -187,6 +187,7 @@ def test_mcmc_integration(tmp_path):
                   == np.asarray(state.trait.brate)[:, 1])
 
 
+@pytest.mark.slow
 def test_mcmc_rj_with_traits(tmp_path):
     """A10 delimitation with traits: rj split/join re-scores traits and
     still crosses delimitation models on tiny data (2 seqs/species)."""
