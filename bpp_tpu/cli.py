@@ -245,8 +245,14 @@ def cmd_run(args) -> int:
                 lnl,
                 phi=None if state.sp.phi is None
                 else np.asarray(state.sp.phi),
+                # geneflow rjMCMC: inactive candidate routes must log 0
+                # (their M slot carries a Carlin-Chib pseudo-prior draw,
+                # not a posterior rate) — same zeroing as the device
+                # trace path (driver._trace_of)
                 migM=None if state.mig is None
-                else np.asarray(state.mig.M),
+                else np.asarray(state.mig.M if state.mig.on is None
+                                else np.where(np.asarray(state.mig.on),
+                                              np.asarray(state.mig.M), 0.0)),
                 mubar=None if state.mubar is None
                 else float(np.asarray(state.mubar)))
             log_locus_files(state)

@@ -8,6 +8,7 @@ posterior sample arrays.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from dataclasses import dataclass, field
@@ -420,7 +421,10 @@ class Engine:
             tip_pop=jnp.asarray(batch.tip_pop),
             locus_mask=jnp.asarray(batch.locus_mask),
             tips_am=self._build_tips_am(tip_partials),
-            n_pat=jnp.asarray(batch.n_pat, jnp.int32),
+            # BPP_TPU_PALLAS_NOSKIP=1 disables the kernel's padding-tile
+            # skip (A/B benchmarking of the zigzag-analog only)
+            n_pat=None if os.environ.get("BPP_TPU_PALLAS_NOSKIP")
+            else jnp.asarray(batch.n_pat, jnp.int32),
             tip_dates=None if run.tip_dates is None
             else jnp.asarray(run.tip_dates, dtype),
             date_lmax=None if run.date_lmax is None

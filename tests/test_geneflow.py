@@ -112,3 +112,35 @@ def test_geneflow_with_data_smoke(tmp_path):
         state.gt, state.sp, state.mig, state.subst.heredity)
     np.testing.assert_allclose(np.asarray(lp), np.asarray(state.logpr),
                                rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.slow
+def test_geneflow_mcmc_output_zeroes_inactive_routes(tmp_path):
+    """The mcmc.txt W columns must log 0 for inactive candidate routes
+    (their M slot holds a Carlin-Chib pseudo-prior draw, not a
+    posterior rate).  Regression: the CLI's legacy per-sample path once
+    wrote raw M, which poisoned P(route on) and E[W | on] estimates
+    read off the trace."""
+    import subprocess
+    import sys
+
+    seq, imap = _write_data(tmp_path)
+    ctl = tmp_path / "gf.ctl"
+    ctl.write_text(CTL.format(seq=seq, imap=imap).replace(
+        "burnin = 500", "burnin = 50").replace("nsample = 500",
+                                               "nsample = 150"))
+    r = subprocess.run(
+        [sys.executable, "-m", "bpp_tpu", "--cfile", str(ctl), "--cpu"],
+        cwd=tmp_path, capture_output=True, text=True, timeout=900,
+        env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+             "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = (tmp_path / "out.mcmc.txt").read_text().strip().splitlines()
+    hdr = rows[0].split("\t")
+    wcols = [i for i, h in enumerate(hdr) if h.startswith("W:")]
+    assert len(wcols) == 2
+    vals = np.array([[float(r.split("\t")[i]) for i in wcols]
+                     for r in rows[1:]])
+    # prior occupancy is 1/4 per model: plenty of off samples expected
+    assert (vals == 0).any(), "no zero W samples: inactive routes not zeroed"
+    assert (vals > 0).any()

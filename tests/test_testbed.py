@@ -79,7 +79,7 @@ def _run_engine(cfg, seed=23):
     return eng, log
 
 
-def _compare_a00(n, tmp_path, nsample=800):
+def _compare_a00(n, tmp_path, nsample=2400):
     cfg = _load_ctl(n, tmp_path, nsample=nsample)
     hdr, gold = _golden_numeric(n)
     eng, log = _run_engine(cfg)
@@ -118,13 +118,17 @@ def _compare_a00(n, tmp_path, nsample=800):
     assert not mism, mism
 
 
-@pytest.mark.parametrize("n", [1, 4])
-def test_testbed_a00(n, tmp_path):
-    _compare_a00(n, tmp_path)
+def test_testbed_a00_fast(tmp_path):
+    # config 1's chain mixes well enough for the 8% gate at 800
+    # samples; the slower-mixing configs run 2400 samples in the slow
+    # tier (config 4's ancestral theta:6 needs ~2000+ samples to
+    # converge — measured 2026-08-20: 0.00118 at 800 vs golden
+    # 0.00176, but 0.00185 at 4000)
+    _compare_a00(1, tmp_path, nsample=800)
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n", [6, 8, 11, 13, 16])
+@pytest.mark.parametrize("n", [4, 6, 8, 11, 13, 16])
 def test_testbed_a00_slow(n, tmp_path):
     _compare_a00(n, tmp_path)
 
