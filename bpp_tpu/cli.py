@@ -254,7 +254,16 @@ def cmd_run(args) -> int:
                                 else np.where(np.asarray(state.mig.on),
                                               np.asarray(state.mig.M), 0.0)),
                 mubar=None if state.mubar is None
-                else float(np.asarray(state.mubar)))
+                else float(np.asarray(state.mubar)),
+                mubar_h=None if state.clock is None
+                else float(np.asarray(state.clock.mubar)),
+                nu_col=None if state.clock is None else (
+                    float(np.asarray(state.clock.nubar))
+                    if cfg.locusrate_prior == 1
+                    else float(np.asarray(state.clock.nu)[
+                        np.asarray(eng.ctx.locus_mask)].mean())),
+                brate0=None if state.clock is None
+                else np.asarray(state.clock.brate)[0])
             log_locus_files(state)
             if a1b1 is not None:
                 a1, b1, wa1, wb1 = eng.a1b1_stats(state)

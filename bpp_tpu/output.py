@@ -163,6 +163,25 @@ class McmcWriter:
         # tip dating (locusrate = 3 + datefile): overall rate mu_bar
         # plus calendar-unit taus r_tau = tau/mu_bar (method.c:1944-1960)
         self.dated = bool(cfg.datefile) and cfg.est_locusrate == 3
+        # relaxed-clock columns (method.c:1938-1988): mu_bar for the
+        # hierarchical locus-rate mean; one nu_bar (hierarchical) or nu
+        # (mean nu_i) column for clock 2/3; per-branch r: columns for
+        # the SIMPLE clock (rate nodes only)
+        from .config import Clock
+        self.mubar_h = (cfg.est_locusrate == 1 and cfg.locusrate_prior == 1
+                        and cfg.locusrate_mubar_est)
+        self.clock_simple = cfg.clock == Clock.SIMPLE
+        self.clock_relaxed = cfg.clock != Clock.GLOBAL
+        self._nu_bar_col = cfg.locusrate_prior == 1
+        self.rate_nodes = []
+        if self.clock_simple:
+            from .trees.gtree import species_arrays
+            sp = species_arrays(st)
+            rn = np.asarray(sp.rate_nodes) if sp.rate_nodes is not None \
+                else np.ones(st.n_nodes, bool)
+            order = (list(range(st.n_tips)) + self.inner
+                     + list(range(st.n_tips + st.n_inner, st.n_nodes)))
+            self.rate_nodes = [i for i in order if rn[i]]
         if not append:
             self._write_header()
         else:
@@ -182,6 +201,14 @@ class McmcWriter:
             cols.append("mu_bar")
             for i in self.tau_nodes:
                 cols.append(f"r_tau:{self._bpp_index(i)}:{self._label(i)}")
+        if self.mubar_h:
+            cols.append("mu_bar")
+        if self.clock_relaxed:
+            if self.clock_simple:
+                for i in self.rate_nodes:
+                    cols.append(f"r:{self._bpp_index(i)}:{self._label(i)}")
+            else:
+                cols.append("nu_bar" if self._nu_bar_col else "nu")
         for s, t in self.mig_routes:
             cols.append(f"W:{self._bpp_index(s)}->{self._bpp_index(t)}"
                         f":{self._label(s)}->{self._label(t)}")
@@ -210,7 +237,10 @@ class McmcWriter:
     def write_sample(self, gen: int, theta: np.ndarray, tau: np.ndarray,
                      lnl: float, phi: np.ndarray | None = None,
                      migM: np.ndarray | None = None,
-                     mubar: float | None = None):
+                     mubar: float | None = None,
+                     mubar_h: float | None = None,
+                     nu_col: float | None = None,
+                     brate0: np.ndarray | None = None):
         vals = [str(gen)]
         vals += [f"{theta[i]:.6f}" for i in self.theta_nodes]
         prec = 10 if self.dated else 6           # method.c:2401
@@ -219,6 +249,15 @@ class McmcWriter:
         if self.dated and mubar is not None:
             vals.append(f"{mubar:.12f}")
             vals += [f"{tau[i] / mubar:.6f}" for i in self.tau_nodes]
+        if self.mubar_h:
+            vals.append(f"{mubar_h:.6f}" if mubar_h is not None else "nan")
+        if self.clock_relaxed:
+            if self.clock_simple:
+                vals += ([f"{brate0[i]:.6f}" for i in self.rate_nodes]
+                         if brate0 is not None
+                         else ["nan"] * len(self.rate_nodes))
+            else:
+                vals.append(f"{nu_col:.6f}" if nu_col is not None else "nan")
         if migM is not None:
             vals += [f"{m:.6f}" for m in migM]
         vals.append(f"{lnl:.3f}")

@@ -147,3 +147,33 @@ def test_parse_every_reference_ctl():
         parse_ctl(f)
         n += 1
     assert n > 150, n
+
+
+def test_mcmc_writer_relaxed_clock_columns(tmp_path):
+    """method.c:1938-1988 column parity: mu_bar (hierarchical locus
+    rates), nu_bar / nu for clock 2/3, per-branch r: columns for the
+    SIMPLE clock."""
+    from bpp_tpu.config import Clock
+    from bpp_tpu.io.ctl import parse_ctl_lines
+    from bpp_tpu.loader import build_species_tree
+    from bpp_tpu.output import McmcWriter
+
+    base = [
+        "seed = 1", "seqfile = x", "jobname = out",
+        "species&tree = 3 A B C", " 2 2 2", "((A,B),C);",
+        "usedata = 1", "nloci = 2", "thetaprior = 3 0.04",
+        "tauprior = 3 0.2",
+    ]
+    cfg = parse_ctl_lines(base + ["locusrate = 1 2 10 5 iid",
+                                  "clock = 2 10 100 5 iid G"])
+    st = build_species_tree(cfg)
+    w = McmcWriter(str(tmp_path / "a.txt"), cfg, st)
+    w.close()
+    assert "mu_bar" in w.columns and "nu_bar" in w.columns
+
+    cfg = parse_ctl_lines(base + ["clock = 4 2.0"])
+    w = McmcWriter(str(tmp_path / "b.txt"), cfg, st)
+    w.close()
+    rcols = [c for c in w.columns if c.startswith("r:")]
+    assert len(rcols) == 5   # 3 tips + 2 inner with tau
+    assert "nu_bar" not in w.columns
