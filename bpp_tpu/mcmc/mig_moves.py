@@ -361,70 +361,155 @@ def age_block_mig(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
 
 
 def tau_move_mig(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
-    """Plain Metropolis slide of each inner tau in [max child tau,
-    parent tau].  Gene ages and events are untouched: under the strict
-    clock the likelihood is invariant and infeasible configurations (a
-    coalescence or event stranded outside its population) reject via
-    the density indicator; under a relaxed clock the population
-    boundaries weight the branch lengths, so the likelihood delta is
-    included.  Simpler than the reference's IM rubberband
-    (stree.c:6568) but exact.
+    """Blocked tau rubber-band under migration (the IM-rubberband
+    analog, stree.c:6725 propose_tau_mig + rb_bounds :6568, TPU-first).
+
+    Same parity-blocked piecewise-linear remap as the plain tau_move
+    (moves.py), extended to migration-event times: every gene-node age
+    AND event time inside a governed population's (minage, maxage)
+    window moves with the window's map (events use their SOURCE
+    population — the population the migrating lineage occupies below
+    the event; for sibling-tip routes both choices give the same map).
+    The map is a deterministic bijection, so MH needs only the summed
+    log-slopes (Jacobian); configurations the remap strands (an event
+    or coalescence outside its population) reject through the density
+    indicator instead of the reference's per-locus linkage-matrix
+    bounds machinery.
+
+    Round-3 note: the earlier plain slide (ages/events untouched) was
+    exact but mixed catastrophically slowly — with migration events
+    present, tau could not cross any event/coalescent time, giving a
+    too-narrow tau marginal (prior sd 0.008 vs the exact 0.02 on the
+    2-species InvG(3, 0.04) check; the rubber-band restores it).
     """
     from ..config import Clock
+    from ..trees.gtree import BIG_AGE
     sp0 = state.sp
+    H = sp0.n_nodes
     NS = sp0.n_tips
     if NS == 1:
         return state, (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    T = state.gt.n_tips
+    N = state.gt.n_nodes
     logpr_fn = make_logpr_fn_mig(ctx, routes)
-    relaxed = cfg.clock != Clock.GLOBAL
-    logl_fn = make_logl_fn(ctx, cfg) if relaxed else None
+    logl_fn = make_logl_fn(ctx, cfg)
     gamma_tau = cfg.tauprior.dist == PriorDist.GAMMA
     a, b = cfg.tauprior.alpha, cfg.tauprior.beta
     eps = state.finetune[FT_TAU]
+    nodes_idx = jnp.arange(N)[None, :]
+    hidx = jnp.arange(H)
+    parity = (sp0.pptable.sum(1).astype(jnp.int32) + 1) % 2
+    is_inner_sp = hidx >= NS
+    is_inner_g = (nodes_idx >= T) & (nodes_idx < T + ctx.n_seq[:, None] - 1)
+    gmask = is_inner_g & ctx.locus_mask[:, None]
+    ev_live0 = (state.mig.node >= 0) & ctx.locus_mask[:, None]
 
-    def body(h_off, carry):
-        tau, logpr, logl, kkey, nprop, nacc = carry
-        h = NS + h_off
-        kkey, k1, k2 = jax.random.split(kkey, 3)
-        told = tau[h]
-        active = told > 0.0
-        minage = jnp.maximum(tau[sp0.left[h]], tau[sp0.right[h]])
-        ph = sp0.parent[h]
-        maxage = jnp.where(ph >= 0, tau[jnp.maximum(ph, 0)], MAXAGE_CAP)
-        tnew = rng.reflect(told + eps * rng.bactrian(k1, dtype=eps.dtype),
+    age, tau, ev_time = state.gt.age, sp0.tau, state.mig.time
+    logl, logpr = state.logl, state.logpr
+    nprop = jnp.zeros((), jnp.int32)
+    nacc = jnp.zeros((), jnp.int32)
+
+    n_phases = 1 if NS == 2 else 2
+    for phase in range(n_phases):
+        key, k1, k2 = jax.random.split(key, 3)
+        prop = is_inner_sp & (parity == phase) & (tau > 0.0)
+
+        lh = jnp.maximum(sp0.left, 0)
+        rh = jnp.maximum(sp0.right, 0)
+        minage = jnp.maximum(tau[lh], tau[rh])
+        maxage = jnp.where(sp0.parent >= 0,
+                           tau[jnp.maximum(sp0.parent, 0)], MAXAGE_CAP)
+        prop = prop & (maxage > minage)
+        tnew = rng.reflect(tau + eps * rng.bactrian(k1, (H,),
+                                                    dtype=eps.dtype),
                            minage, maxage)
-        tau_new = tau.at[h].set(tnew)
+        tnew = jnp.where(prop, tnew, tau)
+        dt = tnew - tau
+        tau_new = jnp.where(prop, tnew, tau)
+        sp_cur = sp0._replace(tau=tau)
         sp_new = sp0._replace(tau=tau_new)
-        logpr_new, *_ = logpr_fn(state.gt, sp_new, state.mig,
-                                 state.subst.heredity)
-        lnacc = _psum_if_sharded(jnp.sum(logpr_new - logpr))
-        if relaxed:
-            logl_new = logl_fn(state.gt, state.subst, sp_new, state.clock,
-                               mig=state.mig)
-            lnacc = lnacc + _psum_if_sharded(jnp.sum(logl_new - logl))
-        is_root = ph < 0
-        cand = jnp.sum(tau[NS:] > 0).astype(tau.dtype)
-        if gamma_tau:
-            root_term = (a - 1.0 - cand + 1.0) * jnp.log(tnew / told) \
-                - b * (tnew - told)
-        else:
-            root_term = (-a - 1.0 - cand + 1.0) * jnp.log(tnew / told) \
-                - b * (1.0 / tnew - 1.0 / told)
-        lnacc = lnacc + jnp.where(is_root, root_term, 0.0)
-        accept = rng.mh_accept(k2, lnacc) & active
-        tau = jnp.where(accept, tau_new, tau)
-        logpr = jnp.where(accept, logpr_new, logpr)
-        if relaxed:
-            logl = jnp.where(accept, logl_new, logl)
-        return (tau, logpr, logl, kkey, nprop + active.astype(jnp.int32),
-                nacc + accept.astype(jnp.int32))
 
-    init = (sp0.tau, state.logpr, state.logl, key,
-            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    tau, logpr, logl, _, nprop, nacc = jax.lax.fori_loop(
-        0, NS - 1, body, init)
-    return (state._replace(sp=sp0._replace(tau=tau), logpr=logpr,
-                           logl=logl),
+        par_s = jnp.maximum(sp0.parent, 0)
+        gov = jnp.where(prop, hidx,
+                        jnp.where((sp0.parent >= 0) & prop[par_s],
+                                  par_s, -1))
+        mig_cur = state.mig._replace(time=ev_time)
+        pops = mg.assign_populations_mig(state.gt._replace(age=age),
+                                         sp_cur, ctx.tip_pop, mig_cur,
+                                         ctx.n_seq)
+        gov_ok = gov >= 0
+        gov_s = jnp.maximum(gov, 0)
+        ln_maxf = jnp.log1p(dt / jnp.where(prop, tau - maxage, 1.0))
+        ln_minf = jnp.log1p(dt / jnp.where(prop, tau - minage, 1.0))
+        params = jnp.stack([
+            jnp.where(gov_ok, minage[gov_s], 0.0),
+            jnp.where(gov_ok, maxage[gov_s], 1.0),
+            jnp.where(gov_ok, tau[gov_s], 0.5),
+            jnp.where(gov_ok, dt[gov_s], 0.0),
+            gov_ok.astype(tau.dtype),
+            jnp.where(gov_ok, ln_maxf[gov_s], 0.0),
+            jnp.where(gov_ok, ln_minf[gov_s], 0.0),
+        ], axis=-1)                                        # [H, 7]
+
+        def remap(times, popidx, live):
+            """piecewise rubber map + per-item log-slope [*, 2]."""
+            oh = (popidx[..., None] == hidx).astype(tau.dtype)
+            gp = jnp.einsum("lnh,hp->lnp", oh, params)
+            g_min, g_max, g_told, g_dt, g_gov, g_lmaxf, g_lminf = (
+                gp[..., i] for i in range(7))
+            cond = live & (g_gov > 0.5) & (times > g_min) & (times < g_max)
+            above = cond & (times >= g_told)
+            below = cond & (times < g_told)
+            t_new = jnp.where(
+                above, times + g_dt * (g_max - times) / (g_max - g_told),
+                jnp.where(below,
+                          times + g_dt * (times - g_min) / (g_told - g_min),
+                          times))
+            ljac = jnp.where(above, g_lmaxf, 0.0) \
+                + jnp.where(below, g_lminf, 0.0)
+            return t_new, ljac
+
+        age_new, jac_a = remap(age, pops, gmask)
+        # events: map by the SOURCE population (the lineage's population
+        # below the event); padding slots (node < 0) carry BIG_AGE times
+        # outside every window and pop 0 -- masked by ev_live0
+        ev_new, jac_e = remap(ev_time, state.mig.src, ev_live0)
+        jac = _psum_if_sharded(jnp.sum(jac_a) + jnp.sum(jac_e))
+
+        gtn = state.gt._replace(age=age_new)
+        mign = state.mig._replace(time=ev_new)
+        logpr_new, *_ = logpr_fn(gtn, sp_new, mign, state.subst.heredity)
+        logl_new = logl_fn(gtn, state.subst, sp_new, state.clock, mig=mign)
+        lnacc = jac \
+            + _psum_if_sharded(jnp.sum(logpr_new - logpr)) \
+            + _psum_if_sharded(jnp.sum(logl_new - logl))
+
+        root = sp0.root
+        cand = jnp.sum(tau[NS:] > 0).astype(tau.dtype)
+        t_r = jnp.maximum(tau[root], 1e-300)
+        tn_r = jnp.maximum(tau_new[root], 1e-300)
+        if gamma_tau:
+            root_term = (a - 1.0 - cand + 1.0) * jnp.log(tn_r / t_r) \
+                - b * (tau_new[root] - tau[root])
+        else:
+            root_term = (-a - 1.0 - cand + 1.0) * jnp.log(tn_r / t_r) \
+                - b * (1.0 / tn_r - 1.0 / t_r)
+        lnacc = lnacc + jnp.where(prop[root], root_term, 0.0)
+
+        accept = rng.mh_accept(k2, lnacc) & prop.any()
+        age = jnp.where(accept, age_new, age)
+        ev_time = jnp.where(accept, ev_new, ev_time)
+        tau = jnp.where(accept, tau_new, tau)
+        logl = jnp.where(accept, logl_new, logl)
+        logpr = jnp.where(accept, logpr_new, logpr)
+        np_ = prop.sum(dtype=jnp.int32)
+        nprop = nprop + np_
+        nacc = nacc + jnp.where(accept, np_, 0)
+
+    return (state._replace(gt=state.gt._replace(age=age),
+                           sp=sp0._replace(tau=tau),
+                           mig=state.mig._replace(time=ev_time),
+                           logl=logl, logpr=logpr),
             (nprop, nacc))
 
 
