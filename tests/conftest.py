@@ -19,3 +19,7 @@ ORACLE_BIN = "/tmp/bppbuild/src/bpp"
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running statistical comparisons")
+    config.addinivalue_line(
+        "markers", "smoke: per-family end-to-end chains that compile a "
+        "full engine step (~10-90s each); exclude together with slow "
+        "for the pure-logic <3-minute tier)")

@@ -17,6 +17,7 @@ from bpp_tpu.mcmc.driver import Engine
 from bpp_tpu.testing import synthetic_run
 
 
+@pytest.mark.smoke
 def test_check_passes_on_consistent_chain():
     run = synthetic_run(n_loci=4, n_seq=6, n_patterns=16, n_species=3,
                         seed=2, check_every=5)
@@ -26,6 +27,7 @@ def test_check_passes_on_consistent_chain():
     assert len(log.gen) == 3
 
 
+@pytest.mark.smoke
 def test_check_catches_corrupted_logl():
     run = synthetic_run(n_loci=4, n_seq=6, n_patterns=16, n_species=3,
                         seed=2)
@@ -37,6 +39,7 @@ def test_check_catches_corrupted_logl():
         eng.validate_state(bad, it=7)
 
 
+@pytest.mark.smoke
 def test_check_catches_corrupted_logpr_and_notheta_caches():
     run = synthetic_run(n_loci=4, n_seq=6, n_patterns=16, n_species=3,
                         seed=3, theta_integrated=True)

@@ -57,6 +57,7 @@ def base_run(tmp_path_factory):
     return tmp, ctl
 
 
+@pytest.mark.smoke
 def test_run_outputs(base_run):
     tmp, ctl = base_run
     assert (tmp / "out.mcmc.txt").exists()
@@ -76,6 +77,7 @@ def test_summary_only(base_run):
     assert "summary-only" in text and "theta" in text
 
 
+@pytest.mark.smoke
 def test_resume_extend(base_run):
     tmp, ctl = base_run
     _run(["--resume", str(tmp / "out.chk.npz"), "--extend", "10"], tmp)

@@ -268,6 +268,7 @@ nsample = 10
 """
 
 
+@pytest.mark.smoke
 def test_msci_iid_clock_smoke():
     """IID relaxed clock on a 1-hybridization network: finite chain,
     honest caches after steps through every move (incl. the repath
@@ -298,6 +299,7 @@ def test_msci_iid_clock_smoke():
                                rtol=1e-8)
 
 
+@pytest.mark.smoke
 def test_msci_htau0_segment_carries_no_rate():
     """tau-parent=no hybridization: the zero-length segment is excluded
     from the rate prior and the brate sweep (stree.c:10296)."""

@@ -11,6 +11,7 @@ iterations and asserts the caches never drift from a fresh recompute.
 
 import jax
 import numpy as np
+import pytest
 
 from bpp_tpu.config import Prior, PriorDist, SubstModel
 from bpp_tpu.mcmc.driver import Engine
@@ -18,6 +19,7 @@ from bpp_tpu.mcmc.state import make_logl_fn, make_logpr_fn
 from bpp_tpu.testing import synthetic_run
 
 
+@pytest.mark.smoke
 def test_no_cache_drift_float32():
     run = synthetic_run(n_loci=6, n_seq=12, n_patterns=24, n_species=4,
                         seed=17, dtype="float32", model=SubstModel.GTR,

@@ -156,6 +156,7 @@ def _canon(left, right, parent, tipn):
     return rec(root)
 
 
+@pytest.mark.smoke
 def test_a01_prior_respects_constraint(tmp_path):
     counts, sspr = _run_prior_a01(tmp_path, "constraint = (A, B);\n")
     # the SPR kernel must still move between the 3 AB-preserving trees

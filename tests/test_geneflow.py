@@ -55,6 +55,7 @@ def _write_data(tmp_path):
     return seq, imap
 
 
+@pytest.mark.smoke
 def test_geneflow_saturated_table(tmp_path):
     seq, imap = _write_data(tmp_path)
     cfg = parse_ctl_lines(

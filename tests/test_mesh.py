@@ -82,6 +82,7 @@ def _assert_states_match(ref, got, rtol=1e-9):
                                np.asarray(got.logl), rtol=rtol, atol=1e-7)
 
 
+@pytest.mark.smoke
 def test_sharded_equals_unsharded_a00_synthetic():
     run = synthetic_run(n_loci=16, n_seq=6, n_patterns=24, n_species=4,
                         dtype="float64")
@@ -150,6 +151,7 @@ def test_sharded_equals_unsharded_mscm():
                                np.asarray(got.mig.time), rtol=1e-9)
 
 
+@pytest.mark.smoke
 def test_sharding_actually_distributes():
     """The sharded state really lives on 8 devices (not silently
     replicated): each device holds L/8 loci of the tip partials."""

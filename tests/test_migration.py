@@ -247,6 +247,7 @@ nsample = 5
 """
 
 
+@pytest.mark.smoke
 def test_mig_relaxed_clock_heredity_smoke():
     """IID clock + heredity estimation under migration: finite chain,
     honest caches (incl. the relaxed sub-edge branch lengths through

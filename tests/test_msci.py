@@ -76,6 +76,7 @@ def test_prior_marginals(msci_cfg):
     assert phis[:, hin].std() > 0.15
 
 
+@pytest.mark.smoke
 def test_data_mode_smoke(msci_cfg):
     """usedata=1 on the tiny alignment: finite logl, consistent caches,
     route-consistency invariant preserved across steps."""

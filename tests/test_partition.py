@@ -83,6 +83,7 @@ def test_unknown_model(tmp_path):
 MODELS = [M.JC69, M.HKY, M.GTR, M.K80, M.TN93, M.F81]
 
 
+@pytest.mark.smoke
 def test_custom_likelihood_matches_homogeneous():
     """Each locus under CUSTOM == the same locus under its own model."""
     run = synthetic_run(n_loci=6, n_seq=5, n_patterns=12, seed=3,
@@ -107,6 +108,7 @@ def test_custom_likelihood_matches_homogeneous():
                 assert abs(float(ll[i]) - float(st.logl[i])) < 1e-8, (i, m)
 
 
+@pytest.mark.smoke
 def test_mixed_dna_aa_likelihood():
     """DNA loci embedded in the 20-state space score identically to an
     AA engine for the AA loci and stay finite overall."""
@@ -146,6 +148,7 @@ def test_mixed_dna_aa_likelihood():
         assert abs(float(ll[li]) - float(st.logl[li])) < 1e-8
 
 
+@pytest.mark.smoke
 def test_custom_chain_respects_parameter_freedom():
     """Short chain: fixed-parameter loci never move, free ones do."""
     models = [M.JC69, M.HKY, M.GTR, M.K80]
@@ -170,6 +173,7 @@ def test_custom_chain_respects_parameter_freedom():
     assert np.all(np.isfinite(np.asarray(st2.logl)))
 
 
+@pytest.mark.smoke
 def test_ctl_end_to_end(tmp_path):
     """model = custom on the bundled frogs data (5 loci)."""
     from bpp_tpu.io.ctl import parse_ctl

@@ -11,6 +11,7 @@ import sys
 import textwrap
 
 import numpy as np
+import pytest
 
 
 def test_simulator_coalescent_time_means(tmp_path):
@@ -119,6 +120,7 @@ def test_hpd_and_ess():
     assert 10 < tint < 30 and 0.85 < rho1 < 0.95
 
 
+@pytest.mark.smoke
 def test_cli_end_to_end(tmp_path):
     """Smoke-test `python -m bpp_tpu --cfile` on the yu2001 example."""
     import shutil

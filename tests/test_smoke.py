@@ -22,6 +22,7 @@ def _chain(run, n=3):
     return eng, log
 
 
+@pytest.mark.smoke
 def test_smoke_a11_rj_and_sspr():
     """A11 exercises the rjMCMC split/join AND the species SPR/SNL in
     one compiled step (prop_rj.c + stree.c:7747)."""
@@ -31,6 +32,7 @@ def test_smoke_a11_rj_and_sspr():
     _chain(run)
 
 
+@pytest.mark.smoke
 def test_smoke_checkpoint_roundtrip(tmp_path):
     """save -> load -> restore reproduces the exact sampler state
     (dump.c/load.c analog; full byte-identical CLI resume is the slow

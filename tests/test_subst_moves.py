@@ -108,6 +108,7 @@ def test_likelihood_vs_numpy_oracle(model):
     np.testing.assert_allclose(ours[mask], theirs[mask], rtol=1e-8)
 
 
+@pytest.mark.smoke
 def test_prior_recovery_no_data():
     """usedata=0: freqs/alpha/heredity/mu posteriors == their priors."""
     run = synthetic_run(

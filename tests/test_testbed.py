@@ -118,6 +118,7 @@ def _compare_a00(n, tmp_path, nsample=2400):
     assert not mism, mism
 
 
+@pytest.mark.smoke
 def test_testbed_a00_fast(tmp_path):
     # config 1's chain mixes well enough for the 8% gate at 800
     # samples; the slower-mixing configs run 2400 samples in the slow

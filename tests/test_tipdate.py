@@ -145,6 +145,7 @@ def test_dated_stats_match_undated_when_contemporary():
     np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
 
 
+@pytest.mark.smoke
 def test_usedata_smoke(tmp_path):
     datefile = tmp_path / "dates.txt"
     rng = np.random.default_rng(3)

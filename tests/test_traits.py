@@ -165,6 +165,7 @@ H 2 0
 """
 
 
+@pytest.mark.smoke
 def test_mcmc_integration(tmp_path):
     tf = tmp_path / "frog_traits.txt"
     tf.write_text(FROG_TRAITS)
