@@ -321,3 +321,66 @@ def test_mig_relaxed_lengths_match_plain_when_eventfree():
     np.testing.assert_allclose(np.asarray(got)[validn],
                                np.asarray(want)[validn],
                                rtol=1e-5, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_tau_prior_tail_mobility_under_migration():
+    """usedata=0 with migration events present: the tau_root marginal
+    must reach its InvG(3, 0.04) upper tail (P[tau > 0.035] ~ 0.105
+    exactly).  Regression for the round-3 IM rubber-band: the earlier
+    plain tau slide could not cross event/coalescent times, so 20000-
+    sample chains showed sd 0.008 vs the exact 0.02 and ~zero mass
+    above 0.035 (see VALIDATION.md round 3)."""
+    import jax
+
+    from bpp_tpu.io.ctl import parse_ctl_lines
+    from bpp_tpu.loader import load_run
+    from bpp_tpu.mcmc.driver import Engine
+
+    import tempfile, pathlib
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    (tmp / "d.txt").write_text("\n\n".join(
+        "12 24\n" + "\n".join(
+            f"{s_}^{s_.lower()}{i}  " + "ACGTACGTACGTACGTACGTACGT"
+            for s_ in "AB" for i in range(6))
+        for _ in range(50)) + "\n")
+    (tmp / "d.imap").write_text("".join(
+        f"{s_.lower()}{i}\t{s_}\n" for s_ in "AB" for i in range(6)))
+    ctl = f"""
+seed = 13
+seqfile = {tmp}/d.txt
+Imapfile = {tmp}/d.imap
+jobname = out
+species&tree = 2 A B
+                 6 6
+                (A, B);
+usedata = 0
+nloci = 50
+thetaprior = invgamma 3 0.02
+tauprior = invgamma 3 0.04
+wprior = 2 1
+migration = 2
+  A B
+  B A
+finetune = 1
+burnin = 1000
+sampfreq = 1
+nsample = 10000
+"""
+    cfg = parse_ctl_lines(ctl.strip().splitlines())
+    eng = Engine(load_run(cfg), seed=13)
+    state = eng.init_state()
+    key = jax.random.PRNGKey(13)
+    for q in range(4):
+        key, sub = jax.random.split(key)
+        state, stats = eng.chunk_step(state, sub, 250)
+        state = eng._reset_finetune(state, np.asarray(stats, np.float64))
+    taus = []
+    for _ in range(5):
+        key, sub = jax.random.split(key)
+        state, _, tr = eng.chunk_step_traced(state, sub, 2000)
+        taus.append(np.asarray(tr["tau"])[:, 2])
+    tau = np.concatenate(taus)
+    frac_tail = float((tau > 0.035).mean())
+    assert frac_tail > 0.02, (frac_tail, tau.mean(), tau.std())
+    assert 0.012 < tau.mean() < 0.032, (tau.mean(), tau.std())
