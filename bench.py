@@ -248,11 +248,12 @@ def main():
     with tempfile.TemporaryDirectory(prefix="bpp_bench_") as workdir:
         os.chdir(workdir)
         try:
-            # headline: 1000 loci.  chunk=200 amortizes the axon
-            # tunnel's ~250 ms per-dispatch overhead (measured: 45.7
-            # it/s at chunk=50 vs 60.4 at chunk=200, device-bound)
+            # headline: 1000 loci.  chunk=400 amortizes the axon
+            # tunnel's per-dispatch overhead (measured 2026-08-20:
+            # 45.7 it/s at chunk=50, 51-60 at 200, 60.0 at 400 and
+            # 800 -- device-bound plateau at 400)
             ips, su, waste, kernel, comp = _bench_one(
-                1000, chunk=200, n_chunks=2, deadline=T_START + 950)
+                1000, chunk=400, n_chunks=2, deadline=T_START + 950)
             PAYLOAD["value"] = round(ips, 3)
             PAYLOAD["vs_baseline"] = round(ips / REFERENCE_ITERS_PER_SEC, 4)
             PAYLOAD.pop("error", None)
