@@ -218,10 +218,15 @@ def weakscale_child():
         eng.ctx = shard_pytree_by_locus(eng.ctx, mesh, Lp)
         state = shard_pytree_by_locus(state, mesh, Lp)
         key = jax.random.PRNGKey(0)
-        state, _ = eng.chunk_step(state, key, 10)          # compile
+        # warm with the SAME static chunk length as the timed calls:
+        # n is a static jit arg, so a different n would put a fresh
+        # XLA compile inside the timed region
+        state, _ = eng.chunk_step(state, key, 15)          # compile
         float(jnp.sum(state.logl))
         t0 = time.perf_counter()
-        state, _ = eng.chunk_step(state, key, 30)
+        for _ in range(2):
+            key, sub = jax.random.split(key)
+            state, _ = eng.chunk_step(state, sub, 15)
         float(jnp.sum(state.logl))
         ips = 30 / (time.perf_counter() - t0)
         out[f"{nd}dev_{L}loci"] = round(ips, 2)
@@ -231,8 +236,12 @@ def weakscale_child():
             out["8dev_512loci"] / ref, 3)
         out["sharding_overhead_4dev"] = round(
             out["4dev_512loci"] / ref, 3)
-    out["note"] = ("8 virtual devices share 4 physical cores; "
-                   "sharding_overhead_8dev isolates the framework cost")
+    out["note"] = (
+        "virtual CPU devices: n-device SPMD on one process serializes "
+        "per-device dispatch and shares 4 physical cores, so these "
+        "ratios are a LOWER bound on real multi-chip efficiency (TPU "
+        "collectives ride ICI; the sharded step itself is validated by "
+        "the sharded==unsharded equality tests + dryrun_multichip)")
     print("WEAKSCALE " + json.dumps(out))
     sys.stdout.flush()
 

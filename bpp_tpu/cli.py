@@ -255,15 +255,22 @@ def cmd_run(args) -> int:
                                               np.asarray(state.mig.M), 0.0)),
                 mubar=None if state.mubar is None
                 else float(np.asarray(state.mubar)),
-                mubar_h=None if state.clock is None
-                else float(np.asarray(state.clock.mubar)),
-                nu_col=None if state.clock is None else (
+                # gate the device->host transfers on the writer's
+                # column flags: strict-clock runs with hierarchical
+                # locus rates still carry a ClockState, and pulling
+                # [L, H] brate per sample would stall the hot path
+                mubar_h=float(np.asarray(state.clock.mubar))
+                if (writer.mubar_h and state.clock is not None) else None,
+                nu_col=None if (state.clock is None
+                                or not writer.clock_relaxed
+                                or writer.clock_simple) else (
                     float(np.asarray(state.clock.nubar))
                     if cfg.locusrate_prior == 1
                     else float(np.asarray(state.clock.nu)[
                         np.asarray(eng.ctx.locus_mask)].mean())),
-                brate0=None if state.clock is None
-                else np.asarray(state.clock.brate)[0])
+                brate0=np.asarray(state.clock.brate[0])
+                if (state.clock is not None and writer.clock_simple)
+                else None)
             log_locus_files(state)
             if a1b1 is not None:
                 a1, b1, wa1, wb1 = eng.a1b1_stats(state)

@@ -79,8 +79,17 @@ def _root_age_scale(cfg: BppConfig, run: RunData) -> float:
         diff_count = int(cross.sum())
         if not diff_count:
             continue
-        neq = (codes[:, None, :] != codes[None, :, :])  # [T, T, S]
-        D = neq @ np.asarray(w, np.float64)             # [T, T]
+        # [T, T, S] broadcast; chunk the leading axis when a large
+        # locus would spike memory (ns^2 * S bytes)
+        w64 = np.asarray(w, np.float64)
+        if codes.shape[0] * codes.shape[0] * codes.shape[1] <= 5e7:
+            D = (codes[:, None, :] != codes[None, :, :]) @ w64
+        else:
+            D = np.empty((ns, ns))
+            step = max(1, int(5e7 // (ns * codes.shape[1])))
+            for j0 in range(0, ns, step):
+                D[j0:j0 + step] = (codes[j0:j0 + step, None, :]
+                                   != codes[None, :, :]) @ w64
         diff_locus = float(D[cross].sum()) / float(batch.n_sites[li])
         used += 1
         diff_locus /= 2 * diff_count
@@ -423,7 +432,9 @@ class Engine:
             tips_am=self._build_tips_am(tip_partials),
             # BPP_TPU_PALLAS_NOSKIP=1 disables the kernel's padding-tile
             # skip (A/B benchmarking of the zigzag-analog only)
-            n_pat=None if os.environ.get("BPP_TPU_PALLAS_NOSKIP")
+            n_pat=None
+            if os.environ.get("BPP_TPU_PALLAS_NOSKIP", "0") not in
+            ("0", "", "false")
             else jnp.asarray(batch.n_pat, jnp.int32),
             tip_dates=None if run.tip_dates is None
             else jnp.asarray(run.tip_dates, dtype),
@@ -438,6 +449,13 @@ class Engine:
         )
         self._logl_fn = make_logl_fn(self.ctx, cfg)
         self._logpr_fn = make_logpr_fn(self.ctx)
+        if cfg.migration:
+            # jitted once: validate_state (check = N) recomputes the
+            # MSC-M density per check; eager op-by-op execution would
+            # cost dozens of dispatches over the remote tunnel
+            from .mig_moves import make_logpr_fn_mig
+            self._logpr_mig_jit = jax.jit(
+                make_logpr_fn_mig(self.ctx, self.routes))
         self._step_jit = jax.jit(self._step)
         self._chunk_jit = jax.jit(self._chunk, static_argnums=2)
 
@@ -1015,9 +1033,8 @@ class Engine:
         cmp("logl", state.logl, logl2)
 
         if cfg.migration:
-            from .mig_moves import make_logpr_fn_mig
-            out = make_logpr_fn_mig(self.ctx, self.routes)(
-                state.gt, state.sp, state.mig, state.subst.heredity)
+            out = self._logpr_mig_jit(state.gt, state.sp, state.mig,
+                                      state.subst.heredity)
             cmp("logpr (MSC-M density)", state.logpr, out[0])
         else:
             lp2, c2, t22 = self._logpr_fn(state.gt, state.sp,

@@ -425,7 +425,7 @@ def tau_move_mig(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
                            minage, maxage)
         tnew = jnp.where(prop, tnew, tau)
         dt = tnew - tau
-        tau_new = jnp.where(prop, tnew, tau)
+        tau_new = tnew
         sp_cur = sp0._replace(tau=tau)
         sp_new = sp0._replace(tau=tau_new)
 
