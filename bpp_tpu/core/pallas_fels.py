@@ -89,7 +89,29 @@ def efactors(model: SubstModel, t_eff, freqs, kappa1, kappa2, eigw):
     return efac, coefs
 
 
-def _make_kernel(T: int, N: int, C: int, fam: str, K: int, tiny: float):
+def choose_g_pack(S: int, N: int, C: int, T: int,
+                  vmem_budget: int = 4 << 20) -> int:
+    """Largest sublane pack G (<= 8, dividing S/128) whose CLV scratch
+    [N, C, 4, G, 128] + tips block [T, 4, G, 128] fits the VMEM budget.
+
+    Per-tile vector-op count is ~independent of G (each op just fills
+    more sublanes of the same vregs), so the largest feasible G
+    minimizes total op count; the only trade is the coarser G*128
+    pattern-skip granularity, which costs nothing extra in ops (a
+    [G, 128] slab is one vreg either way, it merely covers padding).
+    """
+    s128 = max(S // S_TILE, 1)
+    for g in range(min(8, s128), 0, -1):
+        if s128 % g:
+            continue
+        scratch = (N * C * 4 + T * 4 + 1) * g * S_TILE * 4
+        if scratch <= vmem_budget:
+            return g
+    return 1
+
+
+def _make_kernel(T: int, N: int, C: int, fam: str, K: int, tiny: float,
+                 G: int):
     """Kernel body; per-locus parameters arrive as [1, 1, X] SMEM blocks
     (one locus row each; whole-array SMEM prefetch would blow the 1 MB
     SMEM budget past a few hundred loci).
@@ -109,13 +131,13 @@ def _make_kernel(T: int, N: int, C: int, fam: str, K: int, tiny: float):
     def kernel(order_ref, left_ref, right_ref, n_seq_ref, npat_ref,
                efac_ref, freqs_ref, coef_ref, eigT_ref, eigTi_ref,
                tips_ref, out_ref, clv, cum):
-        live = pl.program_id(1) * S_TILE < npat_ref[0, 0, 0]
+        live = pl.program_id(1) * (G * S_TILE) < npat_ref[0, 0, 0]
 
         @pl.when(jnp.logical_not(live))
         def _():
             # all-padding tile: the weight vector is 0 there, but the
             # output must still be written (and finite)
-            out_ref[0, 0] = jnp.zeros_like(out_ref[0, 0])
+            out_ref[0] = jnp.zeros_like(out_ref[0])
 
         @pl.when(live)
         def _():
@@ -207,16 +229,17 @@ def _make_kernel(T: int, N: int, C: int, fam: str, K: int, tiny: float):
             for a in range(4):
                 acc = acc + fr[a] * slab[c, a]
         acc = acc * (1.0 / C)
-        out_ref[0, 0] = jnp.log(jnp.maximum(acc, tiny)) + cum[0]
+        out_ref[0] = jnp.log(jnp.maximum(acc, tiny)) + cum[0]
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("model", "n_cats"))
+@functools.partial(jax.jit,
+                   static_argnames=("model", "n_cats", "g_pack"))
 def site_logl_pallas(order, left, right, parent, n_seq, age, mu,
                      rates_kappa, freqs, eigw, eigT, eigTi, tips, *,
                      model: SubstModel, n_cats: int, blen=None,
-                     n_pat=None):
+                     n_pat=None, g_pack: int = 1):
     """Per-pattern site log-likelihoods [L, S] via the VMEM kernel.
 
     ``tips`` must be [L, T, A, S] (A-major layout), S a multiple of 128.
@@ -227,6 +250,17 @@ def site_logl_pallas(order, left, right, parent, n_seq, age, mu,
     feeds these; when absent, strict-clock lengths are derived from
     node ages scaled by ``mu`` (locus.c:1139-1151 both clock paths feed
     the same CLV kernels in the reference).
+
+    ``g_pack`` (static, must divide S//128) stacks G consecutive
+    128-pattern tiles on the vreg SUBLANE axis, so each grid cell's
+    CLVs are [C, A, G, 128] and every elementwise op in the pruning
+    recursion covers G*128 patterns instead of 128 (a [G<=8, 128] f32
+    slab fills up to a whole (8, 128) vector register; the [A=4, 128]
+    rows of the G=1 layout leave 7/8 of the sublanes idle on the
+    row-reduction ops).  Per-tile op count is ~independent of G, so
+    larger G is ~G-fold fewer vector ops for pattern-rich loci; the
+    pattern-skip granularity coarsens to G*128 (choose_g_pack caps G
+    by VMEM and by the locus pattern profile).
     """
     L, T, A, S = tips.shape
     N = left.shape[1]
@@ -234,8 +268,12 @@ def site_logl_pallas(order, left, right, parent, n_seq, age, mu,
     tiny = 1e-30
     fam = model_family(model)
     K = _KFAC[fam]
-    kernel = _make_kernel(T, N, C, fam, K, tiny)
-    n_tiles = S // S_TILE
+    G = g_pack
+    S128 = S // S_TILE
+    if S128 % G != 0:
+        raise ValueError(f"g_pack {G} must divide S/128 = {S128}")
+    kernel = _make_kernel(T, N, C, fam, K, tiny, G)
+    n_tiles = S128 // G
 
     # rate-scaled branch lengths -> exponential factors, in XLA
     rates = rates_kappa[:, :C]
@@ -272,7 +310,9 @@ def site_logl_pallas(order, left, right, parent, n_seq, age, mu,
                  r3(n_pat.astype(jnp.int32)),
                  efac, r3(freqs), r3(coefs), r3(eigT), r3(eigTi)]
     in_specs = [smem_spec(a) for a in smem_args] + [
-        pl.BlockSpec((1, T, A, S_TILE), lambda l, s: (l, 0, 0, s)),
+        # tips viewed [L, T, A, S/128, 128]: each cell takes G stacked
+        # lane-tiles on the sublane axis
+        pl.BlockSpec((1, T, A, G, S_TILE), lambda l, s: (l, 0, 0, s, 0)),
     ]
 
     import os
@@ -281,14 +321,12 @@ def site_logl_pallas(order, left, right, parent, n_seq, age, mu,
         kernel,
         grid=(L, n_tiles),
         in_specs=in_specs,
-        # out is [L, 1, S]: a (1, 1, S_TILE) block satisfies the tiling
-        # rule where a 2-D (1, S_TILE) cannot
-        out_specs=pl.BlockSpec((1, 1, S_TILE), lambda l, s: (l, 0, s)),
-        out_shape=jax.ShapeDtypeStruct((L, 1, S), tips.dtype),
+        out_specs=pl.BlockSpec((1, G, S_TILE), lambda l, s: (l, s, 0)),
+        out_shape=jax.ShapeDtypeStruct((L, S128, S_TILE), tips.dtype),
         scratch_shapes=[
-            pltpu.VMEM((N, C, 4, S_TILE), tips.dtype),
-            pltpu.VMEM((1, S_TILE), tips.dtype),
+            pltpu.VMEM((N, C, 4, G, S_TILE), tips.dtype),
+            pltpu.VMEM((1, G, S_TILE), tips.dtype),
         ],
         interpret=interpret,
-    )(*smem_args, tips)
+    )(*smem_args, tips.reshape(L, T, A, S128, S_TILE))
     return out.reshape(L, S)

@@ -20,6 +20,14 @@ Matrix coverage (testbed/description.txt): A00 x {theta-E, theta-int}
 x cleandata x heredity x locusrate (1, 4, 6, 8, 11, 13, 16), A01
 (17, 24, 29, 36), A10 alg0 (49, 61, 68) / alg1 (81, 89), A11
 (113, 116).
+
+The `ziheng` testbed's four UNPHASED-DIPLOID configs ride the same
+harness (goldens z1-z4, 2 seeds x 8000 samples, burnin 4000,
+sampfreq 2, regenerated 2026-08-20): z1 = 3s A11 diploid (phase
+1 0 0), z2 = 4s A10 alg0 diploid (phase 1 1 1 0), z3 = 4s A01
+all-diploid, z4 = 4s A01 phased — exercising the diploid
+resolution-averaging likelihood (reference diploid.c) under
+delimitation/tree-search moves, which the frogs matrix never does.
 """
 
 import gzip
@@ -232,6 +240,88 @@ def test_testbed_a10(n, tmp_path):
         go = float((g_nsp == k).mean())
         oo = float((o_nsp == k).mean())
         assert abs(go - oo) < 0.12, (k, go, oo)
+
+
+ZIHENG = "/root/reference/test/testbed/ziheng"
+
+
+def _load_ziheng_ctl(n, tmp_path, nsample):
+    """Reference ziheng diploid ctl -> our parsed config (jobname,
+    modern finetune; same rewrites as the golden generation)."""
+    from bpp_tpu.io.ctl import parse_ctl_lines
+
+    txt = open(f"{ZIHENG}/{n}/data/bpp.ctl").read()
+    txt = re.sub(r"(?m)^\s*outfile\s*=.*$",
+                 f"jobname = {tmp_path}/out", txt)
+    txt = re.sub(r"(?m)^\s*mcmcfile\s*=.*$", "", txt)
+    txt = re.sub(r"(?m)^\s*finetune\s*=.*$", "finetune = 1", txt)
+    txt = txt.replace(f"testbed/ziheng/{n}/data/", f"{ZIHENG}/{n}/data/")
+    txt = re.sub(r"(?m)^\s*burnin\s*=.*$", "burnin = 1000", txt)
+    txt = re.sub(r"(?m)^\s*sampfreq\s*=.*$", "sampfreq = 1", txt)
+    txt = re.sub(r"(?m)^\s*nsample\s*=.*$", f"nsample = {nsample}", txt)
+    return parse_ctl_lines(txt.strip().splitlines())
+
+
+def _nsp_bands(g_nsp, o_nsp, NS, tol=0.12):
+    for k in range(1, NS + 1):
+        go = float((g_nsp == k).mean())
+        oo = float((o_nsp == k).mean())
+        assert abs(go - oo) < tol, (k, go, oo)
+
+
+@pytest.mark.slow
+def test_testbed_ziheng_a11_diploid(tmp_path):
+    """z1: 3-species A11 on 1 unphased-diploid locus (phase 1 0 0) —
+    P(#species) bands vs the golden '; K' trace."""
+    cfg = _load_ziheng_ctl(1, tmp_path, nsample=4000)
+    rows = gzip.open(f"{FIX}/z1.mcmc.txt.gz", "rt").read().strip() \
+        .splitlines()
+    g_nsp = np.array([int(r.rsplit(";", 1)[1]) for r in rows if ";" in r])
+    eng, log = _run_engine(cfg)
+    tau = np.stack(log.tau)
+    NS = eng.run.stree.n_tips
+    o_nsp = 1 + (tau[:, NS:] > 0).sum(1)
+    _nsp_bands(g_nsp, o_nsp, NS)
+
+
+@pytest.mark.slow
+def test_testbed_ziheng_a10_diploid(tmp_path):
+    """z2: 4-species A10 alg0, three diploid species (phase 1 1 1 0)."""
+    cfg = _load_ziheng_ctl(2, tmp_path, nsample=4000)
+    rows = gzip.open(f"{FIX}/z2.mcmc.txt.gz", "rt").read().strip() \
+        .splitlines()[1:]
+    g_code = [r.split("\t")[2] for r in rows]
+    g_nsp = 1 + np.array([c.count("1") for c in g_code])
+    eng, log = _run_engine(cfg)
+    tau = np.stack(log.tau)
+    NS = eng.run.stree.n_tips
+    o_nsp = 1 + (tau[:, NS:] > 0).sum(1)
+    _nsp_bands(g_nsp, o_nsp, NS)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [3, 4])
+def test_testbed_ziheng_a01(n, tmp_path):
+    """z3/z4: 4-species A01 tree search, all-diploid (z3) vs phased
+    (z4) — topology posterior bands vs the golden newick trace."""
+    cfg = _load_ziheng_ctl(n, tmp_path, nsample=4000)
+    gold_trees = gzip.open(f"{FIX}/z{n}.mcmc.txt.gz", "rt").read() \
+        .strip().splitlines()
+    gfreq = _topo_freqs(gold_trees)
+    eng, log = _run_engine(cfg)
+    from bpp_tpu.output import species_newick
+    names = eng.run.stree.names
+    ours = [species_newick(left, right, par, np.stack(log.tau)[i], names)
+            for i, (left, right, par) in enumerate(log.sptrees)]
+    ofreq = _topo_freqs(ours)
+    gmap = max(gfreq, key=gfreq.get)
+    assert ofreq.get(gmap, 0.0) > 0.01, (gmap, gfreq[gmap], ofreq)
+    for t, p in gfreq.items():
+        if p > 0.2:
+            assert abs(ofreq.get(t, 0.0) - p) < 0.30, (t, p, ofreq.get(t, 0))
+    for t, p in ofreq.items():
+        assert p < max(2.5 * gfreq.get(t, 0.0), 0.35) + 0.2, \
+            (t, p, gfreq.get(t, 0))
 
 
 @pytest.mark.slow
