@@ -171,7 +171,8 @@ def _bench_one(n_loci: int, chunk: int, n_chunks: int, deadline: float):
     site_updates = PASSES_PER_ITER * float(((n_seq - 1) * real_pat).sum())
     pad = b.weights.shape[1] * mask.sum()
     waste = 1.0 - float(real_pat.sum()) / float(pad)
-    kernel = "pallas" if eng.ctx.tips_am is not None else "xla"
+    kernel = ("pallas-packed" if eng.ctx.pack is not None else
+              "pallas" if eng.ctx.tips_am is not None else "xla")
     return ips, ips * site_updates, waste, kernel, compile_s
 
 

@@ -421,6 +421,22 @@ class Engine:
             ident = (rm[..., 0] == np.arange(rm.shape[1])[None, :])
             if (ident | (batch.weights == 0)).all():
                 rm = rcnt = None
+        tips_am = self._build_tips_am(tip_partials)
+        pack = None
+        if tips_am is not None and rm is None and self.n_states == 4 \
+                and os.environ.get("BPP_TPU_PACK", "auto") != "0":
+            # lane-packed likelihood layout (core.pallas_pack): packs
+            # ~10-40 loci per 256-lane tile; supersedes the per-locus
+            # kernel for non-diploid DNA f32 runs (diploid resolution
+            # maps and AA/custom models keep the other paths).  NOTE:
+            # pack arrays are not locus-sharded — multihost runs use
+            # the XLA path (CPU backend never builds tips_am).
+            from ..core.pallas_pack import build_pack_layout
+            pack = build_pack_layout(
+                np.asarray(tip_partials), batch.weights, batch.n_pat,
+                batch.n_seq, batch.locus_mask)
+            if pack is not None:
+                tips_am = None          # packed path replaces it
         self.ctx = Ctx(
             tip_partials=tip_partials,
             weights=jnp.asarray(batch.weights, dtype),
@@ -429,7 +445,8 @@ class Engine:
             n_seq=jnp.asarray(batch.n_seq),
             tip_pop=jnp.asarray(batch.tip_pop),
             locus_mask=jnp.asarray(batch.locus_mask),
-            tips_am=self._build_tips_am(tip_partials),
+            tips_am=tips_am,
+            pack=pack,
             # BPP_TPU_PALLAS_NOSKIP=1 disables the kernel's padding-tile
             # skip (A/B benchmarking of the zigzag-analog only)
             n_pat=None

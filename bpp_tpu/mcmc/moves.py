@@ -25,7 +25,8 @@ from ..config import BppConfig, PriorDist
 from ..trees import coalescent as coalmod
 from ..trees.gtree import (
     BIG_AGE, GTrees, SpeciesArrays, assign_populations, gather_rows,
-    lift_population, lift_population_net, mrca_species, topo_scan,
+    lift_population, lift_population_net, lookup2d, mrca_species,
+    table_rows, topo_scan,
 )
 from . import rng
 from .gibbs import gamma_conditional_approx
@@ -543,7 +544,8 @@ def age_block_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         else:
             pop_lc = lift_population(sp, msp[lidx[:, None], lc], la)
             pop_rc = lift_population(sp, msp[lidx[:, None], rc], ra)
-            mrca_pop = sp.mrca[pop_lc, pop_rc]
+            from ..trees.gtree import lookup2d
+            mrca_pop = lookup2d(sp.mrca, pop_lc, pop_rc)
             minage = jnp.maximum(jnp.maximum(la, ra), sp.tau[mrca_pop])
         par_s = jnp.maximum(gt.parent, 0)
         maxage = jnp.where(gt.parent >= 0,
@@ -648,7 +650,7 @@ def spr_round_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         # reject via tcount == 0 / the route-consistency indicator
         minage = age[lidx, i]
     else:
-        cand = sp.pptable[cur_pop] & (glv > i_leaves[:, None])
+        cand = table_rows(sp.pptable, cur_pop) & (glv > i_leaves[:, None])
         score = jnp.where(cand, depth[None, :], -1)
         pop_min = jnp.argmax(score, axis=1)
         minage = jnp.maximum(age[lidx, i], sp.tau[pop_min])
@@ -674,7 +676,8 @@ def spr_round_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         in_pop = jnp.take_along_axis(
             passes, pop_target[:, None, None], axis=2)[..., 0]
     else:
-        in_pop = sp.pptable[pops, pop_target[:, None]]
+        in_pop = lookup2d(sp.pptable, pops,
+                          jnp.broadcast_to(pop_target[:, None], pops.shape))
     tmask = (valid_nodes & spans & in_pop
              & (nodes_idx != i[:, None])
              & (nodes_idx != order_root[:, None]))
@@ -690,7 +693,8 @@ def spr_round_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         s_in_pop = jnp.take_along_axis(
             passes, f_pop[:, None, None], axis=2)[..., 0]
     else:
-        s_in_pop = sp.pptable[pops, f_pop[:, None]]
+        s_in_pop = lookup2d(sp.pptable, pops,
+                            jnp.broadcast_to(f_pop[:, None], pops.shape))
     smask = (valid_nodes & sspans & s_in_pop
              & (nodes_idx != i[:, None]) & (nodes_idx != order_root[:, None])
              & (nodes_idx != sibling[:, None])
@@ -702,9 +706,8 @@ def spr_round_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     do_topo = ok & (target != sibling) & (target != father_s)
 
     def write(arr, row_ok, col, val):
-        col_s = jnp.where(row_ok, col, 0)
-        old = arr[lidx, col_s]
-        return arr.at[lidx, col_s].set(jnp.where(row_ok, val, old))
+        from ..trees.gtree import scatter_rows
+        return scatter_rows(arr, row_ok, col, val)
 
     grandpa = parent[lidx, father_s]
     has_gp = grandpa >= 0

@@ -279,7 +279,7 @@ class McmcState(NamedTuple):
     data_fields=("tip_partials", "weights", "res_map", "res_count",
                  "n_seq", "tip_pop", "locus_mask", "tips_am", "n_pat",
                  "tip_dates", "date_lmax", "sp_constraint", "theta_link",
-                 "prior_a11_log", "custom"),
+                 "prior_a11_log", "custom", "pack"),
     meta_fields=("trait_fn", "integrated"))
 @dataclasses.dataclass(frozen=True)
 class Ctx:
@@ -326,6 +326,9 @@ class Ctx:
     prior_a11_log: jax.Array | None = None   # [NS]
     # per-locus substitution models (model = custom partition file)
     custom: CustomModels | None = None
+    # lane-packed likelihood layout (core.pallas_pack): built for
+    # non-diploid DNA f32 runs; supersedes the per-locus kernel there
+    pack: object | None = None
     # thetas integrated out ('e' flag): logpr_fn returns only the
     # theta-FREE per-locus density part (MSC-I phi terms + route
     # validity); the theta-marginalized lgamma terms live in
@@ -400,11 +403,23 @@ def make_logl_fn(ctx: Ctx, cfg: BppConfig):
             else:
                 pops = assign_populations(gt, sp, ctx.tip_pop)
                 blen = fe.relaxed_branch_lengths(gt, sp, pops, brate)
-            if ctx.tips_am is not None:
-                # relaxed clocks ride the SAME Pallas CLV kernel as the
+            if ctx.pack is not None:
+                # relaxed clocks ride the SAME packed CLV kernel as the
                 # strict clock — only the branch lengths differ (the
                 # reference likewise shares its SIMD CLV kernels across
                 # clock modes, locus.c:1139-1151)
+                from ..core.pallas_pack import site_logl_packed
+                from ..trees.gtree import inner_order
+                rk = jnp.concatenate(
+                    [subst.rates, subst.kappa1[:, None],
+                     subst.kappa2[:, None]], axis=1)
+                ll = site_logl_packed(
+                    ctx.pack, inner_order(gt), gt.left, gt.right,
+                    gt.parent, ctx.n_seq, gt.age, subst.mu, rk,
+                    subst.freqs, subst.eigw, subst.eigT, subst.eigTi,
+                    model=model, n_cats=subst.rates.shape[1], blen=blen
+                ).astype(ctx.weights.dtype)
+            elif ctx.tips_am is not None:
                 from ..core.pallas_fels import site_logl_pallas
                 from ..trees.gtree import inner_order
                 rk = jnp.concatenate(
@@ -429,7 +444,18 @@ def make_logl_fn(ctx: Ctx, cfg: BppConfig):
             if bfbeta != 1.0:
                 ll = ll * bfbeta
             return jnp.where(ctx.locus_mask, ll, 0.0)
-        if ctx.tips_am is not None:
+        if ctx.pack is not None:
+            from ..core.pallas_pack import site_logl_packed
+            from ..trees.gtree import inner_order
+            rk = jnp.concatenate(
+                [subst.rates, subst.kappa1[:, None], subst.kappa2[:, None]],
+                axis=1)
+            ll = site_logl_packed(
+                ctx.pack, inner_order(gt), gt.left, gt.right, gt.parent,
+                ctx.n_seq, gt.age, subst.mu, rk, subst.freqs, subst.eigw,
+                subst.eigT, subst.eigTi, model=model,
+                n_cats=subst.rates.shape[1]).astype(ctx.weights.dtype)
+        elif ctx.tips_am is not None:
             from ..core.pallas_fels import site_logl_pallas
             from ..trees.gtree import inner_order
             rk = jnp.concatenate(

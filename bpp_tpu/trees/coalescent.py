@@ -41,16 +41,98 @@ def per_pop_stats(gt: GTrees, sp: SpeciesArrays, pops, n_seq):
     Returns:
       (coal_count ``[L, H]`` int32, T2h ``[L, H]`` float, n_in ``[L, H]`` int32)
 
-    T2h = integral of n_h(t)(n_h(t)-1) dt over population h's interval
-    equals the summed pairwise coexistence time of distinct lineage
+    Without serial sampling, every lineage enters population h at
+    ``tau_h`` (n_in of them) and the count only DECREASES — by one at
+    each coalescence inside ``[tau_h, end_h)``.  Abel summation of
+    ``T2h = sum_j n_j (n_j - 1) (t_{j+1} - t_j)`` with ``n_j = n_in - j``
+    then gives a closed event-rank form (no sort, no pairwise tensor):
+
+      T2h = (n_in - k)(n_in - k - 1) end_h - n_in (n_in - 1) tau_h
+            + sum_events 2 (n_in - rank_e) t_e
+
+    where ``rank_e`` (1-based) is the event's time rank among the
+    events of its own population — computed by an O(T^2/4) pairwise
+    age comparison over the inner nodes, with no H axis.  This
+    replaces both the reference's per-population sorted event sweep
+    (``gtree.c:3859``) and this file's earlier pairwise-coexistence
+    form, whose ``[L, N, N, H]`` tensor dominated the MSC-density cost
+    at scale.  Dated tips (mid-interval entries) take
+    :func:`per_pop_stats_dated` instead.
+    """
+    if gt.n_tips <= 1:
+        return _per_pop_stats_pairwise(gt, sp, pops, n_seq)
+    from .gtree import table_rows
+
+    L, N = pops.shape
+    T = gt.n_tips
+    H = sp.n_nodes
+    node_idx = jnp.arange(N)[None, :]
+    is_tip = node_idx < n_seq[:, None]
+    is_inner = (node_idx >= T) & (node_idx < T + n_seq[:, None] - 1)
+    valid = is_tip | is_inner
+
+    tau = sp.tau
+    par = sp.parent
+    partau = jnp.where(par >= 0, tau[jnp.maximum(par, 0)], jnp.inf)
+    end = jnp.minimum(partau, _FINITE_BIG)                   # [H]
+
+    has_par = gt.parent >= 0
+    from .gtree import gather_rows
+    page = jnp.where(
+        has_par,
+        gather_rows(gt.age, jnp.maximum(gt.parent, 0)),
+        _FINITE_BIG)
+    if sp.is_network:
+        from .gtree import edge_passes
+        anc = edge_passes(gt, sp, pops)                      # [L, N, H]
+    else:
+        anc = table_rows(sp.pptable, pops)                   # [L, N, H]
+    pres = anc & valid[..., None]
+
+    # lineages entering each population (at tau_h)
+    inh = pres & (gt.age[..., None] <= tau) & (tau < page[..., None])
+    n_in = inh.sum(axis=1).astype(jnp.int32)                 # [L, H]
+
+    # coalescent events per population
+    ev_pop = jnp.where(is_inner, pops, -1)                   # [L, N]
+    ev_oh = (ev_pop[:, T:, None] == jnp.arange(H))           # [L, T-1, H]
+    coal = ev_oh.sum(axis=1).astype(jnp.int32)               # [L, H]
+
+    # event ranks within their population: 1 + #(earlier same-pop events)
+    ia = gt.age[:, T:]                                       # [L, T-1]
+    same = (ev_pop[:, T:, None] == ev_pop[:, T:][:, None, :]) \
+        & is_inner[:, T:, None] & is_inner[:, T:][:, None, :]
+    iidx = jnp.arange(T - 1)
+    earlier = (ia[:, None, :] < ia[:, :, None]) | (
+        (ia[:, None, :] == ia[:, :, None])
+        & (iidx[None, None, :] < iidx[None, :, None]))
+    rank = 1 + jnp.sum(same & earlier, axis=2).astype(ia.dtype)  # [L, T-1]
+
+    # n at each event = n_in[pop_e] - rank_e + 1; event term 2(n-1) t_e
+    n_in_e = jnp.einsum("leh,lh->le", ev_oh.astype(ia.dtype),
+                        n_in.astype(ia.dtype))
+    contrib = 2.0 * (n_in_e - rank) * ia * is_inner[:, T:].astype(ia.dtype)
+    ev_sum = jnp.einsum("leh,le->lh", ev_oh.astype(ia.dtype), contrib)
+
+    n_inf = n_in.astype(ia.dtype)
+    k_f = coal.astype(ia.dtype)
+    nk = n_inf - k_f
+    T2h = nk * (nk - 1.0) * end - n_inf * (n_inf - 1.0) * tau + ev_sum
+    # pops with no entering lineages contribute exactly 0 (guards the
+    # end*0*(0-1) arithmetic at the clamped root horizon)
+    T2h = jnp.where(n_in > 0, T2h, 0.0)
+    return coal, T2h, n_in
+
+
+def _per_pop_stats_pairwise(gt: GTrees, sp: SpeciesArrays, pops, n_seq):
+    """Pairwise-coexistence form of :func:`per_pop_stats` (O(N^2 H)).
+
+    T2h equals the summed pairwise coexistence time of distinct lineage
     edges inside the interval (each ordered pair (u, v) is jointly
-    present for |I_u ∩ I_v ∩ [tau_h, end_h)|).  That pairwise form is
-    sort-free — pure elementwise min/max/relu over ``[L, N, N, H]`` —
-    where the reference's event sweep (``gtree.c:3859`` sorted
-    coal-times) would cost O(N log^2 N) bitonic sorting passes on TPU.
-    It also handles serial sampling (dated tips entering populations
-    mid-interval, ``stree.c:5278-5330`` epoch lists) with no extra
-    machinery: a dated tip's presence simply starts at its age.
+    present for |I_u ∩ I_v ∩ [tau_h, end_h)|).  Slower than the
+    event-rank form but valid under serial sampling — dated tips enter
+    populations mid-interval, so the "count only decreases" premise of
+    the Abel form does not hold there.
     """
     from .gtree import edge_passes
 
@@ -69,9 +151,10 @@ def per_pop_stats(gt: GTrees, sp: SpeciesArrays, pops, n_seq):
 
     # edge of node u spans [age_u, age_parent_u); root edge to +inf
     has_par = gt.parent >= 0
+    from .gtree import gather_rows
     page = jnp.where(
         has_par,
-        jnp.take_along_axis(gt.age, jnp.maximum(gt.parent, 0), axis=1),
+        gather_rows(gt.age, jnp.maximum(gt.parent, 0)),
         _FINITE_BIG)
     # the edge's route visits h (ancestry for trees, hpath-routed walk
     # for MSC-I networks)

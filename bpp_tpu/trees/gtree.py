@@ -217,6 +217,48 @@ def gather_rows(values, idx):
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def scatter_rows(arr, row_ok, col, val):
+    """``arr[l, col[l]] = val[l]`` where ``row_ok[l]`` — as a one-hot
+    where-select.  ``.at[lidx, col].set`` lowers to an XLA scatter,
+    which (like gathers) serializes on this TPU backend; the one-hot
+    form is two cheap [L, N] vector ops."""
+    N = arr.shape[1]
+    oh = (jnp.arange(N)[None, :] == col[:, None]) & row_ok[:, None]
+    v = val[:, None] if val.ndim == 1 else val
+    return jnp.where(oh, v.astype(arr.dtype), arr)
+
+
+def lookup2d(table, i, j):
+    """``out[...] = table[i[...], j[...]]`` for a small [H, H] table via
+    one-hot contractions (XLA 2D advanced-index gathers serialize)."""
+    H = table.shape[0]
+    tf = table.astype(jnp.float32)
+    ohj = (j[..., None] == jnp.arange(H)).astype(jnp.float32)
+    # rows[..., h] = table[h, j[...]]
+    rows = jnp.einsum("...k,hk->...h", ohj, tf)
+    ohi = (i[..., None] == jnp.arange(H)).astype(jnp.float32)
+    out = jnp.sum(ohi * rows, axis=-1)
+    if jnp.issubdtype(table.dtype, jnp.bool_):
+        return out > 0.5
+    if jnp.issubdtype(table.dtype, jnp.integer):
+        return jnp.round(out).astype(table.dtype)
+    return out.astype(table.dtype)
+
+
+def table_rows(table, i):
+    """``out[..., :] = table[i[...], :]`` for a small [H, K] table via a
+    one-hot matmul (row gathers serialize on this backend)."""
+    H = table.shape[0]
+    tf = table.astype(jnp.float32)
+    oh = (i[..., None] == jnp.arange(H)).astype(jnp.float32)
+    out = jnp.einsum("...h,hk->...k", oh, tf)
+    if jnp.issubdtype(table.dtype, jnp.bool_):
+        return out > 0.5
+    if jnp.issubdtype(table.dtype, jnp.integer):
+        return jnp.round(out).astype(table.dtype)
+    return out.astype(table.dtype)
+
+
 def node_depths(gt: GTrees):
     """Topological depth (#ancestors) per node, [L, N] int32.
 
@@ -389,7 +431,7 @@ def lift_population(sp: SpeciesArrays, base, age):
     interval open above).  Mirrors the pop-reassignment walks in
     ``propose_ages`` (``src/gtree.c:4760+``).
     """
-    anc = sp.pptable[base]                           # [..., H]
+    anc = table_rows(sp.pptable, base)               # [..., H]
     tau = sp.tau
     par = sp.parent
     partau = jnp.where(par >= 0, sp.tau[jnp.maximum(par, 0)], jnp.inf)

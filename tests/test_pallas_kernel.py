@@ -22,6 +22,9 @@ from bpp_tpu.trees.gtree import inner_order
 @pytest.fixture(autouse=True)
 def _interpret_mode(monkeypatch):
     monkeypatch.setenv("BPP_TPU_PALLAS", "interpret")
+    # these tests pin the PER-LOCUS kernel (the diploid-run path);
+    # the lane-packed kernel has its own suite (test_pallas_pack.py)
+    monkeypatch.setenv("BPP_TPU_PACK", "0")
 
 
 def _pallas_vs_xla(eng, state, model, n_cats=1, rtol=2e-5, atol=2e-4):
