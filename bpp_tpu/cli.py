@@ -54,6 +54,10 @@ def build_argparser() -> argparse.ArgumentParser:
                     "caches) from scratch and abort on drift (the "
                     "reference's CHECK_LOGL/CHECK_LOGPR, method.c:4699; "
                     "equivalent to 'check = N' in the control file)")
+    ap.add_argument("--chains", type=int, default=None, metavar="K",
+                    help="run K replicate chains batched on one chip "
+                    "(vmap over the chain axis; reports between-chain "
+                    "split-R-hat). Overrides the ctl `chains` keyword.")
     ap.add_argument("--quiet", action="store_true")
     return ap
 
@@ -112,6 +116,8 @@ def cmd_run(args) -> int:
         cfg = cfg.replace(dtype="float64")
     if args.check is not None:
         cfg = cfg.replace(check_every=args.check)
+    if args.chains is not None:
+        cfg = cfg.replace(n_chains=args.chains)
 
     run = load_run(cfg)
     eng = Engine(run, seed=seed)
@@ -139,6 +145,8 @@ def cmd_run(args) -> int:
             return 1
 
     mcmc_path = cfg.mcmcfile or f"{cfg.jobname}.mcmc.txt"
+    if cfg.n_chains > 1:
+        return _run_multichain(args, cfg, run, eng, mcmc_path, is_main)
     if args.resume:
         # exactly-once logging: truncate to the checkpointed offset
         ckpt.truncate_file(mcmc_path, meta["mcmc_offset"])
@@ -397,6 +405,75 @@ def cmd_run(args) -> int:
     if not args.quiet:
         print(report)
         print(f"\nwrote {mcmc_path}, {out_path}", file=sys.stderr)
+    return 0
+
+
+def _run_multichain(args, cfg, run, eng, mcmc_path, is_main) -> int:
+    """``chains = K``: K replicate chains batched on one chip (vmap over
+    the chain axis — OUR extension; the reference runs one chain,
+    method.c:5343).  Chain 1 writes the normal mcmc file, chains 2..K
+    write ``<jobname>.c<k>.mcmc.txt``; the summary pools all chains and
+    a between-chain split-R-hat table is reported."""
+    import time as _time
+
+    import numpy as np
+
+    from .output import McmcWriter
+    from .summary.allfixed import format_summary, split_rhat, summary_table
+
+    K = cfg.n_chains
+    if cfg.est_stree or cfg.est_delimit:
+        print("chains > 1 currently supports A00 parameter estimation "
+              "only (fixed species tree)", file=sys.stderr)
+        return 1
+    if args.resume or cfg.checkpoint or cfg.check_every:
+        print("chains > 1 cannot be combined with resume/checkpoint/"
+              "check (run chains = 1 for those)", file=sys.stderr)
+        return 1
+    t0 = _time.time()
+    logs = eng.run_mcmc_multi(K, progress_every=0 if args.quiet else 1000)
+    wall = _time.time() - t0
+    writers = []
+    for c in range(K):
+        path = mcmc_path if c == 0 else f"{cfg.jobname}.c{c+1}.mcmc.txt"
+        writers.append(McmcWriter(path, cfg, run.stree))
+    series_per_chain = []
+    for c, (log, w) in enumerate(zip(logs, writers)):
+        for i, g in enumerate(log.gen):
+            w.write_sample(g, log.theta[i], log.tau[i], log.lnL[i],
+                           phi=log.phi[i] if log.phi else None)
+        w.close()
+        cols = {"lnL": np.asarray(log.lnL)}
+        th = np.stack(log.theta)
+        tu = np.stack(log.tau)
+        tcols = [c0 for c0 in w.columns if c0.startswith("theta:")]
+        for name, node in zip(tcols, w.theta_nodes):
+            cols[name] = th[:, node]
+        ucols = [c0 for c0 in w.columns if c0.startswith("tau:")]
+        for name, node in zip(ucols, w.tau_nodes):
+            cols[name] = tu[:, node]
+        series_per_chain.append(cols)
+    pooled = {k: np.concatenate([sc[k] for sc in series_per_chain])
+              for k in series_per_chain[0]}
+    rows = summary_table(pooled)
+    rhat = {k: split_rhat(np.stack([sc[k] for sc in series_per_chain]))
+            for k in series_per_chain[0]}
+    total_iters = (cfg.burnin + cfg.nsample * cfg.sampfreq) * K
+    lines = [format_summary(rows),
+             "",
+             f"Between-chain split-R-hat over {K} chains "
+             "(values near 1 = converged):"]
+    lines += [f"  {k:<12s} {v:8.4f}" for k, v in rhat.items()]
+    lines += ["",
+              f"{K} chains x {cfg.nsample} samples in {wall:.1f} s "
+              f"({total_iters / wall:.1f} aggregate iters/s)"]
+    out_txt = "\n".join(lines)
+    with open(f"{cfg.jobname}.txt", "w") as fh:
+        fh.write(out_txt + "\n")
+    if not args.quiet:
+        print(out_txt, file=sys.stderr)
+        print(f"wrote {mcmc_path} (+{K-1} chain files), {cfg.jobname}.txt",
+              file=sys.stderr)
     return 0
 
 

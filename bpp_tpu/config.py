@@ -269,6 +269,11 @@ class BppConfig:
     # debug_validate_logpg).  tol 0 = auto by dtype.
     check_every: int = 0
     check_tol: float = 0.0
+    # OUR extension (no reference analog; the reference runs one chain,
+    # method.c:5343): `chains = K` batches K independent replicate
+    # chains per chip via vmap over the chain axis — TPU-native
+    # throughput win; between-chain split-R-hat is reported at summary
+    n_chains: int = 1
     threads: tuple[int, int, int] | None = None  # (count, start, step) — advisory
     bfbeta: float = 1.0                  # power-posterior beta (bfdriver)
 

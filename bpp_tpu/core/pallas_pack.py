@@ -142,11 +142,13 @@ def build_pack_layout(tip_partials, weights, n_pat, n_seq,
                                                            L - 1)])
     ll = np.minimum(flat_locus, L - 1)
 
-    # tips: padding lanes behave like all-ambiguous sites (all-ones)
+    # tips: padding lanes behave like all-ambiguous sites (all-ones).
+    # Index (locus, pattern) jointly — a tp[ll[live]] pre-gather would
+    # materialize an [nlive, T, S, 4] intermediate (~2.5 GB at 10k loci)
     tips_lane = np.ones((nsegp * SEG_W, T, 4), np.float32)
-    tips_lane[live] = tp[ll[live]][np.arange(live.sum())[:, None],
-                                   np.arange(T)[None, :],
-                                   flat_pat[live][:, None], :]
+    tips_lane[live] = tp[ll[live][:, None],
+                         np.arange(T)[None, :],
+                         flat_pat[live][:, None], :]
     tl = tips_lane.reshape(nt, SL, T, 4).transpose(0, 2, 3, 1)
     tips8 = np.ascontiguousarray(tl).reshape(nt, T, 8, 128)
 

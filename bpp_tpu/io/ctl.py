@@ -459,6 +459,12 @@ def _build_config(kw: dict) -> BppConfig:  # noqa: C901
         if len(toks) > 1:
             c["check_tol"] = float(toks[1])
 
+    v = pop("chains")
+    if v is not None:
+        c["n_chains"] = int(v.split()[0])
+        if c["n_chains"] < 1:
+            raise ValueError("chains must be >= 1")
+
     v = pop("bayesfactorbeta")
     if v is not None:
         c["bfbeta"] = float(v.split()[0])

@@ -1271,6 +1271,97 @@ class Engine:
 
         return log
 
+    # --- multi-chain batching (OUR extension; no reference analog) ------------
+
+    def init_states(self, n_chains: int) -> McmcState:
+        """K independent chain states stacked on a leading axis.
+
+        Chains differ by seed only (reference users run replicate
+        chains as separate processes; a TPU runs them batched nearly
+        for free on small-to-mid locus counts)."""
+        base = self.seed
+        states = []
+        try:
+            for k in range(n_chains):
+                self.seed = base + 1000003 * k
+                states.append(self.init_state())
+        finally:
+            self.seed = base
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    def _chunk_multi(self, states, key, n: int, ctx):
+        keys = jax.random.split(key, states.logl.shape[0])
+        return jax.vmap(lambda st, k: self._chunk(st, k, n, ctx))(
+            states, keys)
+
+    def run_mcmc_multi(self, n_chains: int, progress_every: int = 1000,
+                       log_fp=None):
+        """Run K chains batched on one chip; returns a list of K
+        SampleLogs.  Per-chain finetune auto-tuning mirrors the
+        single-chain schedule; per-locus sample callbacks, checkpoints
+        and the check mode are single-chain features (use chains = 1)."""
+        cfg = self.cfg
+        if not hasattr(self, "_chunk_multi_jit"):
+            self._chunk_multi_jit = jax.jit(self._chunk_multi,
+                                            static_argnums=2)
+        states = self.init_states(n_chains)
+        key = jax.random.PRNGKey(self.seed ^ 0x5eed)
+        it = -cfg.burnin
+        stats_acc = np.zeros((n_chains, N_MOVES, 2), np.float64)
+        logs = [SampleLog() for _ in range(n_chains)]
+        total_burn = cfg.burnin
+        total_main = cfg.nsample * cfg.sampfreq
+        auto_ft = cfg.finetune.auto and total_burn >= 8
+        quarter = max(1, total_burn // 4)
+        marks = sorted({-total_burn + q * quarter for q in (1, 2, 3)}
+                       | {0}) if auto_ft else [0]
+        K = max(1, cfg.sampfreq)
+        t0 = time.time()
+        last_print = [0]
+        while it < total_main:
+            bounds = [m for m in marks if m > it] + [total_main]
+            n = max(1, min(500, min(bounds) - it))
+            key, sub = jax.random.split(key)
+            states, stats, trace = self._chunk_multi_jit(
+                states, sub, n, self.ctx)
+            stats_acc += np.asarray(stats)
+            prev = it
+            it += n
+            if progress_every and (it - last_print[0] >= progress_every
+                                   or it == 0):
+                last_print[0] = it
+                print(f"  it {it:>8d} x{n_chains} chains  lnL "
+                      f"{float(jnp.sum(states.logl[0])):.4f}  "
+                      f"[{time.time()-t0:.1f}s]", file=log_fp or sys.stderr)
+            if auto_ft and it in marks and it <= 0:
+                ft = np.array(states.finetune)
+                for c in range(n_chains):
+                    for mv, fti in MOVE_TO_FT.items():
+                        prop, acc = stats_acc[c, mv]
+                        if prop >= 30:
+                            ft[c, fti] = reset_finetune_onestep(
+                                acc / prop, ft[c, fti])
+                states = states._replace(
+                    finetune=jnp.asarray(ft, self.dtype))
+                stats_acc[:] = 0.0
+            first = K * (max(prev, 0) // K + 1)
+            if first <= it:
+                htr = {k: np.asarray(v) for k, v in trace.items()}
+                for g in range(first, it + 1, K):
+                    if g <= prev:
+                        continue
+                    for c in range(n_chains):
+                        row = {k: v[c, g - prev - 1] for k, v in htr.items()}
+                        log = logs[c]
+                        log.gen.append(g)
+                        log.theta.append(np.asarray(row["theta"]))
+                        log.tau.append(np.asarray(row["tau"]))
+                        log.lnL.append(float(row["lnl"]))
+                        log.logpr.append(float(row["logpr"]))
+                        if "phi" in row:
+                            log.phi.append(np.asarray(row["phi"]))
+        return logs
+
     def _reset_finetune(self, state: McmcState, stats_acc) -> McmcState:
         ft = np.array(state.finetune)
         for mv, fti in MOVE_TO_FT.items():

@@ -111,3 +111,31 @@ def format_summary(rows: list[ColumnSummary]) -> str:
             f"{r.q975:>10.6g} {r.hpd_low:>10.6g} {r.hpd_high:>10.6g} "
             f"{r.ess:>10.2f} {r.eff:>8.4f} {r.rho1:>8.4f}")
     return "\n".join(lines)
+
+
+def split_rhat(chains: np.ndarray) -> float:
+    """Gelman-Rubin split-R-hat over ``chains [K, S]``.
+
+    Each chain is split in half (2K half-chains), then
+    R-hat = sqrt(((n-1)/n W + B/n) / W) with B/W the between/within
+    half-chain variances (Gelman et al. 2013, BDA3 eq. 11.4).  Values
+    near 1 indicate between-chain agreement; > 1.01 is the usual
+    convergence alarm.  No reference analog (the reference runs a
+    single chain, method.c:5343); reported by the multi-chain mode
+    (``chains = K``).
+    """
+    x = np.asarray(chains, np.float64)
+    K, S = x.shape
+    n = S // 2
+    if n < 2:
+        return float("nan")
+    halves = x[:, : 2 * n].reshape(K * 2, n)
+    if np.ptp(halves) == 0.0:
+        return 1.0
+    means = halves.mean(axis=1)
+    B = n * means.var(ddof=1)
+    W = halves.var(axis=1, ddof=1).mean()
+    if W == 0.0:
+        return float("inf")
+    var_plus = (n - 1) / n * W + B / n
+    return float(np.sqrt(var_plus / W))
