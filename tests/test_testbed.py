@@ -137,7 +137,8 @@ def test_testbed_a00_fast(tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n", [4, 6, 8, 11, 13, 16])
+@pytest.mark.parametrize("n", [2, 3, 4, 5, 6, 7, 8, 9, 10, 11,
+                               12, 13, 14, 15, 16])
 def test_testbed_a00_slow(n, tmp_path):
     _compare_a00(n, tmp_path)
 
@@ -176,49 +177,98 @@ def _topo_freqs(trees):
     return {k: v / tot for k, v in c.items()}
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("n", [17, 24, 29, 36])
-def test_testbed_a01(n, tmp_path):
-    """Species-tree posterior frequencies vs the golden trace.
+def _clade_freqs(trees):
+    """Clade (bipartition) posterior frequencies from newick strings.
 
-    Topology mixing is slow in BOTH samplers on these 5-locus data:
-    the reference's own MAP mass varies 0.20-0.31 across seeds on
-    config 24, and ours concentrates spuriously below ~1500 samples —
-    hence the long-ish chain and coarse bands."""
-    # 4000 samples: the 5-locus topology posterior mixes slowly (the
-    # heredity configs 29/36 especially); at 2000 our chain's MAP mass
-    # can transiently concentrate ~2x (observed 0.55 vs golden 0.23 on
-    # config 29 before converging)
+    Marginalizing topologies to clades averages over the topology
+    mixing noise that made whole-tree gates vacuous (VERDICT r3 weak
+    #2): each clade's posterior is far better estimated than any full
+    topology's, and a sampler concentrating on a WRONG topology shifts
+    its clade posteriors by the full concentration mass."""
+    from collections import Counter
+
+    def clades(s):
+        s = re.sub(r"#[0-9.eE+-]+", "", s)
+        s = re.sub(r":\s*[0-9.eE+-]+", "", s)
+        s = re.sub(r"\s+", "", s).rstrip(";")
+        out = []
+
+        def rec(expr):
+            if not expr.startswith("("):
+                return [expr]
+            depth = 0
+            parts, cur = [], []
+            for ch in expr[1:-1]:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    parts.append("".join(cur))
+                    cur = []
+                else:
+                    cur.append(ch)
+            parts.append("".join(cur))
+            taxa = []
+            for p in parts:
+                taxa += rec(p)
+            out.append(frozenset(taxa))
+            return taxa
+
+        allt = rec(s)
+        # drop the trivial root clade
+        return [c for c in out if len(c) < len(allt)]
+
+    c = Counter()
+    n = 0
+    for t in trees:
+        n += 1
+        for cl in clades(t):
+            c[cl] += 1
+    return {k: v / n for k, v in c.items()}, n
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [17, 18, 19, 20, 21, 22, 23, 24,
+                               26, 27, 29, 30, 33, 36, 38, 41,
+                               45, 48])
+def test_testbed_a01(n, tmp_path):
+    """Species-tree CLADE posteriors vs 3-seed golden traces.
+
+    Round-3's whole-topology bands were near-vacuous (a sampler putting
+    1% on the true MAP could pass; VERDICT r3 weak #2).  Clade
+    marginals are the standard consensus-level summary (the reference's
+    own A01 summary is bipartition-based, summary.c:151) and mix far
+    faster than full topologies, supporting real +-0.15 gates against
+    the multi-seed goldens."""
     cfg = _load_ctl(n, tmp_path, nsample=4000)
     gold_trees = gzip.open(f"{FIX}/{n}.mcmc.txt.gz", "rt").read() \
         .strip().splitlines()
-    gfreq = _topo_freqs(gold_trees)
+    gclade, _ = _clade_freqs(gold_trees)
     eng, log = _run_engine(cfg)
     from bpp_tpu.output import species_newick
     names = eng.run.stree.names
     ours = [species_newick(left, right, par, np.stack(log.tau)[i], names)
             for i, (left, right, par) in enumerate(log.sptrees)]
+    oclade, _ = _clade_freqs(ours)
+    mism = []
+    for cl in set(gclade) | set(oclade):
+        g = gclade.get(cl, 0.0)
+        o = oclade.get(cl, 0.0)
+        if abs(g - o) > 0.15:
+            mism.append((sorted(cl), round(g, 3), round(o, 3)))
+    assert not mism, mism
+    # and the golden MAP tree must still carry nontrivial mass
+    gfreq = _topo_freqs(gold_trees)
     ofreq = _topo_freqs(ours)
-    # topology ESS at these chain lengths is low in BOTH chains (our
-    # seed-to-seed MAP-mass spread is ~0.1, the golden is one chain):
-    # coarse sanity bands — the golden's high-mass trees must carry
-    # real mass in our chain and no tree may explode
-    # our topology PRIOR is verified exactly (usedata=0: uniform
-    # 1/15 under speciesmodelprior 1, LH-proportional under 0 —
-    # measured 2026-08-19: balanced-mass 0.200 / 0.320 vs exact
-    # 3/15 / 6/18), so posterior gaps here are chain-mixing noise:
-    # the golden's own MAP mass varies 0.15-0.31 across its seeds
     gmap = max(gfreq, key=gfreq.get)
-    assert ofreq.get(gmap, 0.0) > 0.01, (gmap, gfreq[gmap], ofreq)
-    for t, p in gfreq.items():
-        if p > 0.2:
-            assert abs(ofreq.get(t, 0.0) - p) < 0.30, (t, p, ofreq.get(t, 0))
-    for t, p in ofreq.items():
-        assert p < max(2.5 * gfreq.get(t, 0.0), 0.35) + 0.2, (t, p, gfreq.get(t, 0))
+    assert ofreq.get(gmap, 0.0) > 0.25 * gfreq[gmap], \
+        (gmap, gfreq[gmap], ofreq.get(gmap, 0.0))
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n", [49, 61, 68, 81, 89])
+@pytest.mark.parametrize("n", [49, 50, 52, 55, 59, 61, 63, 68,
+                               69, 73, 81, 82, 89, 90, 97, 105])
 def test_testbed_a10(n, tmp_path):
     """Delimitation posterior (P(#species)) vs the golden trace."""
     cfg = _load_ctl(n, tmp_path, nsample=2500)
@@ -307,6 +357,10 @@ def test_testbed_ziheng_a01(n, tmp_path):
     cfg = _load_ziheng_ctl(n, tmp_path, nsample=4000)
     gold_trees = gzip.open(f"{FIX}/z{n}.mcmc.txt.gz", "rt").read() \
         .strip().splitlines()
+    # each 8001-line seed segment starts with the deterministic
+    # initial-state tree (not a posterior sample) — strip it
+    # (ADVICE r3 low #3)
+    gold_trees = [t for i, t in enumerate(gold_trees) if i % 8001 != 0]
     gfreq = _topo_freqs(gold_trees)
     eng, log = _run_engine(cfg)
     from bpp_tpu.output import species_newick
@@ -325,7 +379,8 @@ def test_testbed_ziheng_a01(n, tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n", [113, 116])
+@pytest.mark.parametrize("n", [113, 114, 115, 116, 120, 124,
+                               129, 137, 145, 161])
 def test_testbed_a11(n, tmp_path):
     """A11 joint: P(#species) bands vs the golden trace (trees carry a
     trailing np count in the golden file)."""
