@@ -89,27 +89,6 @@ def efactors(model: SubstModel, t_eff, freqs, kappa1, kappa2, eigw):
     return efac, coefs
 
 
-def choose_g_pack(S: int, N: int, C: int, T: int,
-                  vmem_budget: int = 4 << 20) -> int:
-    """Largest sublane pack G (<= 8, dividing S/128) whose CLV scratch
-    [N, C, 4, G, 128] + tips block [T, 4, G, 128] fits the VMEM budget.
-
-    Per-tile vector-op count is ~independent of G (each op just fills
-    more sublanes of the same vregs), so the largest feasible G
-    minimizes total op count; the only trade is the coarser G*128
-    pattern-skip granularity, which costs nothing extra in ops (a
-    [G, 128] slab is one vreg either way, it merely covers padding).
-    """
-    s128 = max(S // S_TILE, 1)
-    for g in range(min(8, s128), 0, -1):
-        if s128 % g:
-            continue
-        scratch = (N * C * 4 + T * 4 + 1) * g * S_TILE * 4
-        if scratch <= vmem_budget:
-            return g
-    return 1
-
-
 def _make_kernel(T: int, N: int, C: int, fam: str, K: int, tiny: float,
                  G: int):
     """Kernel body; per-locus parameters arrive as [1, 1, X] SMEM blocks
@@ -252,15 +231,12 @@ def site_logl_pallas(order, left, right, parent, n_seq, age, mu,
     the same CLV kernels in the reference).
 
     ``g_pack`` (static, must divide S//128) stacks G consecutive
-    128-pattern tiles on the vreg SUBLANE axis, so each grid cell's
-    CLVs are [C, A, G, 128] and every elementwise op in the pruning
-    recursion covers G*128 patterns instead of 128 (a [G<=8, 128] f32
-    slab fills up to a whole (8, 128) vector register; the [A=4, 128]
-    rows of the G=1 layout leave 7/8 of the sublanes idle on the
-    row-reduction ops).  Per-tile op count is ~independent of G, so
-    larger G is ~G-fold fewer vector ops for pattern-rich loci; the
-    pattern-skip granularity coarsens to G*128 (choose_g_pack caps G
-    by VMEM and by the locus pattern profile).
+    128-pattern tiles on the vreg SUBLANE axis ([C, A, G, 128] CLVs).
+    In production it stays 1: the lane-packed kernel (pallas_pack)
+    superseded sublane packing — it fills whole vregs AND removes the
+    128-lane padding — so this per-locus kernel now serves only the
+    diploid-resolution path, whose res_map gathers need the [L, S]
+    per-pattern output this kernel emits.
     """
     L, T, A, S = tips.shape
     N = left.shape[1]

@@ -261,8 +261,12 @@ class Engine:
                     "see VALIDATION.md round 3). Use clock = 2 or 4.")
         if (cfg.est_locusrate == 1 and cfg.locusrate_prior == 3
                 and cfg.clock != Clock.GLOBAL):
+            # matches the reference: cfile.c fatals with "prior = IID
+            # ... in 'clock' does not match prior = DIR ... in
+            # 'locusrate'" (verified on 4.8.7, round 4)
             raise NotImplementedError(
-                "locusrate Dir prior with a relaxed clock: use the "
+                "locusrate Dir prior cannot be combined with a relaxed "
+                "clock (matches the reference's cfile fatal); use the "
                 "Gamma-Dirichlet or hierarchical prior instead")
         self.routes = None
         if cfg.migration:
@@ -357,10 +361,22 @@ class Engine:
 
         theta_link = None
         if cfg.linked_theta:
-            if cfg.est_delimit or cfg.est_stree:
+            if cfg.est_delimit:
+                # the reference supports this (rjMCMC split/join share
+                # the master theta, prop_rj.c:606); our rj theta-split
+                # machinery is not linkage-aware yet — honest gap
                 raise NotImplementedError(
-                    "thetamodel (linked thetas) with species-tree search "
-                    "or delimitation is not yet supported")
+                    "thetamodel (linked thetas) with rjMCMC species "
+                    "delimitation is not yet supported (the rj "
+                    "split/join theta draws are not linkage-aware)")
+            if cfg.est_stree and cfg.linked_theta not in (1, 2):
+                raise NotImplementedError(
+                    "species-tree search supports thetamodel = "
+                    "linked-all / linked-inner only")
+            # est_stree (A01) with linked-all/linked-inner is safe: the
+            # owner map is defined by node-index CLASSES (tips vs inner)
+            # and the root, none of which the SPR/SNL topology moves
+            # change — the link map stays valid across proposals
             if cfg.theta_integrated:
                 raise NotImplementedError(
                     "thetamodel cannot be combined with analytically "
@@ -384,15 +400,18 @@ class Engine:
                 build_constraint_ids(run.stree, cfg.constraintfile))
 
         trait_fn = None
+        trait_fn_topo = None
         self.trait_data = None
         if cfg.traitfile:
-            # trait likelihood is only wired into the tau/mixing/rj
-            # moves (mirroring morph.c integration points) — the
-            # topology-changing SPR/SNL do not re-score traits, so
-            # restrict to fixed-guide-tree methods
-            if cfg.est_stree:
+            # trait likelihood is wired into tau/mixing/rj AND the
+            # species SPR/SNL moves (the latter re-score the proposed
+            # topology through trait_fn_topo, stree.c:727-736 analog);
+            # A11 would additionally need trait terms in the rj
+            # split/join on a changing topology — still blocked
+            if cfg.est_stree and cfg.est_delimit:
                 raise NotImplementedError(
-                    "traitfile requires a fixed species tree (A00/A10)")
+                    "traitfile with joint A11 inference is not yet "
+                    "supported (use A00, A01 or A10)")
             if run.stree.n_hybrids > 0 or cfg.migration:
                 raise NotImplementedError(
                     "traits with MSC-I/MSC-M not yet supported")
@@ -400,7 +419,12 @@ class Engine:
             parts = trmod.parse_traitfile(cfg.traitfile)
             self.trait_data = trmod.build_trait_data(parts, run.stree,
                                                      dtype)
-            trait_fn = trmod.make_trait_logl(run.stree, self.trait_data)
+            if cfg.est_stree:
+                trait_fn_topo = trmod.make_trait_logl_topo(
+                    run.stree.n_tips, run.stree.n_nodes, self.trait_data)
+            else:
+                trait_fn = trmod.make_trait_logl(run.stree,
+                                                 self.trait_data)
         custom = None
         if run.locus_models is not None:
             from .state import build_custom_models
@@ -458,6 +482,7 @@ class Engine:
             date_lmax=None if run.date_lmax is None
             else jnp.asarray(run.date_lmax, dtype),
             trait_fn=trait_fn,
+            trait_fn_topo=trait_fn_topo,
             sp_constraint=sp_constraint,
             theta_link=theta_link,
             prior_a11_log=prior_a11_log,
@@ -667,13 +692,17 @@ class Engine:
             # terms; zeros for trees) — see make_logpr_fn
             coal, t2h = c0, t20
         trait = None
-        if self.ctx.trait_fn is not None:
+        if self.ctx.trait_fn is not None or \
+                self.ctx.trait_fn_topo is not None:
             # brates start at 1 (trait_init morph.c:832)
             from ..trees.traits import TraitState
             brate0 = jnp.ones((len(self.trait_data), run.stree.n_nodes),
                               self.dtype)
-            trait = TraitState(
-                brate=brate0, logl=self.ctx.trait_fn(sp.tau, brate0))
+            tl0 = (self.ctx.trait_fn(sp.tau, brate0)
+                   if self.ctx.trait_fn is not None else
+                   self.ctx.trait_fn_topo(sp.left, sp.right, sp.parent,
+                                          sp.tau, brate0))
+            trait = TraitState(brate=brate0, logl=tl0)
         return McmcState(
             gt=gt, sp=sp, subst=subst, logl=logl, logpr=logpr,
             finetune=finetune_array(cfg, self.dtype), clock=clock,
@@ -826,7 +855,7 @@ class Engine:
             stats = stats.at[MV_BRATE].add(jnp.stack([p, a]))
 
         # move #16: trait branch rates (method.c:5838, morph.c:1177)
-        if ctx.trait_fn is not None:
+        if ctx.trait_fn is not None or ctx.trait_fn_topo is not None:
             from .state import MV_TRAIT
             from . import trait_moves
             state, (p, a) = trait_moves.trait_brate_move(
@@ -1062,7 +1091,11 @@ class Engine:
                 cmp("T2h sums (notheta C cache)", state.t2h, t22)
 
         if state.trait is not None:
-            fresh = self.ctx.trait_fn(state.sp.tau, state.trait.brate)
+            sp = state.sp
+            fresh = (self.ctx.trait_fn(sp.tau, state.trait.brate)
+                     if self.ctx.trait_fn is not None else
+                     self.ctx.trait_fn_topo(sp.left, sp.right, sp.parent,
+                                            sp.tau, state.trait.brate))
             d = np.abs(np.asarray(state.trait.logl) - np.asarray(fresh))
             if (d > tol).any():
                 raise RuntimeError(

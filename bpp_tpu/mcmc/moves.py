@@ -38,6 +38,16 @@ from .state import (
 MAXAGE_CAP = 999.0  # reference's "999 for compatibility" upper bound
 
 
+def _trait_eval(ctx, sp, tau, brate):
+    """Trait log-likelihood via whichever closure the run carries
+    (fixed-topology trait_fn for A00/A10; trait_fn_topo for A01)."""
+    if ctx.trait_fn is not None:
+        return ctx.trait_fn(tau, brate)
+    return ctx.trait_fn_topo(sp.left, sp.right, sp.parent, tau, brate)
+
+
+
+
 def _psum_if_sharded(x):
     """Cross-shard reduction hook; identity for single-process jit (XLA
     computes global sums across sharded axes automatically under jit)."""
@@ -170,7 +180,8 @@ def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     integ = cfg.theta_integrated
     if integ:
         from . import notheta
-    has_trait = ctx.trait_fn is not None
+    has_trait = (ctx.trait_fn is not None
+                 or ctx.trait_fn_topo is not None)
     # gene-tree topology is fixed across the whole move: one species-MRCA
     # pass replaces per-phase assign_populations
     msp = mrca_species(state.gt, sp0, ctx.tip_pop)
@@ -300,7 +311,7 @@ def tau_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
             lnr_new = lnrates
 
         if has_trait:
-            tl_new = ctx.trait_fn(tau_new, state.trait.brate)
+            tl_new = _trait_eval(ctx, sp0, tau_new, state.trait.brate)
             lnacc = lnacc + jnp.sum(tl_new - tlogl)
         else:
             tl_new = tlogl
@@ -458,15 +469,17 @@ def mixing_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
 
     # morphological traits: taus scaled => trait branch lengths scale
     # (prop_mixing.c:642-647)
-    if ctx.trait_fn is not None:
-        tl_new = ctx.trait_fn(tau_new, state.trait.brate)
+    has_trait_mix = (ctx.trait_fn is not None
+                     or ctx.trait_fn_topo is not None)
+    if has_trait_mix:
+        tl_new = _trait_eval(ctx, state.sp, tau_new, state.trait.brate)
         lnacc = lnacc + jnp.sum(tl_new - state.trait.logl)
 
     # correlated-LN branch-rate prior depends on the scaled taus
     # (prop_mixing.c:189-194)
     from ..config import Clock
     cand = state._replace(gt=gtn, sp=spn, logl=logl_new, logpr=logpr_new)
-    if ctx.trait_fn is not None:
+    if has_trait_mix:
         cand = cand._replace(trait=state.trait._replace(logl=tl_new))
     if cfg.theta_integrated:
         cand = cand._replace(coal=c_new, t2h=t2_new)

@@ -280,7 +280,7 @@ class McmcState(NamedTuple):
                  "n_seq", "tip_pop", "locus_mask", "tips_am", "n_pat",
                  "tip_dates", "date_lmax", "sp_constraint", "theta_link",
                  "prior_a11_log", "custom", "pack"),
-    meta_fields=("trait_fn", "integrated"))
+    meta_fields=("trait_fn", "trait_fn_topo", "integrated"))
 @dataclasses.dataclass(frozen=True)
 class Ctx:
     """Static per-run device arrays (sharded along the locus axis).
@@ -311,8 +311,12 @@ class Ctx:
     tip_dates: jax.Array | None = None   # [L, T] calendar units
     date_lmax: jax.Array | None = None   # [H] max calendar date below node
     # morphological traits: trait_logl(tau, brate) -> [n_part] closure
-    # over the (fixed) species topology (trees.traits.make_trait_logl)
+    # over the (fixed) species topology (trees.traits.make_trait_logl);
+    # under species-tree search (A01) trait_fn is None and trait_fn_topo
+    # (left, right, parent, tau, brate) is used instead, so the SPR/SNL
+    # moves can re-score the proposed topology (stree.c:727-736)
     trait_fn: object | None = None
+    trait_fn_topo: object | None = None
     # A01 topology constraints (constraintfile): per-species-node
     # constraint-group ids, 0 = unconstrained (snode->constraint,
     # io.constraints.build_constraint_ids)

@@ -429,6 +429,15 @@ def species_spr_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
         lnr_new = lnprior_rates(cfg, sp_new, state.subst.mu, state.clock)
         lnacc = lnacc + jnp.sum(jnp.where(
             ctx.locus_mask, lnr_new - state.clock.lnrates, 0.0))
+    # morphological traits: re-score on the proposed topology
+    # (stree.c:727-736 subtracts trait_old_logl and adds
+    # loglikelihood_trait inside the SPR lnacceptance)
+    tl_new = None
+    if ctx.trait_fn_topo is not None and state.trait is not None:
+        tl_new = ctx.trait_fn_topo(sp_new.left, sp_new.right,
+                                   sp_new.parent, sp_new.tau,
+                                   state.trait.brate)
+        lnacc = lnacc + jnp.sum(tl_new - state.trait.logl)
     lnacc = jnp.where(bad_any, -jnp.inf, lnacc)
     accept = rng.mh_accept(k_acc, lnacc)
 
@@ -446,6 +455,9 @@ def species_spr_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     if lnr_new is not None:
         new_state = new_state._replace(clock=state.clock._replace(
             lnrates=jnp.where(accept, lnr_new, state.clock.lnrates)))
+    if tl_new is not None:
+        new_state = new_state._replace(trait=state.trait._replace(
+            logl=jnp.where(accept, tl_new, state.trait.logl)))
     return new_state, (jnp.ones((), jnp.int32), accept.astype(jnp.int32))
 
 
@@ -883,6 +895,15 @@ def snl_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
             ctx.locus_mask, lnr_new - state.clock.lnrates, 0.0))
 
     bad_any = bad | badmask.any() | ~jnp.isfinite(lnacc)
+    # morphological traits: re-score on the proposed topology
+    # (stree.c:727-736 subtracts trait_old_logl and adds
+    # loglikelihood_trait inside the SPR lnacceptance)
+    tl_new = None
+    if ctx.trait_fn_topo is not None and state.trait is not None:
+        tl_new = ctx.trait_fn_topo(sp_new.left, sp_new.right,
+                                   sp_new.parent, sp_new.tau,
+                                   state.trait.brate)
+        lnacc = lnacc + jnp.sum(tl_new - state.trait.logl)
     lnacc = jnp.where(bad_any, -jnp.inf, lnacc)
     accept = rng.mh_accept(k_acc, lnacc)
 
@@ -900,4 +921,7 @@ def snl_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
     if lnr_new is not None:
         new_state = new_state._replace(clock=state.clock._replace(
             lnrates=jnp.where(accept, lnr_new, state.clock.lnrates)))
+    if tl_new is not None:
+        new_state = new_state._replace(trait=state.trait._replace(
+            logl=jnp.where(accept, tl_new, state.trait.logl)))
     return new_state, (jnp.ones((), jnp.int32), accept.astype(jnp.int32))

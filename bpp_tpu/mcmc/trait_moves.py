@@ -19,7 +19,14 @@ from .state import FT_BRATE_M, Ctx, McmcState
 
 
 def trait_brate_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key):
-    tfn = ctx.trait_fn
+    if ctx.trait_fn is not None:
+        tfn = ctx.trait_fn
+    else:
+        sp = state.sp
+
+        def tfn(tau, brate):
+            return ctx.trait_fn_topo(sp.left, sp.right, sp.parent, tau,
+                                     brate)
     brate = state.trait.brate
     tlogl = state.trait.logl
     n_part, H = brate.shape

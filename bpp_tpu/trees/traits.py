@@ -203,18 +203,46 @@ def _postorder(st) -> np.ndarray:
 
 
 def make_trait_logl(st, data: tuple[TraitPartData, ...]):
-    """Returns ``trait_logl(tau, brate[n_part, H]) -> [n_part]`` jitted
-    over a FIXED species topology (traits are A00/A10-only, like the
-    reference: no trait terms in stree SPR/SNL)."""
+    """Returns ``trait_logl(tau, brate[n_part, H]) -> [n_part]`` for a
+    FIXED species topology (A00/A10 guide trees)."""
+    topo = make_trait_logl_topo(st.n_tips, st.n_nodes, data)
     left = jnp.asarray(st.left, jnp.int32)
     right = jnp.asarray(st.right, jnp.int32)
     parent = jnp.asarray(st.parent, jnp.int32)
-    porder = jnp.asarray(_postorder(st))
-    NS = st.n_tips
-    H = st.n_nodes
-    root = int(st.root)
 
-    def one_cont(tau, brate, part: TraitPartData):
+    def trait_logl(tau, brate):
+        return topo(left, right, parent, tau, brate)
+
+    return trait_logl
+
+
+def make_trait_logl_topo(NS: int, H: int, data: tuple[TraitPartData, ...]):
+    """Returns ``trait_logl(left, right, parent, tau, brate) ->
+    [n_part]`` over a DEVICE-side species topology — the form the
+    species-tree SPR/SNL moves re-score inside their lnacceptance
+    (stree.c:727-736 subtracts trait_old_logl and adds
+    loglikelihood_trait on the proposed tree).
+
+    The post-order is derived on device: inner nodes sorted by tau
+    ascending (children are never older), depth-descending tie-break
+    for collapsed taus.  H is tiny (<= 2*NS - 1), so the per-node
+    dynamic indexing is negligible.
+    """
+
+    def derive(left, right, parent, tau):
+        root = jnp.argmin(parent).astype(jnp.int32)   # unique parent == -1
+        # depth via pointer-chase (H small; static unroll)
+        depth = jnp.zeros((H,), jnp.int32)
+        p = parent
+        for _ in range(H):
+            depth = depth + (p >= 0)
+            p = jnp.where(p >= 0, parent[jnp.maximum(p, 0)], p)
+        is_inner = left >= 0
+        key_tau = jnp.where(is_inner, tau, jnp.inf)
+        porder = jnp.lexsort((-depth, key_tau))[: NS - 1].astype(jnp.int32)
+        return porder, root
+
+    def one_cont(left, right, parent, porder, root, tau, brate, part):
         p = part.m_tip.shape[1]
         partau = jnp.where(parent >= 0, tau[jnp.maximum(parent, 0)], tau)
         vk = (partau - tau) * brate
@@ -241,7 +269,7 @@ def make_trait_logl(st, data: tuple[TraitPartData, ...]):
             body, (m, brlen, jnp.zeros((), tau.dtype)), porder)
         return logl
 
-    def one_disc(tau, brate, part: TraitPartData):
+    def one_disc(left, right, parent, porder, root, tau, brate, part):
         K = part.kmax
         nchar = part.tipprob.shape[1]
         ks = jnp.arange(2, K + 1)                       # [K-1] state counts
@@ -299,13 +327,19 @@ def make_trait_logl(st, data: tuple[TraitPartData, ...]):
         return jnp.sum(jnp.log(jnp.maximum(prob, 1e-300))
                        - jnp.log(jnp.maximum(1.0 - pc, 1e-300)))
 
-    def trait_logl(tau, brate):
+    def trait_logl(left, right, parent, tau, brate):
+        left = left.astype(jnp.int32)
+        right = right.astype(jnp.int32)
+        parent = parent.astype(jnp.int32)
+        porder, root = derive(left, right, parent, tau)
         vals = []
         for n, part in enumerate(data):
             if part.dtype == "cont":
-                vals.append(one_cont(tau, brate[n], part))
+                vals.append(one_cont(left, right, parent, porder, root,
+                                     tau, brate[n], part))
             else:
-                vals.append(one_disc(tau, brate[n], part))
+                vals.append(one_disc(left, right, parent, porder, root,
+                                     tau, brate[n], part))
         return jnp.stack(vals)
 
     return trait_logl

@@ -87,3 +87,27 @@ def test_linked_columns(tmp_path):
     # only the root column; BPP numbers the root NS+1 = 5 (preorder)
     assert len(th_cols) == 1 and th_cols[0].startswith("theta:5:")
     w.close()
+
+
+@pytest.mark.smoke
+def test_linked_theta_a01_species_search():
+    """thetamodel = linked-all under A01 species-tree search (the
+    reference supports this, verified 4.8.7 round 4): the owner map is
+    node-index-class based so SPR/SNL topology changes keep it valid;
+    all thetas stay equal through the chain."""
+    import jax
+
+    from bpp_tpu.mcmc.driver import Engine
+    from bpp_tpu.testing import synthetic_run
+
+    run = synthetic_run(n_loci=4, n_seq=5, n_species=4, seed=2,
+                        est_stree=True, linked_theta=1)
+    run.cfg = run.cfg.replace(dtype="float32")
+    eng = Engine(run, seed=5)
+    state = eng.init_state()
+    state, stats = eng.chunk_step(state, jax.random.PRNGKey(1), 120)
+    th = np.asarray(state.sp.theta)
+    assert np.allclose(th, th[0]), th         # one linked parameter
+    from bpp_tpu.mcmc.state import MV_SSPR, MV_THETA
+    assert np.asarray(stats)[MV_THETA][1] > 0
+    assert eng.validate_state(state)

@@ -230,3 +230,117 @@ def test_mcmc_rj_with_traits(tmp_path):
     from bpp_tpu.mcmc.state import MV_RJ
     prop, acc = np.asarray(stats)[MV_RJ]
     assert prop > 0 and acc > 0       # delimitation moves across models
+
+
+def test_trait_fn_topo_matches_fixed():
+    """The topology-parametric trait likelihood equals the fixed-tree
+    closure on the same (topology, tau, brate)."""
+    from bpp_tpu.testing import synthetic_species_tree
+    from bpp_tpu.trees.traits import (
+        build_trait_data, make_trait_logl, make_trait_logl_topo,
+        parse_traitfile,
+    )
+
+    rng = np.random.default_rng(3)
+    st = synthetic_species_tree(4, rng)
+    txt = ("4 3 C 1.0 0.0\n"
+           + "\n".join(f"{n} " + " ".join(f"{v:.3f}" for v in
+                       rng.normal(size=3)) for n in st.names)
+           + "\n\n4 2 D\n"
+           + "\n".join(f"{n} {rng.integers(0, 2)} {rng.integers(0, 3)}"
+                       for n in st.names) + "\n")
+    data = build_trait_data(parse_traitfile_text(txt), st, jnp.float64)
+    fixed = make_trait_logl(st, data)
+    topo = make_trait_logl_topo(st.n_tips, st.n_nodes, data)
+    tau = jnp.asarray(st.tau, jnp.float64)
+    brate = jnp.asarray(rng.uniform(0.5, 2.0, (2, st.n_nodes)))
+    a = fixed(tau, brate)
+    b = topo(jnp.asarray(st.left), jnp.asarray(st.right),
+             jnp.asarray(st.parent), tau, brate)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
+def parse_traitfile_text(txt):
+    from bpp_tpu.trees.traits import parse_traitfile
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".txt",
+                                     delete=False) as f:
+        f.write(txt)
+        path = f.name
+    return parse_traitfile(path)
+
+
+@pytest.mark.smoke
+def test_traits_a01_species_tree_search(tmp_path):
+    """A01 + traitfile (VERDICT r3 missing #4): the species SPR/SNL
+    re-score the trait likelihood on the proposed topology
+    (stree.c:727-736 analog), the trait cache stays consistent, and a
+    strong continuous-trait signal pulls the topology posterior toward
+    the trait-favored tree."""
+    import textwrap
+
+    # 4 taxa; traits put A,B very close and C,D very close -> the
+    # trait likelihood strongly favors ((A,B),(C,D)) groupings
+    tf = tmp_path / "t.txt"
+    # small population variance (0.02): the between-species BM
+    # component dominates, so the trait signal discriminates topologies
+    tf.write_text(
+        "4 4 C 0.02 0.0\n"
+        "A 1.0 1.1 0.9 1.0\nB 1.05 1.0 0.95 1.02\n"
+        "C -1.0 -1.1 -0.9 -1.0\nD -1.02 -1.0 -0.94 -1.05\n")
+    (tmp_path / "d.txt").write_text(
+        "\n".join(["4 24"] + [f"{s}^{s.lower()}1 " + "A" * 24
+                              for s in "ABCD"]) + "\n\n")
+    (tmp_path / "d.imap").write_text(
+        "".join(f"{s.lower()}1\t{s}\n" for s in "ABCD"))
+    ctl = textwrap.dedent(f"""\
+        seed = 5
+        seqfile = {tmp_path / 'd.txt'}
+        Imapfile = {tmp_path / 'd.imap'}
+        jobname = out
+        speciestree = 1 0
+        species&tree = 4 A B C D
+                       1 1 1 1
+                       ((A,C),(B,D));
+        usedata = 0
+        nloci = 1
+        thetaprior = gamma 2 200
+        tauprior = gamma 2 100
+        traitfile = {tf}
+        finetune = 1
+        burnin = 200
+        sampfreq = 2
+        nsample = 300
+    """)
+    from bpp_tpu.io.ctl import parse_ctl_lines
+    from bpp_tpu.loader import load_run
+    cfg = parse_ctl_lines(ctl.splitlines())
+    run = load_run(cfg)
+    eng = Engine(run, seed=3)
+    assert eng.ctx.trait_fn_topo is not None and eng.ctx.trait_fn is None
+    state = eng.init_state()
+    state, stats = eng.chunk_step(state, jax.random.PRNGKey(2), 500)
+    # trait cache consistent through accepted SPR/SNL topology changes
+    sp = state.sp
+    want = eng.ctx.trait_fn_topo(sp.left, sp.right, sp.parent, sp.tau,
+                                 state.trait.brate)
+    np.testing.assert_allclose(np.asarray(state.trait.logl),
+                               np.asarray(want), rtol=1e-6, atol=1e-6)
+    # species SPR accepted at least once (start topology disagrees with
+    # the trait signal, so moves must fire to escape it)
+    from bpp_tpu.mcmc.state import MV_SSPR
+    assert np.asarray(stats)[MV_SSPR][1] > 0
+    # the AB clade (trait-favored) must appear in the final tree with
+    # data-free sequences: the trait likelihood dominates
+    names = run.stree.names
+    left = np.asarray(sp.left)
+    right = np.asarray(sp.right)
+    clades = []
+    for h in range(run.stree.n_tips, run.stree.n_nodes):
+        def tips_under(i):
+            if left[i] < 0:
+                return {names[i]}
+            return tips_under(left[i]) | tips_under(right[i])
+        clades.append(frozenset(tips_under(h)))
+    assert frozenset({"A", "B"}) in clades or \
+        frozenset({"C", "D"}) in clades, clades
