@@ -145,3 +145,71 @@ def test_geneflow_mcmc_output_zeroes_inactive_routes(tmp_path):
     # prior occupancy is 1/4 per model: plenty of off samples expected
     assert (vals == 0).any(), "no zero W samples: inactive routes not zeroed"
     assert (vals > 0).any()
+
+
+@pytest.mark.slow
+def test_geneflow_conditional_matches_fixed_route(tmp_path):
+    """rj conditional posteriors == fixed-route posteriors (in-house
+    version of the reference cross-check, VALIDATION.md round 4): the
+    chain's samples restricted to the all-on model must match a run
+    with both routes permanently on — same data, same priors.  The
+    full 4-model reference-binary comparison lives in
+    scratch/geneflow_xcheck.py + VALIDATION.md."""
+    from bpp_tpu.sim.simulate import run_simulation
+
+    sim = f"""\
+seed = 77
+seqfile = {tmp_path}/gf.phy
+treefile = {tmp_path}/gf.tre
+Imapfile = {tmp_path}/Imap.txt
+species&tree = 2 A B
+                 4 4
+                (A #0.01, B #0.01) :0.015 #0.02;
+migration = 1
+  A B 1.5
+loci&length = 12 300
+model = 0
+"""
+    (tmp_path / "sim.ctl").write_text(sim)
+    run_simulation(str(tmp_path / "sim.ctl"))
+    base = f"""\
+seed = 101
+seqfile = {tmp_path}/gf.phy
+Imapfile = {tmp_path}/Imap.txt
+jobname = {tmp_path}/out
+species&tree = 2 A B
+                 4 4
+                (A, B);
+usedata = 1
+nloci = 12
+thetaprior = invgamma 3 0.03
+tauprior = invgamma 3 0.03
+wprior = 2 2
+finetune = 1
+burnin = 1500
+sampfreq = 1
+nsample = 9000
+"""
+    rj_ctl = base + "geneflow = 1\nmigration = 2\n  A B\n  B A\n"
+    fx_ctl = base + "migration = 2\n  A B\n  B A\n"
+    cfg_rj = parse_ctl_lines(rj_ctl.strip().splitlines())
+    cfg_fx = parse_ctl_lines(fx_ctl.strip().splitlines())
+    eng1 = Engine(load_run(cfg_rj), seed=19)
+    log1 = eng1.run_mcmc(progress_every=0)
+    eng2 = Engine(load_run(cfg_fx), seed=29)
+    log2 = eng2.run_mcmc(progress_every=0)
+    M1 = np.stack(log1.migM)
+    sel = (M1 > 0).all(1)
+    assert sel.sum() > 500, sel.sum()          # all-on occupancy
+    th1 = np.stack(log1.theta)[sel]
+    th2 = np.stack(log2.theta)
+
+    def se(x, nb=16):
+        n = len(x) // nb * nb
+        return x[:n].reshape(nb, -1).mean(1).std(ddof=1) / np.sqrt(nb)
+
+    for j in range(3):
+        tol = 4 * np.hypot(se(th1[:, j]), se(th2[:, j])) \
+            + 0.08 * abs(th2[:, j].mean())
+        assert abs(th1[:, j].mean() - th2[:, j].mean()) < tol, \
+            (j, th1[:, j].mean(), th2[:, j].mean(), tol)
