@@ -361,18 +361,11 @@ class Engine:
 
         theta_link = None
         if cfg.linked_theta:
-            if cfg.est_delimit:
-                # the reference supports this (rjMCMC split/join share
-                # the master theta, prop_rj.c:606); our rj theta-split
-                # machinery is not linkage-aware yet — honest gap
+            if (cfg.est_stree or cfg.est_delimit) \
+                    and cfg.linked_theta not in (1, 2):
                 raise NotImplementedError(
-                    "thetamodel (linked thetas) with rjMCMC species "
-                    "delimitation is not yet supported (the rj "
-                    "split/join theta draws are not linkage-aware)")
-            if cfg.est_stree and cfg.linked_theta not in (1, 2):
-                raise NotImplementedError(
-                    "species-tree search supports thetamodel = "
-                    "linked-all / linked-inner only")
+                    "species-tree search / delimitation support "
+                    "thetamodel = linked-all / linked-inner only")
             # est_stree (A01) with linked-all/linked-inner is safe: the
             # owner map is defined by node-index CLASSES (tips vs inner)
             # and the root, none of which the SPR/SNL topology moves

@@ -189,12 +189,24 @@ def rj_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key, root_age0,
             theta2 = sp.theta
         else:
             th_h = sp.theta[h]
+            lc, rc = sp.left[h], sp.right[h]
             th_l, f_l = _child_theta_split(cfg, k_thl, th_h)
             th_r, f_r = _child_theta_split(cfg, k_thr, th_h)
-            lnacc += (_theta_prior_logpdf(cfg, th_l)
-                      + _theta_prior_logpdf(cfg, th_r) + f_l + f_r)
-            theta2 = sp.theta.at[sp.left[h]].set(
-                th_l).at[sp.right[h]].set(th_r)
+            fac_l = _theta_prior_logpdf(cfg, th_l) + f_l
+            fac_r = _theta_prior_logpdf(cfg, th_r) + f_r
+            if ctx.theta_link is not None:
+                # linked children carry no theta parameter of their
+                # own: they take the owner's value, with no prior or
+                # proposal factor (prop_rj.c:606 master indirection)
+                link = ctx.theta_link
+                linked_l = link[lc] != lc
+                linked_r = link[rc] != rc
+                th_l = jnp.where(linked_l, sp.theta[link[lc]], th_l)
+                th_r = jnp.where(linked_r, sp.theta[link[rc]], th_r)
+                fac_l = jnp.where(linked_l, 0.0, fac_l)
+                fac_r = jnp.where(linked_r, 0.0, fac_r)
+            lnacc += fac_l + fac_r
+            theta2 = sp.theta.at[lc].set(th_l).at[rc].set(th_r)
 
         lnacc += jnp.where(
             h_is_root, _tau_prior_logpdf(cfg, tau_new),
@@ -225,11 +237,20 @@ def rj_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key, root_age0,
             bad_l = bad_r = jnp.zeros((), bool)
         else:
             th_h = sp.theta[h]
-            f_l, bad_l = _child_theta_join(cfg, sp.theta[sp.left[h]], th_h)
-            f_r, bad_r = _child_theta_join(cfg, sp.theta[sp.right[h]], th_h)
-            lnacc += (f_l + f_r
-                      - _theta_prior_logpdf(cfg, sp.theta[sp.left[h]])
-                      - _theta_prior_logpdf(cfg, sp.theta[sp.right[h]]))
+            lc, rc = sp.left[h], sp.right[h]
+            f_l, bad_l = _child_theta_join(cfg, sp.theta[lc], th_h)
+            f_r, bad_r = _child_theta_join(cfg, sp.theta[rc], th_h)
+            fac_l = f_l - _theta_prior_logpdf(cfg, sp.theta[lc])
+            fac_r = f_r - _theta_prior_logpdf(cfg, sp.theta[rc])
+            if ctx.theta_link is not None:
+                link = ctx.theta_link
+                linked_l = link[lc] != lc
+                linked_r = link[rc] != rc
+                fac_l = jnp.where(linked_l, 0.0, fac_l)
+                fac_r = jnp.where(linked_r, 0.0, fac_r)
+                bad_l = bad_l & ~linked_l
+                bad_r = bad_r & ~linked_r
+            lnacc += fac_l + fac_r
 
         lnacc -= jnp.where(
             h_is_root, _tau_prior_logpdf(cfg, tau_old),

@@ -194,7 +194,7 @@ def generate_hm_oracle_case(out_dir: str):
     2 species, one A->B route, 8 loci x 2 sequences (one per species),
     JC69, per-locus heredity from file — the pairwise coalescent-time
     density is closed-form, so the exact posterior is computable by
-    quadrature (scratch/hm_oracle.py; oracle posterior means with
+    quadrature (scripts/hm_oracle.py; oracle posterior means with
     nq=36/nt=600 Gauss-Legendre: theta_A 0.020072, theta_AB 0.016726,
     tau 0.018986, W 0.985400).  Deterministic (seed 20260820).
     """

@@ -154,7 +154,7 @@ def test_geneflow_conditional_matches_fixed_route(tmp_path):
     chain's samples restricted to the all-on model must match a run
     with both routes permanently on — same data, same priors.  The
     full 4-model reference-binary comparison lives in
-    scratch/geneflow_xcheck.py + VALIDATION.md."""
+    scripts/geneflow_xcheck.py + VALIDATION.md."""
     from bpp_tpu.sim.simulate import run_simulation
 
     sim = f"""\

@@ -5,7 +5,7 @@ reference under heredity x migration (VALIDATION.md round 3) is
 settled by a closed-form oracle: 2 species, one A->B route, 2
 sequences per locus, per-locus heredity scalars — the pairwise
 coalescent-time density is analytic and the exact posterior follows by
-4-D Gauss-Legendre quadrature (scratch/hm_oracle.py).
+4-D Gauss-Legendre quadrature (scripts/hm_oracle.py).
 
 Oracle posterior means (nq=36, nt=600; stable to <0.3% vs nq=24):
   theta_A 0.020072 | theta_AB 0.016726 | tau 0.018986 | W 0.985400

@@ -111,3 +111,41 @@ def test_linked_theta_a01_species_search():
     from bpp_tpu.mcmc.state import MV_SSPR, MV_THETA
     assert np.asarray(stats)[MV_THETA][1] > 0
     assert eng.validate_state(state)
+
+
+@pytest.mark.slow
+def test_linked_theta_a10_delimitation_prior():
+    """thetamodel = linked-all under A10 rjMCMC (reference supports it,
+    verified 4.8.7 round 4; prop_rj.c:606 master indirection).  Theta
+    linkage must not change the DELIMITATION prior: with usedata = 0
+    the P(#species) marginals must match the unlinked run, and all
+    thetas stay equal through split/join dimension changes."""
+    import jax
+
+    from bpp_tpu.mcmc.driver import Engine
+    from bpp_tpu.testing import synthetic_run
+
+    # the prior-chain rj occupancy mixes slowly (seed-to-seed spread
+    # ~0.1 at 12000 samples); pool 2 seeds per mode — pooled linked vs
+    # plain agreed to 0.017 when calibrated (2026-08-21)
+    occ = {}
+    for name, lk in (("linked", 1), ("plain", 0)):
+        pooled = []
+        for seed in (17, 99):
+            run = synthetic_run(n_loci=3, n_seq=5, n_species=4, seed=4,
+                                est_delimit=True, linked_theta=lk,
+                                usedata=False)
+            run.cfg = run.cfg.replace(dtype="float64", burnin=1000,
+                                      nsample=12000, sampfreq=1)
+            eng = Engine(run, seed=seed)
+            log = eng.run_mcmc(progress_every=0)
+            tau = np.stack(log.tau)
+            NS = eng.run.stree.n_tips
+            pooled.append(1 + (tau[:, NS:] > 0).sum(1))
+            if lk:
+                # every sampled state keeps one shared theta
+                th = np.stack(log.theta)
+                assert np.allclose(th, th[:, :1]), th[:5]
+        nsp = np.concatenate(pooled)
+        occ[name] = np.array([(nsp == k).mean() for k in range(1, NS + 1)])
+    assert np.abs(occ["linked"] - occ["plain"]).max() < 0.10, occ
