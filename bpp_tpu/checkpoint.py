@@ -48,6 +48,57 @@ def save_checkpoint(path, state, key, it, stats_acc, *, cfg_text,
                         __ctl__=cfg_text, **arrays)
 
 
+def save_checkpoint_multi(path, states, key, it, stats_acc, logs, *,
+                          cfg_text, seed):
+    """Chain-batch (chains = K) checkpoint: the stacked state pytree
+    plus the accumulated per-chain sample history (the batch writes its
+    mcmc files only at the end of the run, so carrying the history in
+    the checkpoint gives exactly-once output with no offset
+    truncation)."""
+    meta = {
+        "version": FORMAT_VERSION,
+        "it": int(it),
+        "seed": int(seed),
+        "mcmc_offset": 0,
+        "multichain": len(logs),
+        "extra": {},
+    }
+    arrays = _flatten_state(states)
+    arrays["prng_key"] = np.asarray(key)
+    arrays["stats_acc"] = np.asarray(stats_acc)
+    if logs[0].gen:
+        arrays["log_gen"] = np.asarray(logs[0].gen)
+        arrays["log_theta"] = np.stack(
+            [np.stack(lg.theta) for lg in logs])
+        arrays["log_tau"] = np.stack([np.stack(lg.tau) for lg in logs])
+        arrays["log_lnl"] = np.asarray([lg.lnL for lg in logs])
+        arrays["log_logpr"] = np.asarray([lg.logpr for lg in logs])
+        if logs[0].phi:
+            arrays["log_phi"] = np.stack(
+                [np.stack(lg.phi) for lg in logs])
+    np.savez_compressed(path, __meta__=json.dumps(meta),
+                        __ctl__=cfg_text, **arrays)
+
+
+def restore_logs(arrays, n_chains, make_log):
+    """Rebuild the per-chain SampleLog list stored by
+    :func:`save_checkpoint_multi` (``make_log`` constructs an empty
+    log, keeping this module free of driver imports)."""
+    logs = [make_log() for _ in range(n_chains)]
+    if "log_gen" not in arrays:
+        return logs
+    gens = arrays["log_gen"]
+    for c, lg in enumerate(logs):
+        lg.gen = [int(g) for g in gens]
+        lg.theta = list(arrays["log_theta"][c])
+        lg.tau = list(arrays["log_tau"][c])
+        lg.lnL = [float(x) for x in arrays["log_lnl"][c]]
+        lg.logpr = [float(x) for x in arrays["log_logpr"][c]]
+        if "log_phi" in arrays:
+            lg.phi = list(arrays["log_phi"][c])
+    return logs
+
+
 def load_checkpoint(path):
     z = np.load(path, allow_pickle=False)
     meta = json.loads(str(z["__meta__"]))

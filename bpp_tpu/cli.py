@@ -146,7 +146,8 @@ def cmd_run(args) -> int:
 
     mcmc_path = cfg.mcmcfile or f"{cfg.jobname}.mcmc.txt"
     if cfg.n_chains > 1:
-        return _run_multichain(args, cfg, run, eng, mcmc_path, is_main)
+        return _run_multichain(args, cfg, run, eng, mcmc_path, is_main,
+                               cfg_text)
     if args.resume:
         # exactly-once logging: truncate to the checkpointed offset
         ckpt.truncate_file(mcmc_path, meta["mcmc_offset"])
@@ -408,31 +409,75 @@ def cmd_run(args) -> int:
     return 0
 
 
-def _run_multichain(args, cfg, run, eng, mcmc_path, is_main) -> int:
+def _run_multichain(args, cfg, run, eng, mcmc_path, is_main,
+                    cfg_text="") -> int:
     """``chains = K``: K replicate chains batched on one chip (vmap over
     the chain axis — OUR extension; the reference runs one chain,
     method.c:5343).  Chain 1 writes the normal mcmc file, chains 2..K
     write ``<jobname>.c<k>.mcmc.txt``; the summary pools all chains and
-    a between-chain split-R-hat table is reported."""
+    a between-chain split-R-hat table is reported.  Supports A00 and
+    A10 delimitation (the posterior that most needs replicate-chain
+    diagnostics), plus checkpoint/resume of the whole batch."""
     import time as _time
 
     import numpy as np
 
+    from . import checkpoint as ckpt
+    from .config import Clock
     from .output import McmcWriter
     from .summary.allfixed import format_summary, split_rhat, summary_table
 
     K = cfg.n_chains
-    if cfg.est_stree or cfg.est_delimit:
-        print("chains > 1 currently supports A00 parameter estimation "
-              "only (fixed species tree)", file=sys.stderr)
+    if cfg.est_stree:
+        print("chains > 1 supports A00/A10 (fixed guide tree); species-"
+              "tree search logs newick traces the chain batch does not "
+              "carry yet", file=sys.stderr)
         return 1
-    if args.resume or cfg.checkpoint or cfg.check_every:
-        print("chains > 1 cannot be combined with resume/checkpoint/"
-              "check (run chains = 1 for those)", file=sys.stderr)
+    if cfg.check_every:
+        print("chains > 1 cannot be combined with check = N "
+              "(run chains = 1 for the validation mode)", file=sys.stderr)
         return 1
+    if cfg.clock != Clock.GLOBAL:
+        # SampleLog does not carry the nu/branch-rate columns; a chain
+        # batch would silently log 'nan' clock columns
+        print("chains > 1 does not support relaxed clocks yet "
+              "(clock = 1 only)", file=sys.stderr)
+        return 1
+    resume_state = None
+    if args.resume:
+        import jax
+
+        from .mcmc.driver import SampleLog
+        meta, ctl_text, arrays = ckpt.load_checkpoint(args.resume)
+        if meta.get("multichain") != K:
+            print(f"checkpoint holds {meta.get('multichain')} chains, "
+                  f"ctl wants {K}", file=sys.stderr)
+            return 1
+        template = eng.init_states(K)
+        states = ckpt.restore_state(template, arrays)
+        key = jax.numpy.asarray(arrays["prng_key"])
+        logs0 = ckpt.restore_logs(arrays, K, SampleLog)
+        resume_state = (states, key, meta["it"], arrays["stats_acc"],
+                        logs0)
+    chk_path = f"{cfg.jobname}.chk.npz"
+
+    def on_checkpoint(states, key, it, stats_acc, logs):
+        ckpt.save_checkpoint_multi(
+            chk_path, states, key, it, stats_acc, logs,
+            cfg_text=cfg_text, seed=eng.seed)
+        if not args.quiet:
+            print(f"  checkpoint -> {chk_path} (it {it}, {K} chains)",
+                  file=sys.stderr)
+
     t0 = _time.time()
-    logs = eng.run_mcmc_multi(K, progress_every=0 if args.quiet else 1000)
+    logs = eng.run_mcmc_multi(
+        K, progress_every=0 if args.quiet else 1000, resume=resume_state,
+        on_checkpoint=on_checkpoint if cfg.checkpoint else None)
     wall = _time.time() - t0
+    if not is_main:
+        # --multihost: replicas run the same batch (same RNG keys);
+        # only process 0 writes the mcmc/summary files
+        return 0
     writers = []
     for c in range(K):
         path = mcmc_path if c == 0 else f"{cfg.jobname}.c{c+1}.mcmc.txt"
@@ -464,6 +509,23 @@ def _run_multichain(args, cfg, run, eng, mcmc_path, is_main) -> int:
              f"Between-chain split-R-hat over {K} chains "
              "(values near 1 = converged):"]
     lines += [f"  {k:<12s} {v:8.4f}" for k, v in rhat.items()]
+    if cfg.est_delimit:
+        # pooled delimitation posterior + per-chain P(#species) spread
+        # (the replicate-chain diagnostic the rjMCMC posterior needs)
+        from .summary.delimit_summary import (
+            format_a10_summary, n_species, summarize_delimitations,
+        )
+        tau_pool = np.concatenate([np.stack(lg.tau) for lg in logs])
+        models, nsp = summarize_delimitations(tau_pool, run.stree)
+        lines += ["", format_a10_summary(models, nsp, len(tau_pool),
+                                         run.stree)]
+        lines += ["Per-chain P(#species):"]
+        for c, lg in enumerate(logs):
+            ns = np.asarray([n_species(t, run.stree) for t in lg.tau])
+            probs = " ".join(
+                f"{k}:{float((ns == k).mean()):.3f}"
+                for k in range(1, run.stree.n_tips + 1))
+            lines.append(f"  chain {c + 1}: {probs}")
     lines += ["",
               f"{K} chains x {cfg.nsample} samples in {wall:.1f} s "
               f"({total_iters / wall:.1f} aggregate iters/s)"]

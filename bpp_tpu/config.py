@@ -194,6 +194,11 @@ class BppConfig:
     species: SpeciesTreeSpec | None = None
     phase: tuple[int, ...] = ()         # per-species unphased-diploid flags
     usedata: bool = True
+    # usedata = 2 (cfile.c:3131-3134 opt_usedata_fix_gtree): gene trees
+    # are frozen at their MSC-prior initialization, likelihood is off,
+    # and the gene-tree / tau / mixing moves are skipped — the standard
+    # conditional-validation mode for the theta/migration-rate samplers
+    usedata_fix_gtree: bool = False
     nloci: int | None = None
     cleandata: bool = False
 

@@ -199,9 +199,7 @@ def _perlocus_rows(order, left, right, efac, coefs, freqs, eigT, eigTi,
     lc = _onehot_gather(left.astype(dt), lev).astype(jnp.int32)
     rc = _onehot_gather(right.astype(dt), lev).astype(jnp.int32)
     # level-slot row of each child: tips keep their id, inner node ids
-    # map to T + (its position in the order)
-    pos_of = jnp.argsort(lev, axis=1)       # position of node T+i is
-    # pos_of[i] only if lev values are T..2T-2; compute directly:
+    # map to T + (its position in the order);
     # posk[l, n] = position of inner node (T+n) in lev
     inner_ids = lev - T                                       # [L, T-1] in 0..T-2
     posk = jnp.argsort(inner_ids, axis=1).astype(jnp.int32)   # [L, T-1]
@@ -236,10 +234,6 @@ def _perlocus_rows(order, left, right, efac, coefs, freqs, eigT, eigTi,
         # banded eigen entries: Ti band j at row k = Ti[k, (k+j)%4],
         # T band j at row a = T[a, (a+j)%4]
         a4 = jnp.arange(4)
-        bTi = eigTi.reshape(L, 4, 4)[:, a4[None, :].T * 0 + a4[:, None] * 0]
-        # simpler: advanced index with static index arrays
-        ridx = a4[None, :]                                    # rows
-        bands = [(ridx + j) % 4 for j in range(4)]
         bTi = jnp.stack(
             [eigTi.reshape(L, 4, 4)[:, a4, (a4 + j) % 4] for j in range(4)],
             axis=1)                                           # [L, 4(j), 4(k)]

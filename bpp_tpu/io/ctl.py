@@ -278,8 +278,17 @@ def _build_config(kw: dict) -> BppConfig:  # noqa: C901
     if v is not None:
         c["phase"] = tuple(int(t) for t in v.split())
 
-    for key, conv in [("usedata", lambda s: bool(int(s))),
-                      ("cleandata", lambda s: bool(int(s))),
+    v = pop("usedata")
+    if v is not None:
+        # cfile.c:3127-3135: 0 = prior only, 1 = with data, 2 = fix
+        # gene trees at their MSC-prior init (likelihood off)
+        u = int(v.split()[0])
+        if u not in (0, 1, 2):
+            raise ValueError("usedata expects 0, 1 or 2")
+        c["usedata"] = u == 1
+        c["usedata_fix_gtree"] = u == 2
+
+    for key, conv in [("cleandata", lambda s: bool(int(s))),
                       ("nloci", int), ("seed", lambda s: int(float(s))),
                       ("burnin", int), ("sampfreq", int), ("nsample", int),
                       ("scaling", lambda s: bool(int(s)))]:

@@ -268,13 +268,39 @@ class Engine:
                 "locusrate Dir prior cannot be combined with a relaxed "
                 "clock (matches the reference's cfile fatal); use the "
                 "Gamma-Dirichlet or hierarchical prior instead")
+        if cfg.usedata_fix_gtree and (cfg.est_stree or cfg.est_delimit):
+            # method.c:3279 fatal: "opt_usedata = 2 (fixing gene trees)
+            # works with MSC-A00, no gene flow, only"
+            raise NotImplementedError(
+                "usedata = 2 (fixed gene trees) works with A00 only "
+                "(method.c:3279)")
+        if cfg.usedata_fix_gtree and run.stree.n_hybrids > 0:
+            raise NotImplementedError(
+                "usedata = 2 (fixed gene trees) is not supported with "
+                "MSC-I networks (method.c:3279: MSC-A00 only)")
+        if cfg.usedata_fix_gtree and cfg.geneflow:
+            # method.c:3279: "... no gene flow, only" — the route rjMCMC
+            # would have to delete migration events living on the FIXED
+            # gene trees
+            raise NotImplementedError(
+                "usedata = 2 cannot be combined with geneflow route "
+                "rjMCMC (method.c:3279)")
         self.routes = None
         if cfg.migration:
             from ..trees import migration as mgmod
-            if cfg.est_stree or cfg.est_delimit:
+            if cfg.est_stree:
+                # cfile.c:2884 fatal: "Species tree estimation under
+                # the MSC-M model not available" (delimitation on a
+                # fixed guide tree IS available: prop_rj.c:599-656)
                 raise NotImplementedError(
-                    "migration currently requires a fixed species tree "
-                    "(A00)")
+                    "species-tree search (A01/A11) is not available "
+                    "under the MSC-M model (cfile.c:2884)")
+            if cfg.est_delimit and cfg.geneflow:
+                raise NotImplementedError(
+                    "geneflow route rjMCMC with species delimitation is "
+                    "not yet supported in bpp_tpu (the route windows "
+                    "change under a moving delimitation; fixed-route "
+                    "migration with A10 is supported)")
             if run.stree.n_hybrids > 0:
                 raise NotImplementedError(
                     "MSC-I networks cannot be combined with MSC-M "
@@ -399,12 +425,9 @@ class Engine:
             # trait likelihood is wired into tau/mixing/rj AND the
             # species SPR/SNL moves (the latter re-score the proposed
             # topology through trait_fn_topo, stree.c:727-736 analog);
-            # A11 would additionally need trait terms in the rj
-            # split/join on a changing topology — still blocked
-            if cfg.est_stree and cfg.est_delimit:
-                raise NotImplementedError(
-                    "traitfile with joint A11 inference is not yet "
-                    "supported (use A00, A01 or A10)")
+            # under A11 the rj split/join re-scores traits on the
+            # current sampled topology through trait_fn_topo
+            # (prop_rj.c:727-774 analog)
             if run.stree.n_hybrids > 0 or cfg.migration:
                 raise NotImplementedError(
                     "traits with MSC-I/MSC-M not yet supported")
@@ -446,8 +469,9 @@ class Engine:
             # ~10-40 loci per 256-lane tile; supersedes the per-locus
             # kernel for non-diploid DNA f32 runs (diploid resolution
             # maps and AA/custom models keep the other paths).  NOTE:
-            # pack arrays are not locus-sharded — multihost runs use
-            # the XLA path (CPU backend never builds tips_am).
+            # pack arrays are not locus-sharded — run_mcmc(mesh=...)
+            # drops the pack and rebuilds tips_am so mesh/multihost
+            # runs ride the locus-sharded paths.
             from ..core.pallas_pack import build_pack_layout
             pack = build_pack_layout(
                 np.asarray(tip_partials), batch.weights, batch.n_pat,
@@ -754,14 +778,17 @@ class Engine:
 
         # gene-tree moves: blocked full-recompute variants (see moves.py
         # "blocked" section — per-op overhead makes the full batched
-        # Felsenstein pass cheaper than one incremental path walk)
-        state, (p, a) = moves.age_block_move(ctx, cfg, state, keys[0])
-        stats = stats.at[MV_GTAGE].add(jnp.stack([p, a]))
+        # Felsenstein pass cheaper than one incremental path walk).
+        # usedata = 2 freezes the gene trees (method.c:5490,5524 skip
+        # the age/SPR moves under opt_usedata_fix_gtree)
+        if not cfg.usedata_fix_gtree:
+            state, (p, a) = moves.age_block_move(ctx, cfg, state, keys[0])
+            stats = stats.at[MV_GTAGE].add(jnp.stack([p, a]))
 
-        for r in range(3):
-            state, (p, a) = moves.spr_round_move(
-                ctx, cfg, state, jax.random.fold_in(keys[1], r))
-            stats = stats.at[MV_GTSPR].add(jnp.stack([p, a]))
+            for r in range(3):
+                state, (p, a) = moves.spr_round_move(
+                    ctx, cfg, state, jax.random.fold_in(keys[1], r))
+                stats = stats.at[MV_GTSPR].add(jnp.stack([p, a]))
 
         if not cfg.theta_integrated:
             state, (p, a) = moves.theta_move(ctx, cfg, state, keys[2])
@@ -778,14 +805,18 @@ class Engine:
             state, (p, a) = msci_moves.phi_gibbs_move(
                 ctx, cfg, state, jax.random.fold_in(keys[3], 2))
             stats = stats.at[MV_PHI].add(jnp.stack([p, a]))
-        else:
+        elif not cfg.usedata_fix_gtree:
+            # tau rubber band rescales gene-node ages, so usedata = 2
+            # holds the taus fixed too (method.c:5572-5574)
             state, (p, a) = moves.tau_move(ctx, cfg, state, keys[3])
             stats = stats.at[MV_TAU].add(jnp.stack([p, a]))
 
         # mixing is incompatible with fixed tip dates (method.c:5600
-        # skips it under opt_datefile); the mubar move fills the
-        # global-rescaling role there (method.c:5777)
-        if ctx.tip_dates is None:
+        # skips it under opt_datefile AND opt_usedata_fix_gtree); the
+        # mubar move fills the global-rescaling role there
+        if cfg.usedata_fix_gtree:
+            pass
+        elif ctx.tip_dates is None:
             state, (p, a) = moves.mixing_move(ctx, cfg, state, keys[4])
             stats = stats.at[MV_MIX].add(jnp.stack([p, a]))
         else:
@@ -870,26 +901,38 @@ class Engine:
         if ctx is None:
             ctx = self.ctx
 
-        state, (p, a) = mig_moves.age_block_mig(ctx, cfg, routes, state,
-                                                keys[0])
-        stats = stats.at[MV_GTAGE].add(jnp.stack([p, a]))
+        # move #0a: rjMCMC split/join under the IM model (A10 x MSC-M;
+        # method.c:5420-5435 with prop_rj.c's migration-aware density)
+        if cfg.est_delimit:
+            from . import rj_moves
+            state, (p, a) = rj_moves.rj_move(ctx, cfg, state, keys[9],
+                                             self.root_age0, routes=routes)
+            stats = stats.at[MV_RJ].add(jnp.stack([p, a]))
 
-        state, (p, a) = mig_moves.migevent_age_move(
-            ctx, cfg, routes, state, jax.random.fold_in(keys[0], 1))
-        stats = stats.at[MV_MIG_AGES].add(jnp.stack([p, a]))
+        # usedata = 2 freezes gene trees, migration-event ages and taus
+        # (method.c:5490,5515,5524,5572 skip under opt_usedata_fix_gtree)
+        if not cfg.usedata_fix_gtree:
+            state, (p, a) = mig_moves.age_block_mig(ctx, cfg, routes, state,
+                                                    keys[0])
+            stats = stats.at[MV_GTAGE].add(jnp.stack([p, a]))
 
-        for r in range(3):
-            state, (p, a) = mig_moves.spr_sim_move(
-                ctx, cfg, routes, state, jax.random.fold_in(keys[1], r))
-            stats = stats.at[MV_GTSPR].add(jnp.stack([p, a]))
+            state, (p, a) = mig_moves.migevent_age_move(
+                ctx, cfg, routes, state, jax.random.fold_in(keys[0], 1))
+            stats = stats.at[MV_MIG_AGES].add(jnp.stack([p, a]))
+
+            for r in range(3):
+                state, (p, a) = mig_moves.spr_sim_move(
+                    ctx, cfg, routes, state, jax.random.fold_in(keys[1], r))
+                stats = stats.at[MV_GTSPR].add(jnp.stack([p, a]))
 
         state, (p, a) = mig_moves.theta_move_mig(ctx, cfg, routes, state,
                                                  keys[2])
         stats = stats.at[MV_THETA].add(jnp.stack([p, a]))
 
-        state, (p, a) = mig_moves.tau_move_mig(ctx, cfg, routes, state,
-                                               keys[3])
-        stats = stats.at[MV_TAU].add(jnp.stack([p, a]))
+        if not cfg.usedata_fix_gtree:
+            state, (p, a) = mig_moves.tau_move_mig(ctx, cfg, routes, state,
+                                                   keys[3])
+            stats = stats.at[MV_TAU].add(jnp.stack([p, a]))
 
         state, (p, a) = mig_moves.migrate_move(
             ctx, cfg, routes, state, jax.random.fold_in(keys[3], 1))
@@ -906,9 +949,10 @@ class Engine:
                 ctx, cfg, routes, state, jax.random.fold_in(keys[3], 3))
             stats = stats.at[MV_MIGRATES].add(jnp.stack([p, a]))
 
-        state, (p, a) = mig_moves.mixing_mig(ctx, cfg, routes, state,
-                                             keys[4])
-        stats = stats.at[MV_MIX].add(jnp.stack([p, a]))
+        if not cfg.usedata_fix_gtree:
+            state, (p, a) = mig_moves.mixing_mig(ctx, cfg, routes, state,
+                                                 keys[4])
+            stats = stats.at[MV_MIX].add(jnp.stack([p, a]))
 
         # move #10: geneflow rjMCMC — flip then add/remove
         # (method.c:5658-5695 order)
@@ -1168,6 +1212,16 @@ class Engine:
         if mesh is not None:
             from ..parallel.multihost import shard_global_pytree
             L = int(self.ctx.locus_mask.shape[0])
+            if self.ctx.pack is not None:
+                # pack arrays have no leading-L axis, so they cannot be
+                # locus-sharded; indexing them per locus would all-gather
+                # the dominant likelihood work onto every device.  Mesh
+                # runs drop the pack and ride the locus-sharded per-locus
+                # kernel / XLA path instead.
+                import dataclasses as _dc
+                self.ctx = _dc.replace(
+                    self.ctx, pack=None,
+                    tips_am=self._build_tips_am(self.ctx.tip_partials))
             # ctx rides into the jitted step as an argument, so global
             # (multi-process) sharded arrays are legal here
             self.ctx = shard_global_pytree(self.ctx, mesh, L)
@@ -1321,20 +1375,38 @@ class Engine:
             states, keys)
 
     def run_mcmc_multi(self, n_chains: int, progress_every: int = 1000,
-                       log_fp=None):
+                       log_fp=None, resume=None, on_checkpoint=None):
         """Run K chains batched on one chip; returns a list of K
         SampleLogs.  Per-chain finetune auto-tuning mirrors the
-        single-chain schedule; per-locus sample callbacks, checkpoints
-        and the check mode are single-chain features (use chains = 1)."""
+        single-chain schedule; per-locus sample callbacks and the check
+        mode are single-chain features (use chains = 1).
+
+        ``resume = (states, key, it, stats_acc, logs)`` continues a
+        batch from a checkpoint; ``on_checkpoint(states, key, it,
+        stats_acc, logs)`` fires at the ctl-scheduled generations —
+        the batch's sample history rides in the checkpoint (files are
+        only written at the end of the run, so exactly-once output
+        needs no offset truncation here)."""
         cfg = self.cfg
         if not hasattr(self, "_chunk_multi_jit"):
             self._chunk_multi_jit = jax.jit(self._chunk_multi,
                                             static_argnums=2)
-        states = self.init_states(n_chains)
-        key = jax.random.PRNGKey(self.seed ^ 0x5eed)
-        it = -cfg.burnin
-        stats_acc = np.zeros((n_chains, N_MOVES, 2), np.float64)
-        logs = [SampleLog() for _ in range(n_chains)]
+        if resume is not None:
+            states, key, it, stats_acc, logs = resume
+            self.init_state()          # rebuilds host stree + root_age0
+            stats_acc = np.asarray(stats_acc, np.float64).copy()
+        else:
+            states = self.init_states(n_chains)
+            key = jax.random.PRNGKey(self.seed ^ 0x5eed)
+            it = -cfg.burnin
+            stats_acc = np.zeros((n_chains, N_MOVES, 2), np.float64)
+            logs = [SampleLog() for _ in range(n_chains)]
+        if cfg.checkpoint and on_checkpoint is not None:
+            ck_initial, ck_step = cfg.checkpoint
+            next_ck = [ck_initial if it < ck_initial else
+                       (it + ck_step if ck_step > 0 else (1 << 60))]
+        else:
+            next_ck = [1 << 60]
         total_burn = cfg.burnin
         total_main = cfg.nsample * cfg.sampfreq
         auto_ft = cfg.finetune.auto and total_burn >= 8
@@ -1345,7 +1417,13 @@ class Engine:
         t0 = time.time()
         last_print = [0]
         while it < total_main:
-            bounds = [m for m in marks if m > it] + [total_main]
+            # chunk boundaries: finetune marks AND the next checkpoint
+            # generation, so checkpoints land exactly at their scheduled
+            # gens (making resume bit-reproduce the uninterrupted run —
+            # the chunk sizes, hence the PRNG key chain, match)
+            bounds = [m for m in marks if m > it] \
+                + ([next_ck[0]] if it < next_ck[0] <= total_main else []) \
+                + [total_main]
             n = max(1, min(500, min(bounds) - it))
             key, sub = jax.random.split(key)
             states, stats, trace = self._chunk_multi_jit(
@@ -1386,6 +1464,10 @@ class Engine:
                         log.logpr.append(float(row["logpr"]))
                         if "phi" in row:
                             log.phi.append(np.asarray(row["phi"]))
+            if it >= next_ck[0]:
+                on_checkpoint(states, key, it, stats_acc, logs)
+                ck_step = cfg.checkpoint[1]
+                next_ck[0] = (it + ck_step) if ck_step > 0 else (1 << 60)
         return logs
 
     def _reset_finetune(self, state: McmcState, stats_acc) -> McmcState:

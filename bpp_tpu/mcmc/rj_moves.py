@@ -52,15 +52,20 @@ def _pick_uniform(key, mask):
     return idx.astype(jnp.int32), mask.sum()
 
 
-def _rubber_band(ctx: Ctx, state: McmcState, h, tau_from, tau_to, tau_upper):
-    """Age remap for split/join at node h; returns (age_new, lnterms [L])."""
+def _rubber_band(ctx: Ctx, state: McmcState, h, tau_from, tau_to, tau_upper,
+                 pops=None):
+    """Age remap for split/join at node h; returns (age_new, lnterms [L]).
+
+    ``pops``: precomputed population assignment (the migration-aware
+    one under MSC-M); defaults to the plain ancestry lift."""
     gt, sp = state.gt, state.sp
     L, N, T = gt.n_loci, gt.n_nodes, gt.n_tips
     lidx = jnp.arange(L)
     nodes_idx = jnp.arange(N)[None, :]
     dtype = gt.age.dtype
 
-    pops = assign_populations(gt, sp, ctx.tip_pop)
+    if pops is None:
+        pops = assign_populations(gt, sp, ctx.tip_pop)
     age = gt.age
     valid_inner = (nodes_idx >= T) & (nodes_idx < T + ctx.n_seq[:, None] - 1)
 
@@ -109,6 +114,39 @@ def _rubber_band(ctx: Ctx, state: McmcState, h, tau_from, tau_to, tau_upper):
     return age_new, lnterms
 
 
+def _remap_event_times(gt, age_new, mig, locus_mask):
+    """Per-edge linear remap of migration-event times after an age
+    remap; returns (mig_new, per-locus log-Jacobian [L]).
+
+    An event at time t on edge u -> parent(u) maps affinely between
+    the edge's old and new endpoint ages — the bijection that keeps
+    every event inside its (possibly rescaled) edge, one log-slope
+    Jacobian term per event.  The reference leaves event times
+    untouched in the rj move (``rubber_proportional`` prop_rj.c:205
+    remaps only coalescence ages), which can strand events outside
+    their moved edges; the affine remap keeps support and is exactly
+    invertible for the reverse move because the age maps are."""
+    from ..trees.gtree import BIG_AGE, gather_rows
+
+    live = mig.node >= 0
+    nd = jnp.maximum(mig.node, 0)
+    par = gather_rows(gt.parent, nd)
+    par_s = jnp.maximum(par, 0)
+    lo_o = gather_rows(gt.age, nd)
+    hi_o = jnp.where(par >= 0, gather_rows(gt.age, par_s), BIG_AGE)
+    lo_n = gather_rows(age_new, nd)
+    hi_n = jnp.where(par >= 0, gather_rows(age_new, par_s), BIG_AGE)
+    span_o = hi_o - lo_o
+    moved = live & ((lo_n != lo_o) | (hi_n != hi_o))
+    slope = jnp.where(moved & (span_o > 0.0),
+                      (hi_n - lo_n) / jnp.where(span_o > 0.0, span_o, 1.0),
+                      1.0)
+    t_new = jnp.where(moved, lo_n + (mig.time - lo_o) * slope, mig.time)
+    ljac = jnp.where(moved & locus_mask[:, None],
+                     jnp.log(jnp.maximum(slope, 1e-300)), 0.0)
+    return mig._replace(time=t_new), ljac.sum(axis=1)
+
+
 def _theta_prior_logpdf(cfg: BppConfig, x):
     a, b = cfg.thetaprior.alpha, cfg.thetaprior.beta
     if cfg.thetaprior.dist == PriorDist.GAMMA:
@@ -147,16 +185,37 @@ def _child_theta_join(cfg: BppConfig, theta_c, theta_h):
 
 
 def rj_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key, root_age0,
-            debug=False):
+            debug=False, routes=None):
     """One rjMCMC step: split or join with probability 1/2 each
-    (method.c:5420-5435, pr_split = 0.5 so the move-type term is 0)."""
+    (method.c:5420-5435, pr_split = 0.5 so the move-type term is 0).
+
+    ``routes`` switches on the MSC-M (IM) variant — the reference's
+    migration-aware split/join (prop_rj.c:599-656 and :1140-1222 call
+    ``gtree_update_logprob_contrib_mig`` for the affected populations):
+    populations are assigned through the migration events, event times
+    ride the rubber band per-edge (:func:`_remap_event_times`), and the
+    acceptance uses the full structured-coalescent density, whose
+    validity indicator rejects proposals that strand an event in a
+    collapsed population's empty window (a join is only accepted once
+    gene flow among the merged populations' lineages has been removed
+    by the sim-SPR move — physically, merging species that still
+    exchange migrants is a zero-density state)."""
     sp = state.sp
     H = sp.n_nodes
     NS = (H + 1) // 2
     hidx = jnp.arange(H)
     dtype = sp.tau.dtype
     logl_fn = make_logl_fn(ctx, cfg)
-    logpr_fn = make_logpr_fn(ctx)
+    pops_rb = None
+    if routes is None:
+        logpr_fn = make_logpr_fn(ctx)
+    else:
+        from ..trees import migration as mg
+        from .mig_moves import make_logpr_fn_mig
+        assert not cfg.theta_integrated  # blocked under migration
+        logpr_fn_mig = make_logpr_fn_mig(ctx, routes)
+        pops_rb = mg.assign_populations_mig(state.gt, sp, ctx.tip_pop,
+                                            state.mig, ctx.n_seq)
 
     k_dir, k_pick, k_tau, k_thl, k_thr, k_acc = jax.random.split(key, 6)
     do_split = jax.random.bernoulli(k_dir)
@@ -221,7 +280,7 @@ def rj_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key, root_age0,
 
         age_new, lnterms = _rubber_band(ctx, state, h,
                                         jnp.asarray(0.0, dtype), tau_new,
-                                        tau_upper)
+                                        tau_upper, pops=pops_rb)
         bad = fsplit == 0
         return h, tau2, theta2, age_new, lnacc, lnterms, bad
 
@@ -264,7 +323,8 @@ def rj_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key, root_age0,
         lnacc += jnp.log(fjoin.astype(dtype) / fsplit2.astype(dtype))
 
         age_new, lnterms = _rubber_band(ctx, state, h, tau_old,
-                                        jnp.asarray(0.0, dtype), tau_upper)
+                                        jnp.asarray(0.0, dtype), tau_upper,
+                                        pops=pops_rb)
         bad = (fjoin == 0) | bad_l | bad_r | (tau_old >= tau_upper)
         return h, tau2, sp.theta, age_new, lnacc, lnterms, bad
 
@@ -273,8 +333,19 @@ def rj_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key, root_age0,
 
     sp_new = sp._replace(tau=tau2, theta=theta2)
     gt_new = state.gt._replace(age=age_new)
-    logl_new = logl_fn(gt_new, state.subst, sp_new, state.clock)
-    logpr_new, c_new, t2_new = logpr_fn(gt_new, sp_new, state.subst.heredity)
+    if routes is not None:
+        mig_new, jac_e = _remap_event_times(state.gt, age_new, state.mig,
+                                            ctx.locus_mask)
+        lnterms = lnterms + jac_e
+        logl_new = logl_fn(gt_new, state.subst, sp_new, state.clock,
+                           mig=mig_new)
+        logpr_new, *_ = logpr_fn_mig(gt_new, sp_new, mig_new,
+                                     state.subst.heredity)
+        c_new = t2_new = None
+    else:
+        logl_new = logl_fn(gt_new, state.subst, sp_new, state.clock)
+        logpr_new, c_new, t2_new = logpr_fn(gt_new, sp_new,
+                                            state.subst.heredity)
 
     if cfg.theta_integrated:
         # integrated-out density couples loci; acceptance uses the
@@ -300,9 +371,18 @@ def rj_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key, root_age0,
         log_species_model_prior(cfg, sp_new, ctx.prior_a11_log)
         - log_species_model_prior(cfg, sp, ctx.prior_a11_log)).astype(dtype)
     # morphological traits re-scored at the split/joined taus
-    # (prop_rj.c:731-736)
+    # (prop_rj.c:727-774 subtracts trait_old_logl and adds
+    # loglikelihood_trait inside split/join); under A11 the current
+    # sampled topology rides through the topology-parameterized trait
+    # function (the rj move itself never changes the topology — the
+    # species SPR/SNL moves do, and re-score traits there)
+    tl_new = None
     if ctx.trait_fn is not None:
         tl_new = ctx.trait_fn(tau2, state.trait.brate)
+    elif ctx.trait_fn_topo is not None:
+        tl_new = ctx.trait_fn_topo(sp.left, sp.right, sp.parent, tau2,
+                                   state.trait.brate)
+    if tl_new is not None:
         lnacc = lnacc + jnp.sum(tl_new - state.trait.logl)
     lnacc = jnp.where(bad, -jnp.inf, lnacc)
     accept = rng.mh_accept(k_acc, lnacc)
@@ -313,11 +393,14 @@ def rj_move(ctx: Ctx, cfg: BppConfig, state: McmcState, key, root_age0,
         sp=jax.tree.map(lambda n, o: jnp.where(accept, n, o), sp_new, sp),
         logl=jnp.where(accept, logl_new, state.logl),
         logpr=jnp.where(accept, logpr_new, state.logpr))
+    if routes is not None:
+        new_state = new_state._replace(mig=jax.tree.map(
+            lambda n, o: jnp.where(accept, n, o), mig_new, state.mig))
     if cfg.theta_integrated:
         new_state = new_state._replace(
             coal=jnp.where(accept, c_new, state.coal),
             t2h=jnp.where(accept, t2_new, state.t2h))
-    if ctx.trait_fn is not None:
+    if tl_new is not None:
         new_state = new_state._replace(trait=state.trait._replace(
             logl=jnp.where(accept, tl_new, state.trait.logl)))
     if debug:

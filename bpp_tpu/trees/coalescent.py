@@ -192,10 +192,12 @@ def _per_pop_stats_pairwise(gt: GTrees, sp: SpeciesArrays, pops, n_seq):
 
 
 def per_pop_stats_dated(gt: GTrees, sp: SpeciesArrays, pops, n_seq):
-    """Alias of :func:`per_pop_stats`: the pairwise-coexistence form is
-    exact under serial sampling (dated tips) too — a dated tip's
-    presence interval simply starts at its age, mid-interval."""
-    return per_pop_stats(gt, sp, pops, n_seq)
+    """Serial-sampling (dated tips) variant: uses the pairwise
+    coexistence form, which is exact when lineages enter a population
+    mid-interval (a dated tip's presence interval starts at its age).
+    The Abel event-rank form of :func:`per_pop_stats` assumes every
+    lineage enters at ``tau_h`` and is wrong for tip ages > 0."""
+    return _per_pop_stats_pairwise(gt, sp, pops, n_seq)
 
 
 def phi_entry_counts(sp: SpeciesArrays, n_in):

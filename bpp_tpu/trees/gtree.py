@@ -208,9 +208,10 @@ def gather_rows(values, idx):
     clamped by the caller (jnp semantics differ)."""
     N = values.shape[1]
     if jnp.issubdtype(values.dtype, jnp.integer):
-        # node ids are < 2^8: exact in any matmul precision
         oh = (idx[..., None] == jnp.arange(N)).astype(jnp.float32)
-        out = jnp.einsum("lin,ln->li", oh, values.astype(jnp.float32))
+        # HIGHEST keeps the MXU from rounding ids >= 2^8 through bf16
+        out = jnp.einsum("lin,ln->li", oh, values.astype(jnp.float32),
+                         precision=jax.lax.Precision.HIGHEST)
         return jnp.round(out).astype(values.dtype)
     oh = (idx[..., None] == jnp.arange(N)).astype(values.dtype)
     return jnp.einsum("lin,ln->li", oh, values,
@@ -234,8 +235,10 @@ def lookup2d(table, i, j):
     H = table.shape[0]
     tf = table.astype(jnp.float32)
     ohj = (j[..., None] == jnp.arange(H)).astype(jnp.float32)
-    # rows[..., h] = table[h, j[...]]
-    rows = jnp.einsum("...k,hk->...h", ohj, tf)
+    # rows[..., h] = table[h, j[...]]; HIGHEST: int tables (sp.mrca)
+    # hold node ids that may exceed the bf16-exact 2^8 range
+    rows = jnp.einsum("...k,hk->...h", ohj, tf,
+                      precision=jax.lax.Precision.HIGHEST)
     ohi = (i[..., None] == jnp.arange(H)).astype(jnp.float32)
     out = jnp.sum(ohi * rows, axis=-1)
     if jnp.issubdtype(table.dtype, jnp.bool_):
@@ -251,7 +254,8 @@ def table_rows(table, i):
     H = table.shape[0]
     tf = table.astype(jnp.float32)
     oh = (i[..., None] == jnp.arange(H)).astype(jnp.float32)
-    out = jnp.einsum("...h,hk->...k", oh, tf)
+    out = jnp.einsum("...h,hk->...k", oh, tf,
+                     precision=jax.lax.Precision.HIGHEST)
     if jnp.issubdtype(table.dtype, jnp.bool_):
         return out > 0.5
     if jnp.issubdtype(table.dtype, jnp.integer):

@@ -19,9 +19,17 @@ BPP = "/tmp/bppbuild/src/bpp"
 WORK = "/tmp/goldens"
 
 A00_NEW = [2, 3, 5, 7, 9, 10, 12, 14, 15]
-A01_NEW = [18, 19, 20, 21, 22, 23, 26, 27, 30, 33, 38, 41, 45, 48]
-A10_NEW = [50, 52, 55, 59, 63, 69, 73, 82, 90, 97, 105]
-A11_NEW = [114, 115, 120, 124, 129, 137, 145, 161]
+A01_NEW = [18, 19, 20, 21, 22, 23, 26, 27, 30, 33, 38, 41, 45, 48,
+           # round-5 completion of the full A01 block (17-48)
+           25, 28, 31, 32, 34, 35, 37, 39, 40, 42, 43, 44, 46, 47]
+A10_NEW = [50, 52, 55, 59, 63, 69, 73, 82, 90, 97, 105,
+           # round-5 spread across the remaining alg0/alg1 x E/- x
+           # heredity x locusrate cells
+           51, 56, 60, 64, 66, 70, 75, 77, 83, 85, 91, 93, 98, 101,
+           106, 109]
+A11_NEW = [114, 115, 120, 124, 129, 137, 145, 161,
+           117, 121, 125, 130, 133, 138, 141, 146, 149, 153, 157,
+           162, 165, 169, 173, 176]
 SEEDS_A00 = [12345, 777, 31415]
 SEEDS_OTHER = [12345, 777, 31415]     # A01 gates need 3 seeds now
 

@@ -16,10 +16,11 @@ plus longer chains for tighter gates: burnin 1000, nsample 6000,
 MULTI-SEED concatenated traces (A00: seeds 12345/777/31415; others:
 12345/777) so the golden means average out seed-to-seed spread and the
 golden batch-means SE absorbs cross-seed variance.
-Matrix coverage (testbed/description.txt): A00 x {theta-E, theta-int}
-x cleandata x heredity x locusrate (1, 4, 6, 8, 11, 13, 16), A01
-(17, 24, 29, 36), A10 alg0 (49, 61, 68) / alg1 (81, 89), A11
-(113, 116).
+Matrix coverage (testbed/description.txt), round 5: ALL 16 A00
+configs, the FULL A01 block (17-48), 32 A10 configs spread over
+alg0 (49-80) / alg1 (81-112) x theta-E/- x heredity x locusrate,
+26 A11 configs (113-176) — 106 frogs configs + 4 ziheng diploid
+= 110 golden head-to-heads.
 
 The `ziheng` testbed's four UNPHASED-DIPLOID configs ride the same
 harness (goldens z1-z4, 2 seeds x 8000 samples, burnin 4000,
@@ -229,9 +230,7 @@ def _clade_freqs(trees):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n", [17, 18, 19, 20, 21, 22, 23, 24,
-                               26, 27, 29, 30, 33, 36, 38, 41,
-                               45, 48])
+@pytest.mark.parametrize("n", list(range(17, 49)))   # the FULL A01 block
 def test_testbed_a01(n, tmp_path):
     """Species-tree CLADE posteriors vs 3-seed golden traces.
 
@@ -275,8 +274,10 @@ def test_testbed_a01(n, tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n", [49, 50, 52, 55, 59, 61, 63, 68,
-                               69, 73, 81, 82, 89, 90, 97, 105])
+@pytest.mark.parametrize("n", [49, 50, 51, 52, 55, 56, 59, 60, 61, 63,
+                               64, 66, 68, 69, 70, 73, 75, 77, 81, 82,
+                               83, 85, 89, 90, 91, 93, 97, 98, 101, 105,
+                               106, 109])
 def test_testbed_a10(n, tmp_path):
     """Delimitation posterior (P(#species)) vs the golden trace."""
     cfg = _load_ctl(n, tmp_path, nsample=2500)
@@ -361,34 +362,48 @@ def test_testbed_ziheng_a10_diploid(tmp_path):
 @pytest.mark.parametrize("n", [3, 4])
 def test_testbed_ziheng_a01(n, tmp_path):
     """z3/z4: 4-species A01 tree search, all-diploid (z3) vs phased
-    (z4) — topology posterior bands vs the golden newick trace."""
-    cfg = _load_ziheng_ctl(n, tmp_path, nsample=4000)
+    (z4) — CLADE posterior gates at +-0.15 against the 2-seed golden
+    trace, pooling two of our seeds (the round-4 frogs-A01 gate design;
+    VERDICT r4 weak #4 asked for exactly this on the diploid configs —
+    the old whole-topology bands with the MAP>0.01 floor were
+    near-vacuous)."""
     gold_trees = gzip.open(f"{FIX}/z{n}.mcmc.txt.gz", "rt").read() \
         .strip().splitlines()
     # each 8001-line seed segment starts with the deterministic
     # initial-state tree (not a posterior sample) — strip it
     # (ADVICE r3 low #3)
     gold_trees = [t for i, t in enumerate(gold_trees) if i % 8001 != 0]
-    gfreq = _topo_freqs(gold_trees)
-    eng, log = _run_engine(cfg)
+    gclade, _ = _clade_freqs(gold_trees)
     from bpp_tpu.output import species_newick
-    names = eng.run.stree.names
-    ours = [species_newick(left, right, par, np.stack(log.tau)[i], names)
-            for i, (left, right, par) in enumerate(log.sptrees)]
+    ours = []
+    for seed in (23, 77):
+        cfg = _load_ziheng_ctl(n, tmp_path, nsample=6000)
+        eng, log = _run_engine(cfg, seed=seed)
+        names = eng.run.stree.names
+        ours += [species_newick(left, right, par,
+                                np.stack(log.tau)[i], names)
+                 for i, (left, right, par) in enumerate(log.sptrees)]
+    oclade, _ = _clade_freqs(ours)
+    mism = []
+    for cl in set(gclade) | set(oclade):
+        g = gclade.get(cl, 0.0)
+        o = oclade.get(cl, 0.0)
+        if abs(g - o) > 0.15:
+            mism.append((sorted(cl), round(g, 3), round(o, 3)))
+    assert not mism, mism
+    # and the golden MAP tree must still carry comparable mass
+    gfreq = _topo_freqs(gold_trees)
     ofreq = _topo_freqs(ours)
     gmap = max(gfreq, key=gfreq.get)
-    assert ofreq.get(gmap, 0.0) > 0.01, (gmap, gfreq[gmap], ofreq)
-    for t, p in gfreq.items():
-        if p > 0.2:
-            assert abs(ofreq.get(t, 0.0) - p) < 0.30, (t, p, ofreq.get(t, 0))
-    for t, p in ofreq.items():
-        assert p < max(2.5 * gfreq.get(t, 0.0), 0.35) + 0.2, \
-            (t, p, gfreq.get(t, 0))
+    assert ofreq.get(gmap, 0.0) > 0.25 * gfreq[gmap], \
+        (gmap, gfreq[gmap], ofreq.get(gmap, 0.0))
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n", [113, 114, 115, 116, 120, 124,
-                               129, 137, 145, 161])
+@pytest.mark.parametrize("n", [113, 114, 115, 116, 117, 120, 121, 124,
+                               125, 129, 130, 133, 137, 138, 141, 145,
+                               146, 149, 153, 157, 161, 162, 165, 169,
+                               173, 176])
 def test_testbed_a11(n, tmp_path):
     """A11 joint: P(#species) bands vs the golden trace (trees carry a
     trailing np count in the golden file)."""

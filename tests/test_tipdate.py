@@ -145,6 +145,69 @@ def test_dated_stats_match_undated_when_contemporary():
     np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
 
 
+def test_dated_stats_match_sweep_oracle(date_run):
+    """With NONZERO tip ages, per_pop_stats_dated must equal an
+    independent per-population time-sweep oracle (n(t)(n(t)-1) integral
+    over presence breakpoints).  The Abel event-rank fast path assumes
+    every lineage enters at tau_h and is wrong here — pinned below so a
+    future 'optimization' cannot silently re-route dated runs onto it
+    (regression for the round-4 advisor finding)."""
+    from bpp_tpu.trees import coalescent as coal
+    from bpp_tpu.trees.gtree import assign_populations
+
+    cfg, run, eng, dates = date_run
+    state = eng.init_state()
+    gt, sp = state.gt, state.sp
+    pops = assign_populations(gt, sp, jnp.asarray(run.batch.tip_pop))
+    n_seq = jnp.asarray(run.batch.n_seq)
+    T = run.batch.max_tips
+    assert float(np.asarray(gt.age)[:, :T].max()) > 0.0  # really dated
+
+    c1, t1, _ = coal.per_pop_stats_dated(gt, sp, pops, n_seq)
+    c0, t0, _ = coal.per_pop_stats(gt, sp, pops, n_seq)
+
+    age = np.asarray(gt.age)
+    par = np.asarray(gt.parent)
+    pop = np.asarray(pops)
+    tau = np.asarray(sp.tau)
+    spar = np.asarray(sp.parent)
+    ppt = np.asarray(sp.pptable)
+    BIG = 1.0e12
+    L, N = pop.shape
+    H = tau.shape[0]
+    t_oracle = np.zeros((L, H))
+    for li in range(L):
+        n = int(n_seq[li])
+        nodes = [u for u in range(N)
+                 if (u < n) or (T <= u < T + n - 1)]
+        for h in range(H):
+            end = tau[spar[h]] if spar[h] >= 0 else BIG
+            pts = {tau[h], end}
+            ivs = []
+            for u in nodes:
+                if not ppt[pop[li, u], h]:
+                    continue
+                p = par[li, u]
+                hi = age[li, p] if p >= 0 else BIG
+                lo = max(age[li, u], tau[h])
+                hi = min(hi, end)
+                if hi > lo:
+                    ivs.append((lo, hi))
+                    pts.update((lo, hi))
+            cuts = sorted(pts)
+            acc = 0.0
+            for a, b in zip(cuts[:-1], cuts[1:]):
+                m = 0.5 * (a + b)
+                k = sum(1 for lo, hi in ivs if lo <= m < hi)
+                acc += k * (k - 1) * (b - a)
+            t_oracle[li, h] = acc
+    np.testing.assert_allclose(np.asarray(t1), t_oracle,
+                               rtol=1e-6, atol=1e-8)
+    # the undated fast path must NOT be used for dated tips: it
+    # measurably disagrees with the oracle on this fixture
+    assert np.abs(np.asarray(t0) - t_oracle).max() > 1e-3
+
+
 @pytest.mark.smoke
 def test_usedata_smoke(tmp_path):
     datefile = tmp_path / "dates.txt"

@@ -232,6 +232,73 @@ def test_mcmc_rj_with_traits(tmp_path):
     assert prop > 0 and acc > 0       # delimitation moves across models
 
 
+@pytest.mark.slow
+def test_mcmc_a11_with_traits(tmp_path):
+    """A11 (joint delimitation + tree search) with traits (VERDICT r4
+    missing #3; prop_rj.c:727-774 re-scores traits inside split/join):
+    the rj move rides trait_fn_topo on the CURRENT sampled topology,
+    the trait cache stays consistent across rj + SPR/SNL + tau moves,
+    and both the delimitation and the topology actually move."""
+    import textwrap
+
+    (tmp_path / "d.txt").write_text(
+        "\n".join(["6 24"] + [f"{s}^{s.lower()}{i} " + "A" * 24
+                              for s in "ABC" for i in range(2)]) + "\n\n")
+    (tmp_path / "d.imap").write_text(
+        "".join(f"{s.lower()}{i}\t{s}\n" for s in "ABC" for i in range(2)))
+    tf = tmp_path / "t3.txt"
+    tf.write_text("3 2 C 1.0 0.0\nA 0.2 -0.1\nB 0.4 0.1\nC -0.5 0.3\n")
+    ctl = textwrap.dedent(f"""\
+        seed = 5
+        seqfile = {tmp_path / 'd.txt'}
+        Imapfile = {tmp_path / 'd.imap'}
+        jobname = out
+        speciesdelimitation = 1 0 2
+        speciestree = 1 0
+        species&tree = 3 A B C
+                       2 2 2
+                       ((A,B),C);
+        usedata = 0
+        nloci = 1
+        thetaprior = gamma 2 200
+        tauprior = gamma 2 100
+        traitfile = {tf}
+        finetune = 1
+        burnin = 100
+        sampfreq = 2
+        nsample = 200
+    """)
+    cfg = parse_ctl_lines(ctl.splitlines())
+    assert cfg.est_stree and cfg.est_delimit
+    run = load_run(cfg)
+    eng = Engine(run, seed=3)
+    assert eng.ctx.trait_fn is None and eng.ctx.trait_fn_topo is not None
+    state = eng.init_state()
+    topo0 = np.asarray(state.sp.left).copy()
+    nsp_seen = set()
+    topo_changed = False
+    key = jax.random.PRNGKey(2)
+    rj_tot = np.zeros(2)
+    for _ in range(6):
+        key, s = jax.random.split(key)
+        state, stats = eng.chunk_step(state, s, 100)
+        from bpp_tpu.mcmc.state import MV_RJ
+        rj_tot += np.asarray(stats)[MV_RJ]
+        tau = np.asarray(state.sp.tau)
+        nsp_seen.add(1 + int(tau[3] > 0) + int(tau[4] > 0))
+        if (np.asarray(state.sp.left) != topo0).any():
+            topo_changed = True
+        # trait cache consistent with the topo-parametric recompute
+        want = eng.ctx.trait_fn_topo(state.sp.left, state.sp.right,
+                                     state.sp.parent, state.sp.tau,
+                                     state.trait.brate)
+        np.testing.assert_allclose(np.asarray(state.trait.logl),
+                                   np.asarray(want), rtol=1e-6, atol=1e-6)
+    assert rj_tot[0] > 0 and rj_tot[1] > 0, rj_tot   # rj accepts happen
+    assert len(nsp_seen) >= 2, nsp_seen              # delimitation moves
+    assert topo_changed                              # tree search moves
+
+
 def test_trait_fn_topo_matches_fixed():
     """The topology-parametric trait likelihood equals the fixed-tree
     closure on the same (topology, tau, brate)."""
