@@ -86,7 +86,7 @@ def _combo_layout(T: int, C: int, fam: str):
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=("tips8", "w_flat", "statrows", "seg_locus_dev",
-                 "bounds", "maxlvl_dev"),
+                 "bounds", "maxlvl_dev", "seg_table"),
     meta_fields=("n_loci", "n_tips", "n_tiles", "n_seg", "pad_frac"))
 @dataclasses.dataclass(frozen=True)
 class PackLayout:
@@ -106,6 +106,8 @@ class PackLayout:
     seg_locus_dev: jax.Array  # [NSEGP] int32 (clipped to L-1 for gathers)
     bounds: jax.Array        # [L + 1] int32 first segment of each locus
     maxlvl_dev: jax.Array    # [NT, 1, 1] int32 (SMEM block)
+    seg_table: jax.Array     # [L, SMAX] int32 segment ids per locus
+    #                          (-1 = unused slot)
 
 
 def build_pack_layout(tip_partials, weights, n_pat, n_seq,
@@ -166,6 +168,15 @@ def build_pack_layout(tip_partials, weights, n_pat, n_seq,
     tile_maxlvl = nlvl_lane.reshape(nt, SL).max(axis=1).astype(np.int32)
     pad_frac = 1.0 - float(live.sum()) / float(nsegp * SEG_W)
 
+    # per-locus segment-id table for the root reduction: a FLAT sum of
+    # <= SMAX values per locus (the old f32 prefix-sum-and-diff lost up
+    # to 0.11 lnL to cancellation across loci at L=1000, round 5)
+    smax = int(nseg_l.max())
+    seg_table = np.full((L, smax), -1, np.int64)
+    for li in range(L):
+        k = int(nseg_l[li])
+        seg_table[li, :k] = np.arange(bounds[li], bounds[li] + k)
+
     return PackLayout(
         n_loci=L, n_tips=T, n_tiles=nt, n_seg=n_seg, pad_frac=pad_frac,
         tips8=jnp.asarray(tips8),
@@ -173,7 +184,8 @@ def build_pack_layout(tip_partials, weights, n_pat, n_seq,
         statrows=jnp.asarray(statrows.astype(np.float32)),
         seg_locus_dev=jnp.asarray(np.minimum(seg_locus, L - 1)),
         bounds=jnp.asarray(bounds.astype(np.int32)),
-        maxlvl_dev=jnp.asarray(tile_maxlvl[:, None, None]))
+        maxlvl_dev=jnp.asarray(tile_maxlvl[:, None, None]),
+        seg_table=jnp.asarray(seg_table.astype(np.int32)))
 
 
 # --- per-pass device prep -------------------------------------------------------
@@ -195,28 +207,41 @@ def _perlocus_rows(order, left, right, efac, coefs, freqs, eigT, eigTi,
     K = _KFAC[fam]
     L = order.shape[0]
     dt = efac.dtype
-    lev = order[:, :T - 1].astype(jnp.int32)                  # [L, T-1]
-    lc = _onehot_gather(left.astype(dt), lev).astype(jnp.int32)
-    rc = _onehot_gather(right.astype(dt), lev).astype(jnp.int32)
-    # level-slot row of each child: tips keep their id, inner node ids
-    # map to T + (its position in the order);
-    # posk[l, n] = position of inner node (T+n) in lev
-    inner_ids = lev - T                                       # [L, T-1] in 0..T-2
-    posk = jnp.argsort(inner_ids, axis=1).astype(jnp.int32)   # [L, T-1]
+    HI = jax.lax.Precision.HIGHEST
+    KL = T - 1
+    N = left.shape[1]
+    lev = order[:, :KL].astype(jnp.int32)                     # [L, KL]
+    # batched one-hot contractions: ONE [L,KL,N] one-hot of the level
+    # schedule selects both children, ONE [L,2KL,N] one-hot of the
+    # stacked children feeds both the level-slot rows and the e-factor
+    # gathers, and posk (the inverse of the inner-id permutation) rides
+    # a one-hot instead of an argsort — the prep glue was ~2x the
+    # kernel's own runtime before this batching (round-5 marginal
+    # profile: logl 0.25 ms/call, pallas_call alone 0.085 ms)
+    ohlev = (lev[..., None] == jnp.arange(N)).astype(dt)      # [L,KL,N]
+    lr = jnp.stack([left, right], axis=-1).astype(dt)         # [L,N,2]
+    ch = jnp.round(jnp.einsum("lkn,lnc->lkc", ohlev, lr,
+                              precision=HI)).astype(jnp.int32)
+    lc, rc = ch[..., 0], ch[..., 1]
+    # posk[l, n] = position of inner node (T+n) in lev (= inverse of
+    # the permutation lev - T)
+    inner_ids = lev - T                                       # in 0..KL-1
+    ohinv = (inner_ids[:, :, None] == jnp.arange(KL)).astype(dt)
+    posk = jnp.einsum("lkj,k->lj", ohinv,
+                      jnp.arange(KL, dtype=dt), precision=HI)  # [L,KL] f
+    chs = jnp.concatenate([lc, rc], axis=1)                   # [L, 2KL]
+    ohch = (chs[..., None] == jnp.arange(N)).astype(dt)       # [L,2KL,N]
+    inner_pos = jnp.einsum("lkj,lj->lk", ohch[:, :, T:T + KL],
+                           posk, precision=HI)
+    rows2 = jnp.where(chs < T, chs.astype(dt), T + inner_pos)
+    rows = jnp.stack([rows2[:, :KL], rows2[:, KL:]], axis=2)  # [L,KL,2]
 
-    def child_rows(ch):
-        is_tip = ch < T
-        inner_pos = _onehot_gather(
-            posk.astype(dt), jnp.clip(ch - T, 0, T - 2)).astype(jnp.int32)
-        return jnp.where(is_tip, ch, T + inner_pos).astype(dt)
-
-    rows = jnp.stack([child_rows(lc), child_rows(rc)], axis=2)  # [L,T-1,2]
-
-    # e-factors at the child nodes: [L, T-1, 2, C, K]
+    # e-factors at the child nodes: [L, KL, 2, C, K]
     ef = efac.reshape(L, efac.shape[1], C * K)
-    el = _onehot_gather(ef, lc).reshape(L, T - 1, 1, C, K)
-    er = _onehot_gather(ef, rc).reshape(L, T - 1, 1, C, K)
-    e_lk = jnp.concatenate([el, er], axis=2)
+    e2 = jnp.einsum("lkn,lnm->lkm", ohch, ef, precision=HI)   # [L,2KL,CK]
+    e_lk = jnp.concatenate(
+        [e2[:, :KL].reshape(L, KL, 1, C, K),
+         e2[:, KL:].reshape(L, KL, 1, C, K)], axis=2)
 
     parts = [e_lk.reshape(L, -1), rows.reshape(L, -1)]
 
@@ -428,6 +453,9 @@ def site_logl_packed(layout: PackLayout, order, left, right, parent,
     rows = _perlocus_rows(order, left, right, efac, coefs, freqs,
                           eigT.reshape(L, -1), eigTi.reshape(L, -1),
                           model, T, C)                        # [L, D]
+    # segment -> locus row spread: static-index gather (a one-hot
+    # matmul measured the same at L=1000 but its [NSEGP, L] constant
+    # is ~0.5 GB at L=10000, round 5)
     seg_rows = rows[layout.seg_locus_dev]                     # [NSEGP, D]
     combo = _to_lanes(seg_rows.astype(jnp.float32))           # [NT, D, 2, 128]
 
@@ -458,5 +486,11 @@ def site_logl_packed(layout: PackLayout, order, left, right, parent,
     # rows 0..G2-1 are the (a=0, g) site rows; lane flat = g*128 + lane
     site_flat = out[:, :G2, :].reshape(-1)                    # [NSEGP * 8]
     wsum = (site_flat * layout.w_flat).reshape(-1, SEG_W).sum(1)
-    ps = jnp.concatenate([jnp.zeros((1,), wsum.dtype), jnp.cumsum(wsum)])
-    return ps[layout.bounds[1:]] - ps[layout.bounds[:-1]]     # [L]
+    # per-locus totals as FLAT sums over the static [L, SMAX] segment
+    # table — NOT an f32 prefix-sum-and-diff, whose cross-loci partial
+    # sums cancel catastrophically (up to 0.11 lnL at L=1000 measured
+    # round 5; the same defect class as the pairwise-T2h diagonal note
+    # in trees/coalescent.py)
+    tbl = layout.seg_table                                    # [L, SMAX]
+    per = wsum[jnp.maximum(tbl, 0)] * (tbl >= 0)
+    return per.sum(axis=1)                                    # [L]

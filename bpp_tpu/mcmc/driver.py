@@ -508,6 +508,18 @@ class Engine:
         )
         self._logl_fn = make_logl_fn(self.ctx, cfg)
         self._logpr_fn = make_logpr_fn(self.ctx)
+        # jitted wrappers for host-driven evaluations (init_state,
+        # validate_state): the unjitted closures cost ~27 ms/op over
+        # the axon tunnel (~80 s at 1000 loci, measured round 5).  ONE
+        # fused program for init (remote compiles are ~40+ s each).
+        self._logl_jit = jax.jit(self._logl_fn)
+        self._logpr_jit = jax.jit(self._logpr_fn)
+
+        def _init_eval(gt, subst, sp, clock):
+            return (self._logl_fn(gt, subst, sp, clock),
+                    self._logpr_fn(gt, sp, subst.heredity))
+
+        self._init_eval_jit = jax.jit(_init_eval)
         if cfg.migration:
             # jitted once: validate_state (check = N) recomputes the
             # MSC-M density per check; eager op-by-op execution would
@@ -688,21 +700,21 @@ class Engine:
             # start event-free (a valid support point; the sim-SPR move
             # introduces events) with rates at their prior means
             from ..trees import migration as mgmod
-            from .mig_moves import make_logpr_fn_mig
             ME = max(16, 2 * run.batch.max_tips)
             M0 = self.routes.alpha / self.routes.beta
             mig = mgmod.empty_mig_state(L, ME, self.routes.n_routes, M0,
                                         self.dtype,
                                         on=getattr(self, "route_on0", None))
-            logl = self._logl_fn(gt, subst, sp, clock, mig=mig)
-            logpr, *_ = make_logpr_fn_mig(self.ctx, self.routes)(
-                gt, sp, mig, subst.heredity)
+            # jitted: eager op-by-op evaluation costs ~80 s of ~27 ms
+            # dispatches over the axon tunnel at 1000 loci (measured
+            # round 5); one jit compile amortizes across chain inits
+            logl = self._logl_jit(gt, subst, sp, clock, mig=mig)
+            logpr, *_ = self._logpr_mig_jit(gt, sp, mig, subst.heredity)
             return McmcState(
                 gt=gt, sp=sp, subst=subst, logl=logl, logpr=logpr,
                 finetune=finetune_array(cfg, self.dtype), clock=clock,
                 mig=mig)
-        logl = self._logl_fn(gt, subst, sp, clock)
-        logpr, c0, t20 = self._logpr_fn(gt, sp, subst.heredity)
+        logl, (logpr, c0, t20) = self._init_eval_jit(gt, subst, sp, clock)
         coal = t2h = None
         if cfg.theta_integrated:
             # logpr holds the theta-FREE per-locus part (MSC-I phi
@@ -785,10 +797,17 @@ class Engine:
             state, (p, a) = moves.age_block_move(ctx, cfg, state, keys[0])
             stats = stats.at[MV_GTAGE].add(jnp.stack([p, a]))
 
-            for r in range(3):
-                state, (p, a) = moves.spr_round_move(
-                    ctx, cfg, state, jax.random.fold_in(keys[1], r))
-                stats = stats.at[MV_GTSPR].add(jnp.stack([p, a]))
+            # the 3 SPR rounds ride ONE lax.scan so the round body (a
+            # full likelihood pass) is compiled once, not inlined 3x —
+            # same RNG streams (fold_in of the traced round index), ~25%
+            # smaller HLO for the megastep (round-5 compile-cost fix)
+            def _spr_round(st, r):
+                st, pa = moves.spr_round_move(
+                    ctx, cfg, st, jax.random.fold_in(keys[1], r))
+                return st, jnp.stack(pa)
+
+            state, pa3 = jax.lax.scan(_spr_round, state, jnp.arange(3))
+            stats = stats.at[MV_GTSPR].add(pa3.sum(0))
 
         if not cfg.theta_integrated:
             state, (p, a) = moves.theta_move(ctx, cfg, state, keys[2])
@@ -920,10 +939,14 @@ class Engine:
                 ctx, cfg, routes, state, jax.random.fold_in(keys[0], 1))
             stats = stats.at[MV_MIG_AGES].add(jnp.stack([p, a]))
 
-            for r in range(3):
-                state, (p, a) = mig_moves.spr_sim_move(
-                    ctx, cfg, routes, state, jax.random.fold_in(keys[1], r))
-                stats = stats.at[MV_GTSPR].add(jnp.stack([p, a]))
+            def _spr_round_mig(st, r):
+                st, pa = mig_moves.spr_sim_move(
+                    ctx, cfg, routes, st, jax.random.fold_in(keys[1], r))
+                return st, jnp.stack(pa)
+
+            state, pa3 = jax.lax.scan(_spr_round_mig, state,
+                                      jnp.arange(3))
+            stats = stats.at[MV_GTSPR].add(pa3.sum(0))
 
         state, (p, a) = mig_moves.theta_move_mig(ctx, cfg, routes, state,
                                                  keys[2])

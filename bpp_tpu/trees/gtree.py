@@ -319,11 +319,27 @@ def inner_order(gt: GTrees):
     sort last.
     """
     T = gt.n_tips
-    inner_age = gt.age[:, T:]
-    depth = node_depths(gt)[:, T:]
-    # lexsort: primary = age ascending, secondary = depth descending
-    order = jnp.lexsort((-depth, inner_age), axis=1)
-    return (T + order).astype(jnp.int32)
+    ia = gt.age[:, T:]                                # [L, K]
+    dep = node_depths(gt)[:, T:]
+    K = ia.shape[1]
+    kidx = jnp.arange(K)
+    # pairwise-rank form of lexsort((-depth, age)): j sorts before i
+    # iff age_j < age_i, or tied ages and depth_j > depth_i, or full
+    # tie and j < i (lexsort's stable index order).  jnp.lexsort lowers
+    # to serial variadic sorts + gathers on this TPU backend (~0.1 ms
+    # per call at L=1000, measured round 5); the O(K^2) comparison +
+    # one-hot contraction is pure VPU/MXU work at ~5 us.
+    lt = ia[:, None, :] < ia[:, :, None]
+    eq = ia[:, None, :] == ia[:, :, None]
+    dgt = dep[:, None, :] > dep[:, :, None]
+    deq = dep[:, None, :] == dep[:, :, None]
+    jlt = (kidx[None, :] < kidx[:, None])[None]
+    before = lt | (eq & (dgt | (deq & jlt)))
+    rank = before.sum(2).astype(jnp.int32)            # [L, K], a permutation
+    oh = (rank[:, :, None] == kidx[None, None, :]).astype(jnp.float32)
+    order = jnp.einsum("lkr,k->lr", oh, (T + kidx).astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST)
+    return jnp.round(order).astype(jnp.int32)
 
 
 def root_index(gt: GTrees, n_seq, order=None):
