@@ -222,10 +222,13 @@ class Engine:
         if cfg.est_delimit and not 0 <= cfg.delimit_prior <= 3:
             raise ValueError("speciesmodelprior must be 0..3 (bpp.h:190)")
         if run.stree.n_hybrids > 0 and (cfg.est_delimit or cfg.est_stree):
-            # matches the reference: msci is A00-only (method.c guards)
+            # matches the reference: `init: Assertion 'opt_msci == 0'
+            # failed` (method.c:3871, verified live on 4.8.7 with a
+            # yeast MSci ctl + speciesdelimitation, round 5)
             raise NotImplementedError(
                 "species delimitation / species-tree search cannot be "
-                "combined with an MSC-I network")
+                "combined with an MSC-I network (reference asserts, "
+                "method.c:3871)")
         from ..config import Clock
         if cfg.clock != Clock.GLOBAL:
             if run.stree.n_hybrids > 0:
@@ -428,9 +431,13 @@ class Engine:
             # under A11 the rj split/join re-scores traits on the
             # current sampled topology through trait_fn_topo
             # (prop_rj.c:727-774 analog)
-            if run.stree.n_hybrids > 0 or cfg.migration:
+            if run.stree.n_hybrids > 0:
+                # the reference's contrast recursion (morph.c:888) is
+                # defined on a TREE; mirror-node networks have no
+                # documented trait semantics — traits with MSC-M are
+                # supported (the trait likelihood sees only the taus)
                 raise NotImplementedError(
-                    "traits with MSC-I/MSC-M not yet supported")
+                    "traits with MSC-I networks are not supported")
             from ..trees import traits as trmod
             parts = trmod.parse_traitfile(cfg.traitfile)
             self.trait_data = trmod.build_trait_data(parts, run.stree,
@@ -695,6 +702,18 @@ class Engine:
                     mubar0 * (0.9 + 0.2 * rng.random(L)), self.dtype))
             clock = clock_moves.init_clock_state(
                 cfg, sp, subst.mu, rng, L, self.dtype)
+        trait = None
+        if self.ctx.trait_fn is not None or \
+                self.ctx.trait_fn_topo is not None:
+            # brates start at 1 (trait_init morph.c:832)
+            from ..trees.traits import TraitState
+            brate0 = jnp.ones((len(self.trait_data), run.stree.n_nodes),
+                              self.dtype)
+            tl0 = (self.ctx.trait_fn(sp.tau, brate0)
+                   if self.ctx.trait_fn is not None else
+                   self.ctx.trait_fn_topo(sp.left, sp.right, sp.parent,
+                                          sp.tau, brate0))
+            trait = TraitState(brate=brate0, logl=tl0)
         mig = None
         if cfg.migration:
             # start event-free (a valid support point; the sim-SPR move
@@ -713,25 +732,13 @@ class Engine:
             return McmcState(
                 gt=gt, sp=sp, subst=subst, logl=logl, logpr=logpr,
                 finetune=finetune_array(cfg, self.dtype), clock=clock,
-                mig=mig)
+                mig=mig, trait=trait)
         logl, (logpr, c0, t20) = self._init_eval_jit(gt, subst, sp, clock)
         coal = t2h = None
         if cfg.theta_integrated:
             # logpr holds the theta-FREE per-locus part (MSC-I phi
             # terms; zeros for trees) — see make_logpr_fn
             coal, t2h = c0, t20
-        trait = None
-        if self.ctx.trait_fn is not None or \
-                self.ctx.trait_fn_topo is not None:
-            # brates start at 1 (trait_init morph.c:832)
-            from ..trees.traits import TraitState
-            brate0 = jnp.ones((len(self.trait_data), run.stree.n_nodes),
-                              self.dtype)
-            tl0 = (self.ctx.trait_fn(sp.tau, brate0)
-                   if self.ctx.trait_fn is not None else
-                   self.ctx.trait_fn_topo(sp.left, sp.right, sp.parent,
-                                          sp.tau, brate0))
-            trait = TraitState(brate=brate0, logl=tl0)
         return McmcState(
             gt=gt, sp=sp, subst=subst, logl=logl, logpr=logpr,
             finetune=finetune_array(cfg, self.dtype), clock=clock,
@@ -1039,6 +1046,15 @@ class Engine:
                 state, (p, a) = clock_moves.brate_simple_move(
                     ctx, cfg, state, jax.random.fold_in(kck, 2))
             stats = stats.at[MV_BRATE].add(jnp.stack([p, a]))
+
+        # move #16: trait branch rates (method.c:5838) — trait logl
+        # depends on the taus only, so it composes with migration
+        if ctx.trait_fn is not None:
+            from .state import MV_TRAIT
+            from . import trait_moves
+            state, (p, a) = trait_moves.trait_brate_move(
+                ctx, cfg, state, jax.random.fold_in(keys[9], 1))
+            stats = stats.at[MV_TRAIT].add(jnp.stack([p, a]))
 
         return state, stats
 

@@ -406,6 +406,8 @@ def tau_move_mig(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
 
     age, tau, ev_time = state.gt.age, sp0.tau, state.mig.time
     logl, logpr = state.logl, state.logpr
+    has_trait = ctx.trait_fn is not None
+    tlogl = state.trait.logl if has_trait else None
     nprop = jnp.zeros((), jnp.int32)
     nacc = jnp.zeros((), jnp.int32)
 
@@ -483,6 +485,11 @@ def tau_move_mig(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
         lnacc = jac \
             + _psum_if_sharded(jnp.sum(logpr_new - logpr)) \
             + _psum_if_sharded(jnp.sum(logl_new - logl))
+        if has_trait:
+            # trait likelihood depends on the species taus only
+            # (stree.c:5675 analog): same delta as the plain tau move
+            tl_new = ctx.trait_fn(tau_new, state.trait.brate)
+            lnacc = lnacc + jnp.sum(tl_new - tlogl)
 
         root = sp0.root
         cand = jnp.sum(tau[NS:] > 0).astype(tau.dtype)
@@ -502,15 +509,19 @@ def tau_move_mig(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
         tau = jnp.where(accept, tau_new, tau)
         logl = jnp.where(accept, logl_new, logl)
         logpr = jnp.where(accept, logpr_new, logpr)
+        if has_trait:
+            tlogl = jnp.where(accept, tl_new, tlogl)
         np_ = prop.sum(dtype=jnp.int32)
         nprop = nprop + np_
         nacc = nacc + jnp.where(accept, np_, 0)
 
-    return (state._replace(gt=state.gt._replace(age=age),
-                           sp=sp0._replace(tau=tau),
-                           mig=state.mig._replace(time=ev_time),
-                           logl=logl, logpr=logpr),
-            (nprop, nacc))
+    out = state._replace(gt=state.gt._replace(age=age),
+                         sp=sp0._replace(tau=tau),
+                         mig=state.mig._replace(time=ev_time),
+                         logl=logl, logpr=logpr)
+    if has_trait:
+        out = out._replace(trait=state.trait._replace(logl=tlogl))
+    return out, (nprop, nacc)
 
 
 # --------------------------------------------------------------------------
@@ -563,9 +574,19 @@ def mixing_mig(ctx: Ctx, cfg: BppConfig, routes, state: McmcState, key):
     lnacc = lnacc + _psum_if_sharded(jnp.sum(logl_new - state.logl)) \
         + _psum_if_sharded(jnp.sum(logpr_new - state.logpr))
 
+    # morphological traits: taus scaled => trait branch lengths scale
+    # (prop_mixing.c analog; trait logl depends on the species taus
+    # only, so it composes with migration exactly as without)
+    has_trait = ctx.trait_fn is not None
+    if has_trait:
+        tl_new = ctx.trait_fn(tau_new, state.trait.brate)
+        lnacc = lnacc + jnp.sum(tl_new - state.trait.logl)
+
     accept = rng.mh_accept(k3, lnacc)
     cand = state._replace(gt=gtn, sp=spn, mig=mign, logl=logl_new,
                           logpr=logpr_new)
+    if has_trait:
+        cand = cand._replace(trait=state.trait._replace(logl=tl_new))
     new_state = jax.tree.map(lambda n, o: jnp.where(accept, n, o), cand,
                              state)
     return new_state, (jnp.ones((), jnp.int32), accept.astype(jnp.int32))

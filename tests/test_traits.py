@@ -299,6 +299,64 @@ def test_mcmc_a11_with_traits(tmp_path):
     assert topo_changed                              # tree search moves
 
 
+@pytest.mark.smoke
+def test_traits_with_migration(tmp_path):
+    """Traits x MSC-M (round 5: the reference has NO guard here — the
+    trait likelihood depends on the species taus only, morph.c:888 —
+    so the combination is supported; our old block was a coverage
+    gap).  A00 x IM + traitfile: the tau/mixing moves carry the trait
+    delta and the cache stays consistent; then A10 x IM + traits runs
+    the migration-aware rj with the trait term."""
+    import textwrap
+
+    (tmp_path / "d.txt").write_text(
+        "\n".join(["6 24"] + [f"{s}^{s.lower()}{i} " + "A" * 24
+                              for s in "ABC" for i in range(2)]) + "\n\n")
+    (tmp_path / "d.imap").write_text(
+        "".join(f"{s.lower()}{i}\t{s}\n" for s in "ABC" for i in range(2)))
+    tf = tmp_path / "t3.txt"
+    tf.write_text("3 2 C 1.0 0.0\nA 0.2 -0.1\nB 0.4 0.1\nC -0.5 0.3\n")
+    base = textwrap.dedent(f"""\
+        seed = 5
+        seqfile = {tmp_path / 'd.txt'}
+        Imapfile = {tmp_path / 'd.imap'}
+        jobname = out
+        species&tree = 3 A B C
+                       2 2 2
+                       ((A,B),C);
+        usedata = 0
+        nloci = 1
+        thetaprior = gamma 2 200
+        tauprior = gamma 2 100
+        migration = 2
+        A B
+        B A
+        wprior = 2 10
+        traitfile = {tf}
+        finetune = 1
+        burnin = 100
+        sampfreq = 2
+        nsample = 100
+    """)
+    for extra in ("", "speciesdelimitation = 1 0 2\n"):
+        cfg = parse_ctl_lines((base + extra).splitlines())
+        run = load_run(cfg)
+        eng = Engine(run, seed=3)
+        state = eng.init_state()
+        assert state.trait is not None
+        state, stats = eng.chunk_step(state, jax.random.PRNGKey(2), 250)
+        want = eng.ctx.trait_fn(state.sp.tau, state.trait.brate)
+        np.testing.assert_allclose(np.asarray(state.trait.logl),
+                                   np.asarray(want), rtol=1e-6, atol=1e-6)
+        from bpp_tpu.mcmc.state import MV_TAU, MV_TRAIT
+        st = np.asarray(stats)
+        assert st[MV_TRAIT][0] > 0 and st[MV_TRAIT][1] > 0
+        assert st[MV_TAU][1] > 0          # tau still mixes with traits
+        if extra:
+            from bpp_tpu.mcmc.state import MV_RJ
+            assert st[MV_RJ][0] == 250    # rj proposing under IM+traits
+
+
 def test_trait_fn_topo_matches_fixed():
     """The topology-parametric trait likelihood equals the fixed-tree
     closure on the same (topology, tau, brate)."""

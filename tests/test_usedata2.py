@@ -117,6 +117,78 @@ def test_fixed_gtrees_conjugate_theta_posterior():
         assert abs(got.std() / want_sd - 1.0) < 0.25, (h, got.std(), want_sd)
 
 
+@pytest.mark.slow
+def test_fixed_gtrees_conjugate_migration_rates(tmp_path):
+    """usedata = 2 x MSC-M (the reference supports the combination —
+    method.c:2786 even special-cases spec->M under fix_gtree): with
+    gene trees frozen EVENT-FREE (init state; the sim-SPR that creates
+    events is disabled), the migration-rate posterior is exactly
+    conjugate, W_k ~ Gamma(alpha, beta + sum_l W_lk) with W_lk the
+    frozen lineage-time overlaps."""
+    import textwrap
+
+    (tmp_path / "d.txt").write_text(
+        "\n".join(["8 20"] + [f"{s}^{s.lower()}{i} " + "A" * 20
+                              for s in "AB" for i in range(4)]) + "\n\n")
+    (tmp_path / "d.imap").write_text(
+        "".join(f"{s.lower()}{i}\t{s}\n" for s in "AB" for i in range(4)))
+    ctl = textwrap.dedent(f"""\
+        seed = 7
+        seqfile = {tmp_path / 'd.txt'}
+        Imapfile = {tmp_path / 'd.imap'}
+        jobname = {tmp_path}/out
+        species&tree = 2 A B
+                        4 4
+                       (A, B);
+        usedata = 2
+        nloci = 6
+        thetaprior = invgamma 3 0.008
+        tauprior = invgamma 3 0.04
+        migration = 2
+        A B
+        B A
+        wprior = 2 5
+        finetune = 1
+        burnin = 100
+        sampfreq = 1
+        nsample = 1500
+    """)
+    cfg = parse_ctl_lines(ctl.splitlines())
+    run = load_run(cfg)
+    eng = Engine(run, seed=3)
+    state = eng.init_state()
+    assert int(np.asarray(state.mig.count()).sum()) == 0  # event-free
+    from bpp_tpu.mcmc.mig_moves import make_logpr_fn_mig
+    logpr_fn = make_logpr_fn_mig(eng.ctx, eng.routes)
+    _, _, _, W0, mc0, _ = logpr_fn(state.gt, state.sp, state.mig,
+                                   state.subst.heredity)
+    mask = np.asarray(run.batch.locus_mask)
+    Wsum = (np.asarray(W0) * mask[:, None]).sum(0)       # [K]
+    assert (np.asarray(mc0) == 0).all()
+
+    key = jax.random.PRNGKey(5)
+    state, _ = eng.chunk_step(state, key, 100)
+    Ws = []
+    for _ in range(300):
+        key, sub = jax.random.split(key)
+        state, _ = eng.chunk_step(state, sub, 5)
+        Ws.append(np.asarray(state.mig.M))
+    Ws = np.asarray(Ws)                                   # [M, K]
+    # frozen gene trees: W stats must not have moved
+    _, _, _, W1, mc1, _ = logpr_fn(state.gt, state.sp, state.mig,
+                                   state.subst.heredity)
+    np.testing.assert_allclose(
+        (np.asarray(W1) * mask[:, None]).sum(0), Wsum, rtol=1e-9)
+    a, b = 2.0, 5.0
+    for k in range(2):
+        want_mean = a / (b + Wsum[k])
+        want_sd = np.sqrt(a) / (b + Wsum[k])
+        got = Ws[:, k]
+        assert abs(got.mean() - want_mean) < 5 * want_sd / np.sqrt(100), (
+            k, got.mean(), want_mean)
+        assert abs(got.std() / want_sd - 1.0) < 0.3, (k, got.std(), want_sd)
+
+
 @pytest.mark.smoke
 def test_cli_usedata2_runs(tmp_path):
     import subprocess
