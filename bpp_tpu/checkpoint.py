@@ -76,6 +76,12 @@ def save_checkpoint_multi(path, states, key, it, stats_acc, logs, *,
         if logs[0].phi:
             arrays["log_phi"] = np.stack(
                 [np.stack(lg.phi) for lg in logs])
+        if logs[0].migM:
+            arrays["log_migM"] = np.stack(
+                [np.stack(lg.migM) for lg in logs])
+        if logs[0].mubar:
+            arrays["log_mubar"] = np.asarray(
+                [lg.mubar for lg in logs])
     np.savez_compressed(path, __meta__=json.dumps(meta),
                         __ctl__=cfg_text, **arrays)
 
@@ -96,6 +102,10 @@ def restore_logs(arrays, n_chains, make_log):
         lg.logpr = [float(x) for x in arrays["log_logpr"][c]]
         if "log_phi" in arrays:
             lg.phi = list(arrays["log_phi"][c])
+        if "log_migM" in arrays:
+            lg.migM = list(arrays["log_migM"][c])
+        if "log_mubar" in arrays:
+            lg.mubar = [float(x) for x in arrays["log_mubar"][c]]
     return logs
 
 

@@ -486,7 +486,9 @@ def _run_multichain(args, cfg, run, eng, mcmc_path, is_main,
     for c, (log, w) in enumerate(zip(logs, writers)):
         for i, g in enumerate(log.gen):
             w.write_sample(g, log.theta[i], log.tau[i], log.lnL[i],
-                           phi=log.phi[i] if log.phi else None)
+                           phi=log.phi[i] if log.phi else None,
+                           migM=log.migM[i] if log.migM else None,
+                           mubar=log.mubar[i] if log.mubar else None)
         w.close()
         cols = {"lnL": np.asarray(log.lnL)}
         th = np.stack(log.theta)

@@ -1503,6 +1503,10 @@ class Engine:
                         log.logpr.append(float(row["logpr"]))
                         if "phi" in row:
                             log.phi.append(np.asarray(row["phi"]))
+                        if "migM" in row:
+                            log.migM.append(np.asarray(row["migM"]))
+                        if "mubar" in row:
+                            log.mubar.append(float(row["mubar"]))
             if it >= next_ck[0]:
                 on_checkpoint(states, key, it, stats_acc, logs)
                 ck_step = cfg.checkpoint[1]
