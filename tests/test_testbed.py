@@ -243,13 +243,16 @@ def test_testbed_a01(n, tmp_path):
     # topology ESS drives the error here: single 4000-sample chains
     # transiently concentrate (measured round 4: clade gaps up to 0.28
     # at 4000 samples vs <= 0.14 at 8000 on config 19's two probe
-    # seeds); pool TWO seeds x 6000 so the gate reflects posterior
-    # disagreement, not chain-length noise
+    # seeds); pool THREE seeds x 6000 — matching the goldens' 3 seeds —
+    # so the gate reflects posterior disagreement, not chain noise
+    # (round 5: config 25's diffuse posterior read 0.61 vs golden 0.42
+    # on one 2-seed pair and 0.46 on another; 3-seed pooling keeps the
+    # +-0.15 band honest)
     gold_trees = gzip.open(f"{FIX}/{n}.mcmc.txt.gz", "rt").read() \
         .strip().splitlines()
     gclade, _ = _clade_freqs(gold_trees)
     ours = []
-    for seed in (23, 77):
+    for seed in (23, 77, 131):
         cfg = _load_ctl(n, tmp_path, nsample=6000)
         eng, log = _run_engine(cfg, seed=seed)
         from bpp_tpu.output import species_newick
